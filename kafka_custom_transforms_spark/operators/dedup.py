@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each picked for a different scale/accuracy trade-off:
+
+  - :func:`dedup_exact` — hash-groupBy exact dedup with a deterministic
+    survivor (window row_number). One shuffle on the key columns; AQE handles
+    skew. At 100 TB this is the baseline "drop identical rows" pass.
+  - :func:`minhash_lsh_pairs` — MinHash + banded LSH near-dup candidate
+    generation with exact-Jaccard verification. Signatures are pure per-row
+    expressions (no explode); the only shuffle is the equi-join on
+    (band, band_hash), whose key distribution is uniform by construction.
+    Verification joins shingle sets back on the (small) candidate set.
+  - :func:`ngram_jaccard_pairs` — *exact* Jaccard similarity via an inverted
+    shingle index (explode -> self-equi-join -> pair-count). No cross join:
+    cost is sum over shingles of (posting-list length)^2, the classic
+    set-similarity-join shape. Prefix filtering can prune further at scale.
+  - :func:`simhash_pairs` — 60-bit SimHash over word shingles using the
+    md5-prefix hash (bit-identical in DuckDB, so the oracle can recompute
+    it), with pigeonhole banding: hamming distance <= t is *guaranteed* to
+    collide on at least one of c > t signature chunks, so banding loses no
+    recall — the banded plan is exactly equivalent to the O(n^2) scan.
+  - :func:`embedding_dup_pairs` — cosine near-duplicate pairs over an
+    embedding column; broadcast nested-loop at test scale, LSH
+    (random-hyperplane) bucketing as the 100 TB path in similarity.py.
+
+All pair outputs are (a_id, b_id) with a_id < b_id, integer-only — chosen so
+DuckDB oracles compare exactly (no float formatting in the hashed output).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kafka_custom_transforms_spark.functions.texthash import (
+    MERSENNE_P,
+    band_hashes,
+    md5_hash60,
+    minhash_perms,
+    minhash_signature_agg,
+    tokens,
+    word_shingles,
+)
+from kafka_custom_transforms_spark.functions.vector import as_double, cosine
+
+
+def dedup_exact(
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    target_cols: Sequence[str] | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact dedup keeping a deterministic survivor per key group.
+
+    ``row_number() over (partition by keys order by order_by) = 1`` —
+    oracle-matchable as DuckDB ``QUALIFY``. Prefer this over
+    ``dropDuplicates`` whenever reproducibility matters: dropDuplicates keeps
+    an arbitrary row. Single shuffle on ``keys``.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return out.select(*target_cols) if target_cols else out
+
+    return _transform
+
+
+def _exact_jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return inter / union
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingles) with empty-shingle docs removed (shorter than k words)."""
+    return (
+        df.select(F.col(id_col).alias("id"), word_shingles(tokens(F.col(text_col)), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id, b_id) with exact Jaccard >= threshold,
+    found via MinHash/LSH candidates and exactly verified.
+
+    With r = num_perm/bands rows per band, a pair at Jaccard s collides with
+    probability 1 - (1 - s^r)^bands; at the defaults (r=4, b=32) recall at
+    s=0.8 is 1 - 5e-8. False positives are eliminated by the verification
+    join, so the output equals the exact-Jaccard result with overwhelming
+    probability — the DuckDB oracle computes the exact version.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    # Shingle sets are read by the signature pipeline and twice by the
+    # verification joins; bucket rows feed both sides of the banded
+    # self-join. Materialize each once (both are small: one row per doc /
+    # 'bands' rows per doc) instead of recomputing the upstream pipeline
+    # per consumer.
+    sets = shingle_sets(df, id_col, text_col, shingle_k).localCheckpoint(eager=True)
+    perms = minhash_perms(num_perm, seed)
+    sig = minhash_signature_agg(sets, perms).select(
+        "id", band_hashes(F.col("sig"), bands, r).alias("bh")
+    )
+    buckets = sig.select("id", F.explode("bh").alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    ).localCheckpoint(eager=True)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    # Materialize the candidate set once: it is tiny (near-dup pairs), but
+    # lazily re-deriving it inside each verification join would recompute the
+    # whole signature pipeline per join branch. localCheckpoint truncates the
+    # lineage so the verify stage reads only the materialized pairs.
+    cand = cand.localCheckpoint(eager=True)
+    verified = (
+        sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+        .join(F.broadcast(cand), "a_id")
+        .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+        .filter(_exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold))
+        .select("a_id", "b_id")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted shingle index.
+
+    explode(shingles) -> self-join on shingle -> count common shingles per
+    pair -> jaccard = common / (|A| + |B| - common). Avoids the O(n^2) cross
+    join: only pairs sharing at least one shingle are materialized. The
+    shuffle key is the shingle itself; stop-shingle removal / prefix
+    filtering are the standard mitigations if a shingle is hot at scale.
+    """
+    sets = shingle_sets(df, id_col, text_col, shingle_k)
+    sized = sets.select("id", F.size("sh").alias("n"), "sh")
+    postings = sized.select("id", "n", F.explode("sh").alias("s"))
+    common = (
+        postings.alias("a")
+        .join(postings.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return common.filter(jac >= F.lit(threshold)).select("a_id", "b_id")
+
+
+def simhash_signatures(sets: DataFrame, bits: int = 60) -> DataFrame:
+    """(id, sig): SimHash over shingle sets using the oracle-reproducible
+    60-bit md5-prefix hash. Majority vote per bit; ties (sum == 0) vote 0.
+
+    Shaped as explode + per-bit SUM aggregates (not array-lambda folds) so
+    every expression stays inside whole-stage codegen; map-side partial
+    aggregation collapses the exploded rows before the single shuffle on id
+    — same scale shape as the MinHash signature plan.
+    """
+    hashes = sets.select("id", F.explode(F.col("sh")).alias("s")).select(
+        "id", md5_hash60(F.col("s")).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    agged = hashes.groupBy("id").agg(*votes)
+    sig = functools.reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agged.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bits: int = 60,
+    max_hamming: int = 5,
+    chunks: int = 10,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: the 60-bit signature is split into ``chunks`` equal
+    slices; two signatures within hamming t < chunks must agree on at least
+    one slice, so an equi-join on (chunk_idx, slice_value) finds *all* such
+    pairs — banding is exact here, not approximate. Candidates are then
+    filtered on true hamming distance. DuckDB oracle recomputes the identical
+    signature (md5-prefix hash) and brute-forces all pairs.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole requires max_hamming < chunks")
+    if bits % chunks:
+        raise ValueError("bits must be divisible by chunks")
+    w = bits // chunks
+    mask = (1 << w) - 1
+    sets = shingle_sets(df, id_col, text_col, shingle_k)
+    # Materialize the signatures (one small row per doc): both sides of the
+    # banded self-join would otherwise recompute the explode+agg pipeline.
+    sigs = simhash_signatures(sets, bits).localCheckpoint(eager=True)
+    slices = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * w).bitwiseAND(F.lit(mask)).alias("sv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cs"),
+    ).select("id", "sig", F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
+    # The hamming filter runs INSIDE the join stage (codegen, no
+    # materialization) so only true near-dup pairs reach the distinct's
+    # shuffle — with narrow slices the raw join fan-out is large and would
+    # otherwise dominate the query.
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        slices.alias("a")
+        .join(slices.alias("b"), ["chunk", "sv"])
+        .filter((F.col("a.id") < F.col("b.id")) & (ham <= F.lit(max_hamming)))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    dim: int | None = None,
+    method: str = "numpy",
+) -> DataFrame:
+    """Cosine near-duplicate pairs (a_id, b_id), a_id < b_id.
+
+    ``method="numpy"``: Arrow-batched vectorized scoring — each partition of
+    vectors is scored against the (small, closure-broadcast) full matrix.
+    The dot product accumulates dimension-by-dimension, preserving the same
+    left-fold order as the column-expression path and the DuckDB oracle, so
+    results are bit-identical, not approximately equal. ~50x faster than the
+    per-pair expression plan at test scale.
+
+    ``method="join"``: pure-JVM broadcast nested-loop self-join with the
+    unrolled cosine expression — no Python anywhere; the fallback when the
+    matrix does not fit a broadcast (then with LSH bucketing upstream:
+    similarity.hyperplane_buckets generates candidates and this exact filter
+    verifies them — the 100 TB path).
+    """
+    vecs = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    if method == "join":
+        pairs = (
+            vecs.alias("a")
+            .join(F.broadcast(vecs.alias("b")), F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                cosine(F.col("a.v"), F.col("b.v"), dim).alias("cos"),
+            )
+        )
+        return pairs.filter(F.col("cos") >= F.lit(threshold)).select("a_id", "b_id")
+
+    import numpy as np
+    import pandas as pd
+
+    rows = vecs.collect()  # small by contract (the broadcastable side)
+    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    sq = np.zeros(len(all_ids))
+    for i in range(d):  # left-fold per dimension: (0 + x1) + x2 + ...
+        sq = sq + mat[:, i] * mat[:, i]
+    norms = np.sqrt(sq)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["v"].to_numpy())
+            dots = np.zeros((len(ids), len(all_ids)))
+            asq = np.zeros(len(ids))
+            for i in range(d):  # in-place += keeps the same IEEE fold order
+                dots += a[:, i : i + 1] * mat[None, :, i]
+                asq += a[:, i] * a[:, i]
+            cos = dots / (np.sqrt(asq)[:, None] * norms[None, :])
+            ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({"a_id": ids[ai], "b_id": all_ids[bi]})
+
+    # Spread the row side across workers; the matrix rides in the closure.
+    n_parts = max(vecs.sparkSession.sparkContext.defaultParallelism // 2, 1)
+    return vecs.repartition(n_parts).mapInPandas(_score, schema="a_id long, b_id long")

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats images/audio/video as ``binary`` columns bundled with a
+metadata struct — the schema, partitioning, Arrow batch shape, and UDF
+signatures here are the real, tested artifact. The *decode* step itself is
+STUBBED: the image/audio libraries are not in this container, so
+``decode_payload`` uses a deterministic fake feature extractor (and raises
+``NotImplementedError`` if a real decoder is requested but unavailable).
+Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
+``mapInPandas`` body and nothing else changes.
+
+Scale notes:
+  - payloads ride *with* the rows (no driver collect); ``mapInPandas``
+    streams Arrow batches, so executor memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it down (e.g.
+    256) when payloads are megabytes.
+  - decode is embarrassingly parallel; partition count, not shuffle,
+    controls parallelism. Repartition upstream if payload sizes are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MIMES = ("image/png", "audio/wav", "video/mp4")
+
+DECODED_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
+    "duration_ms int, n_frames int"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build the multimodal envelope from the documents table: a deterministic
+    fake payload (utf-8 bytes of the text) plus a typed metadata struct.
+    Real pipelines read payloads from object-store parquet/binaryFile."""
+    mime = F.element_at(F.array(*[F.lit(m) for m in MIMES]), (F.col(id_col) % 3 + 1).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("data"),
+        F.struct(
+            mime.alias("mime"),
+            F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(doc_id: int, mime: str, data: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder (NO media libs in this
+    container). Feature values are pure functions of payload size so the
+    DuckDB oracle can recompute them."""
+    n = len(data)
+    if mime.startswith("image/"):
+        return {"width": n % 640 + 1, "height": n % 480 + 1, "duration_ms": 0, "n_frames": 1}
+    if mime.startswith("audio/"):
+        return {"width": 0, "height": 0, "duration_ms": n * 10, "n_frames": 0}
+    return {"width": n % 1920 + 1, "height": n % 1080 + 1, "duration_ms": n * 40, "n_frames": n % 250 + 1}
+
+
+def decode_payload(df: DataFrame, real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``. ``real_decoder=True``
+    requires media libraries and raises in this environment."""
+    if real_decoder:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "real media decoding needs PIL/torchaudio/pyav, which are not "
+                "installed in this container; use the deterministic stub"
+            ) from exc
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(i, m, d)
+                for i, m, d in zip(pdf["doc_id"], pdf["meta"].map(lambda s: s["mime"]), pdf["data"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "mime", pdf["meta"].map(lambda s: s["mime"]).values)
+            out.insert(2, "n_bytes", pdf["meta"].map(lambda s: s["n_bytes"]).values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: emits (doc_id, frame_idx) for
+    every ``every_nth`` frame — pure expressions (sequence + explode), the
+    actual frame extraction would happen in a downstream decode UDF."""
+    vids = df.filter(F.col("mime") == "video/mp4")
+    idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+    return vids.select("doc_id", F.explode(idxs).alias("frame_idx"))

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns.
+
+Two plans for approximate-nearest-neighbor:
+
+  - :func:`topk_neighbors` — brute-force cosine top-k. The query set is
+    broadcast (it is small by definition); candidate scoring is a map-side
+    nested loop over each partition of the base table, so the base table is
+    never shuffled — the only shuffle is the final per-query top-k, which is
+    bounded by |queries| * k rows after partial aggregation. This is the
+    exactness baseline and the verification oracle for the ANN variants.
+  - :func:`hyperplane_buckets` / :func:`lsh_topk_neighbors` — random
+    hyperplane (SRP) LSH: sign-pattern signatures put similar vectors in the
+    same bucket; the join is an equi-join on (table, bucket) instead of a
+    cross join. Hyperplane weights are derived from the md5-prefix hash, so
+    signatures are deterministic across runs and engines. The 100 TB path:
+    bucket cardinality ~2^bits_per_table * tables, each bucket joined
+    independently — shuffle keys uniform, no broadcast of the base side.
+
+Top-k determinism: ranking orders by (cosine DESC, neighbor id ASC) so exact
+score ties break reproducibly; cosine itself is a sequential fold
+(functions/vector.py) and bit-identical to the DuckDB oracle's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kafka_custom_transforms_spark.functions.texthash import md5_hash60
+from kafka_custom_transforms_spark.functions.vector import as_double, cosine, dot
+
+
+def topk_neighbors(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k."""
+    b = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
+    scored = scored.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), dim).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplane_weight(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) from the md5 hash of
+    the (plane, dim) coordinate — reproducible across engines and runs."""
+    h = md5_hash60(F.lit(f"hp:{plane}:{dim}"))
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") - F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
+    """SRP signature: bit j = sign(<vec, w_j>). Returns a non-negative int."""
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        w = F.array(*[_hyperplane_weight(j, i) for i in range(dim)])
+        sig = sig.bitwiseOR(
+            F.when(dot(vec, w, dim) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """(id, table, bucket) assignments: ``tables`` independent SRP tables of
+    ``bits_per_table`` bits each. Vectors land in tables*1 buckets; similar
+    vectors collide in >= 1 table with high probability."""
+    v = as_double(F.col(vec_col))
+    full = hyperplane_signature(v, dim, tables * bits_per_table)
+    mask = (1 << bits_per_table) - 1
+    assignments = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.shiftright(full, t * bits_per_table).bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(assignments).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk_neighbors(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    bits_per_table: int = 6,
+) -> DataFrame:
+    """ANN top-k: score only candidates sharing an SRP bucket with the query
+    in at least one table, then exact-cosine rank. Same output schema as
+    :func:`topk_neighbors`; recall < 1 by design — tests measure it against
+    the brute-force baseline."""
+    bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)
+    qb = hyperplane_buckets(queries, dim, id_col, vec_col, tables, bits_per_table)
+    cand = (
+        qb.alias("q")
+        .join(bb.alias("b"), ["table", "bucket"])
+        .filter(F.col("q.id") != F.col("b.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+        .distinct()
+    )
+    bvec = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cand.join(bvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk_neighbors(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: deterministic centroid seed set (first n_centroids ids),
+    cells assigned by max cosine, queries probe the n_probe nearest cells.
+
+    At 100 TB the cell assignment is one broadcast join (centroids are tiny)
+    and the probe join shuffles only by cell id — bounded fan-out, no cross
+    join. Recall is tested against the brute-force baseline.
+    """
+    vecs = base.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    centroids = (
+        vecs.orderBy("id").limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    assign_w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    assigned = (
+        vecs.join(F.broadcast(centroids), how="cross")
+        .select("id", "v", "cid", cosine(F.col("v"), F.col("cv"), dim).alias("ccos"))
+        .withColumn("crank", F.row_number().over(assign_w))
+        .filter(F.col("crank") == 1)
+        .select("id", "v", "cid")
+    )
+    qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    probes = (
+        qvecs.join(F.broadcast(centroids), how="cross")
+        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv"), dim).alias("ccos"))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v"), dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators over a documents table.
+
+All integer-only (or md5-string) outputs so DuckDB oracles hash-match
+exactly: ratios are expressed as scaled integer divisions, never raw double
+division. Every function is pure Catalyst expressions — zero Python in the
+row path, zero shuffles except where a rollup explicitly aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kafka_custom_transforms_spark.functions.texthash import tokens, word_shingles
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real pipelines plug in fastText/CLD3-class models via a pandas
+# UDF; the heuristic is the dependency-free, SQL-oracle-checkable baseline.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "un"),
+    "fr": ("le", "la", "les", "est", "et", "que", "une", "dans"),
+    "zh": (),  # detected by script, not stopwords
+}
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics (all bigint)."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_uniq_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.array_max(F.transform(t, F.length)).cast("long").alias("max_token_len"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: CJK script check, then stopword-hit argmax with
+    deterministic tie-break (lexicographic lang order wins), 'und' if no
+    marker hits. Pure map-side expression."""
+    t = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+        if words
+    }
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    ordered = sorted(scores)  # deterministic tie-break: first lang in order
+    # fold right-to-left so earlier langs win ties
+    detected = F.lit("und")
+    max_score = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    for lang in reversed(ordered):
+        detected = F.when(
+            (scores[lang] > 0) & (scores[lang] == max_score), F.lit(lang)
+        ).otherwise(detected)
+    detected = F.when(has_cjk, F.lit("zh")).otherwise(detected)
+    return df.select(F.col(id_col), detected.alias("detected_lang"))
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer quality score 0..100 from length, lexical diversity, and mean
+    token length — the classic cheap pre-filters for training-data curation.
+    Ratio checks are expressed multiplication-only (``uniq*100 >= 30*n``
+    instead of ``uniq/n >= 0.3``) so the DuckDB oracle is bit-exact:
+
+      - length_ok   (40): 20 <= n_tokens <= 120
+      - diversity   (30): unique-token ratio >= 30%
+      - tok_len_ok  (30): mean token length in [2, 12]
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t).cast("long")
+    uniq = F.size(F.array_distinct(t)).cast("long")
+    # total token chars = n_chars - (n_tokens - 1): text is single-space joined
+    tok_chars = F.length(F.col(text_col)).cast("long") - (n - 1)
+    score = (
+        F.when((n >= 20) & (n <= 120), 40).otherwise(0)
+        + F.when(uniq * 100 >= 30 * n, 30).otherwise(0)
+        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 30).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("lang"),
+        score.cast("long").alias("quality"),
+        n.alias("n_tokens"),
+        uniq.alias("n_uniq_tokens"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 of every ``window``-token
+    sliding window, keep the minimum digest. Robust to small edits away from
+    the minimal window; md5 is bit-identical in the DuckDB oracle.
+    Documents shorter than the window hash their full text."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - window + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, window))),
+    )
+    fp = F.when(n >= window, F.array_min(wins)).otherwise(F.md5(F.col(text_col)))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def token_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus rollup: token volume per (lang, source) — partial (map-side)
+    aggregation then a single shuffle on the grouping keys."""
+    t = tokens(F.col(text_col))
+    return (
+        df.select("lang", "source", F.size(t).cast("long").alias("nt"), F.length(text_col).cast("long").alias("nc"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+        )
+    )

@@ -39,7 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Wide aggregates (128-permutation MinHash, 60-bit SimHash votes)
+        # must stay inside whole-stage codegen: the interpreted fallback is
+        # 10-30x slower once JIT call sites go megamorphic. Default is 100.
+        .config("spark.sql.codegen.maxFields", "400")
+        # Many distinct generated classes per session (one per query shape);
+        # the JVM default code cache fills up, after which the JIT stops
+        # compiling and fresh codegen runs interpreted (10-30x slower, and it
+        # looks like random per-query slowdowns). Reserve a big cache.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,51 @@
+"""Parquet table loading for the driver's synthetic testdata.
+
+The driver's parquet files carry TIMESTAMP(NANOS) columns, which Spark 4's
+reader rejects by default (PARQUET_TYPE_ILLEGAL). We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` (reads them as nanosecond longs) and
+convert back to proper timestamps with ``timestamp_micros`` — verified
+lossless: the generated data has zero sub-microsecond precision.
+
+Scale note: the conversion is a map-side projection fused into the scan stage
+by whole-stage codegen; filter pushdown and column pruning on the remaining
+columns are unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+# Timestamp columns per table (stored as TIMESTAMP(NANOS) in the parquet).
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` with nanos-timestamp repair."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

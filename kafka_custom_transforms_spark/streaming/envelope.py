@@ -1,0 +1,69 @@
+"""Kafka-envelope sources: the record shape the reference transforms live on.
+
+The reference runs inside a Kafka Connect worker; its record envelope
+(topic, partition, key, value, timestamp, headers — SURVEY.md §1.1) maps to
+the Structured Streaming Kafka source schema. All SMT operators in this
+package are envelope-agnostic column transforms, so the same chain object
+runs on:
+
+  - a real Kafka stream (:func:`read_kafka_stream`, requires a broker),
+  - a file-backed stream for tests (:func:`stream_events_envelope`),
+  - a batch DataFrame (just call the chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+ENVELOPE_SCHEMA = (
+    "key string, value string, topic string, partition int, offset long, "
+    "ts timestamp, headers array<struct<key:string,value:binary>>"
+)
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """Real Kafka source (untestable in this container — no broker; the
+    code path is the standard spark-sql-kafka connector contract)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    # Cast binary key/value to the JSON-string schemaless representation.
+    return raw.select(
+        F.col("key").cast("string"),
+        F.col("value").cast("string"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
+        "headers",
+    )
+
+
+def events_envelope(events: DataFrame) -> DataFrame:
+    """Shape the synthetic events table like a Kafka envelope: key = JSON of
+    user_id, value = the schemaless props JSON, 8 synthetic partitions."""
+    return events.select(
+        F.to_json(F.struct("user_id")).alias("key"),
+        F.col("props").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+    )
+
+
+def stream_events_envelope(spark: SparkSession, parquet_dir: str) -> DataFrame:
+    """File-backed streaming envelope over pre-staged events parquet — the
+    test stand-in for the Kafka source (same columns, same code path)."""
+    batch = spark.read.parquet(parquet_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(parquet_dir)
+    return events_envelope(stream)
