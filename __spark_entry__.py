@@ -218,6 +218,42 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (SRP-LSH) variant — no oracle (recall < 1 by design);
+    tests pin recall against the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.lsh_topk_neighbors(emb, queries_df, dim=64, k=5, tables=12, bits_per_table=4)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (IVF-flat) variant — no oracle; recall tested vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_centroids=16, n_probe=8, dim=64)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_payload(multimodal.attach_payload(docs))
+    return multimodal.frame_sample(decoded, every_nth=10)
+
+
+def _text_tokens_re(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer stats (words / numbers / punctuation marks)."""
+    from kafka_custom_transforms_spark.functions.texthash import tokens_re
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_re(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_re_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).cast("long").alias("n_numbers"),
+    )
+
+
 def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -327,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding,
         "similarity_topk": _similarity_topk,
+        "similarity_topk_lsh": _similarity_topk_lsh,
+        "similarity_topk_ivf": _similarity_topk_ivf,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "text_tokens_re": _text_tokens_re,
         "text_token_stats": _text_token_stats,
         "text_language_id": _text_language_id,
         "text_quality": _text_quality,
@@ -465,6 +505,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by query_id order by c desc, neighbor_id) as bigint) as rank
             from s
             qualify rank <= 5
+        """,
+        "multimodal_frame_sample": """
+            with m as (
+              select doc_id,
+                     (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3)::INT + 1] as mime,
+                     octet_length(encode(text)) as n
+              from documents
+            )
+            select doc_id, unnest(generate_series(0, (n % 250 + 1) - 1, 10))::INT as frame_idx
+            from m
+            where mime = 'video/mp4'
+        """,
+        "text_tokens_re": """
+            select doc_id,
+                   cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) as bigint)
+                     as n_re_tokens,
+                   cast(len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+                                        t -> regexp_matches(t, '^[0-9]+$'))) as bigint) as n_numbers
+            from documents
         """,
         "text_token_stats": """
             select doc_id,

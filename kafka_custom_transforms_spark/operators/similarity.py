@@ -23,10 +23,11 @@ score ties break reproducibly; cosine itself is a sequential fold
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from kafka_custom_transforms_spark.functions.texthash import md5_hash60
-from kafka_custom_transforms_spark.functions.vector import as_double, cosine, dot
+from kafka_custom_transforms_spark.functions.vector import as_double, cosine
 
 
 def topk_neighbors(
@@ -53,20 +54,32 @@ def topk_neighbors(
     )
 
 
-def _hyperplane_weight(plane: int, dim: int) -> Column:
+def _hyperplane_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) from the md5 hash of
-    the (plane, dim) coordinate — reproducible across engines and runs."""
-    h = md5_hash60(F.lit(f"hp:{plane}:{dim}"))
-    return (F.pmod(h, F.lit(2_000_000)).cast("double") - F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+    the (plane, dim) coordinate — reproducible across runs and engines.
+    Computed in Python at plan time (it is a constant): embedding the md5
+    derivation as column expressions made the plan tree ~100k nodes and
+    OOM'd the driver at 64 planes x 64 dims."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2_000_000 - 1_000_000) / 1_000_000.0
 
 
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
     """SRP signature: bit j = sign(<vec, w_j>). Returns a non-negative int."""
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        w = F.array(*[_hyperplane_weight(j, i) for i in range(dim)])
+        terms = [
+            F.element_at(vec, i + 1) * F.lit(_hyperplane_weight(j, i))
+            for i in range(dim)
+        ]
+        d = functools.reduce(lambda x, y: x + y, terms)
         sig = sig.bitwiseOR(
-            F.when(dot(vec, w, dim) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+            # shiftleft, not a 2**j literal: j=63 overflows a long literal
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return sig
 
@@ -83,20 +96,28 @@ def hyperplane_buckets(
     ``bits_per_table`` bits each. Vectors land in tables*1 buckets; similar
     vectors collide in >= 1 table with high probability."""
     v = as_double(F.col(vec_col))
-    full = hyperplane_signature(v, dim, tables * bits_per_table)
+    # Materialize the signature as a named column before slicing: inlining
+    # the (bits x dim)-term expression once per table would multiply the
+    # plan tree by `tables` and blow up analysis.
+    sig_df = df.select(
+        F.col(id_col).alias("id"),
+        hyperplane_signature(v, dim, tables * bits_per_table).alias("hsig"),
+    )
     mask = (1 << bits_per_table) - 1
     assignments = F.array(
         *[
             F.struct(
                 F.lit(t).alias("table"),
-                F.shiftright(full, t * bits_per_table).bitwiseAND(F.lit(mask)).alias("bucket"),
+                F.shiftright(F.col("hsig"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
             )
             for t in range(tables)
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(assignments).alias("tb")
-    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    return sig_df.select("id", F.explode(assignments).alias("tb")).select(
+        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def lsh_topk_neighbors(

@@ -1,0 +1,80 @@
+"""Dedup operator tests: survivor determinism, LSH recall vs exact, simhash
+banding equivalence, embedding path equivalence across methods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators import dedup
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _pairs(df):
+    return sorted((r.a_id, r.b_id) for r in df.collect())
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, k string"
+    )
+    out = dedup.dedup_exact(keys=["k"], order_by=["id"])(df)
+    rows = {(r.k, r.id) for r in out.collect()}
+    assert rows == {("x", 1), ("y", 3)}
+
+
+def test_minhash_equals_exact_jaccard(docs):
+    """LSH + exact verification must equal the exact O(n^2) answer on this
+    corpus (recall margin is ~1-5e-8 at jaccard>=0.8; the corpus has no
+    pairs between 0.3 and 0.8)."""
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs))
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs))
+    assert lsh == exact
+    assert len(lsh) > 0  # corpus has planted near-dups
+
+
+def test_simhash_banding_is_exhaustive(docs):
+    """Pigeonhole banding (chunks > max_hamming) must find exactly the
+    brute-force pair set."""
+    banded = _pairs(dedup.simhash_pairs(docs, max_hamming=12, chunks=15))
+    # brute force: all-pairs hamming over collected signatures
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    sigs = {r.id: r.sig for r in dedup.simhash_signatures(sets).collect()}
+    ids = sorted(sigs)
+    brute = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 12
+    )
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_embedding_methods_agree(emb):
+    """The vectorized numpy path and the pure-JVM join path must produce the
+    identical pair set (bit-identical cosine by construction)."""
+    a = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="numpy"))
+    b = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="join"))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_minhash_validates_config(docs):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, num_perm=100, bands=32)
+
+
+def test_simhash_validates_config(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, max_hamming=15, chunks=15)

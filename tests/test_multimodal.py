@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: envelope schema, Arrow-batched decode stub,
+frame sampling plan. The decode itself is a deterministic stub (no media
+libs in this container) — the schema/partitioning/UDF plumbing is real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators import multimodal
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(60)
+
+
+def test_attach_payload_schema(docs):
+    out = multimodal.attach_payload(docs)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "data", "meta"]
+    assert out.schema["data"].dataType.simpleString() == "binary"
+    assert out.schema["meta"].dataType.simpleString() == "struct<mime:string,n_bytes:bigint>"
+    r = out.collect()[0]
+    assert r.meta.n_bytes == len(r.data)
+    assert r.meta.mime in multimodal.MIMES
+
+
+def test_decode_stub_features(docs):
+    out = multimodal.decode_payload(multimodal.attach_payload(docs))
+    rows = out.collect()
+    assert len(rows) == 60
+    for r in rows:
+        if r.mime == "image/png":
+            assert 1 <= r.width <= 640 and r.n_frames == 1
+        elif r.mime == "audio/wav":
+            assert r.duration_ms == r.n_bytes * 10 and r.width == 0
+        else:
+            assert r.n_frames == r.n_bytes % 250 + 1
+
+
+def test_real_decoder_raises_without_media_libs(docs):
+    with pytest.raises(NotImplementedError, match="media"):
+        multimodal.decode_payload(multimodal.attach_payload(docs), real_decoder=True)
+
+
+def test_frame_sample(docs):
+    decoded = multimodal.decode_payload(multimodal.attach_payload(docs))
+    frames = multimodal.frame_sample(decoded, every_nth=10)
+    rows = frames.collect()
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    vids = {r.doc_id for r in decoded.filter(F.col("mime") == "video/mp4").collect()}
+    assert {r.doc_id for r in rows} == vids

@@ -1,0 +1,71 @@
+"""Similarity search tests: determinism, ANN recall vs brute force, plan
+shape (query side broadcast, no shuffle of the base table scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators import similarity
+from kafka_custom_transforms_spark.plans.explain import broadcast_join_count
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries_df(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0)
+
+
+def _rows(df):
+    return sorted((r.query_id, r.neighbor_id, r.rank) for r in df.collect())
+
+
+def test_topk_shape_and_determinism(emb, queries_df):
+    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    rows = _rows(out)
+    nq = queries_df.count()
+    assert len(rows) == nq * 5
+    per_query = {}
+    for q, n, r in rows:
+        per_query.setdefault(q, []).append((r, n))
+        assert n != q  # self excluded
+    for q, rs in per_query.items():
+        assert sorted(r for r, _ in rs) == [1, 2, 3, 4, 5]
+    assert rows == _rows(similarity.topk_neighbors(emb, queries_df, k=5, dim=64))
+
+
+def test_topk_broadcasts_queries(emb, queries_df):
+    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    assert broadcast_join_count(out) >= 1
+
+
+def test_lsh_recall_against_brute_force(emb, queries_df):
+    """SRP-LSH is approximate; require >= 60% top-5 recall at these params
+    on the synthetic corpus (no planted near-dup structure, so this is the
+    hard case for LSH)."""
+    exact = {(q, n) for q, n, _ in _rows(similarity.topk_neighbors(emb, queries_df, k=5, dim=64))}
+    approx = {
+        (q, n)
+        for q, n, _ in _rows(
+            similarity.lsh_topk_neighbors(emb, queries_df, dim=64, k=5, tables=12, bits_per_table=4)
+        )
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_recall_against_brute_force(emb, queries_df):
+    exact = {(q, n) for q, n, _ in _rows(similarity.topk_neighbors(emb, queries_df, k=5, dim=64))}
+    approx = {
+        (q, n)
+        for q, n, _ in _rows(
+            similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_centroids=16, n_probe=8, dim=64)
+        )
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"

@@ -1,0 +1,64 @@
+"""Structured Streaming parity: the same SMT chain object runs on a stream;
+watermarked dedup drops duplicates with bounded state."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark import drop_fields, hoist_field, transform_chain
+from kafka_custom_transforms_spark.sources.tables import load_table
+from kafka_custom_transforms_spark.streaming.dedup import streaming_dedup
+from kafka_custom_transforms_spark.streaming.envelope import (
+    events_envelope,
+    stream_events_envelope,
+)
+
+
+def _run_stream(df, name):
+    q = df.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir):
+    d = tempfile.mkdtemp()
+    load_table(spark, sf_dir, "events").limit(200).write.mode("overwrite").parquet(d + "/ev")
+    yield d + "/ev"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_chain_identical_batch_vs_stream(spark, staged_events):
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    batch = chain(events_envelope(spark.read.parquet(staged_events)))
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(chain(stream_events_envelope(spark, staged_events)), name)
+    got = {(r.offset, r.key, r.value) for r in spark.sql(f"select * from {name}").collect()}
+    want = {(r.offset, r.key, r.value) for r in batch.collect()}
+    assert got == want and len(got) == 200
+
+
+def test_streaming_dedup_within_watermark(spark, staged_events):
+    env = stream_events_envelope(spark, staged_events)
+    # duplicate every record by unioning the stream with itself
+    dup = env.union(env)
+    deduped = streaming_dedup(dup, keys=["offset"], ts_col="ts", watermark_delay="1 hour")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(deduped, name)
+    rows = spark.sql(f"select offset, count(*) c from {name} group by offset").collect()
+    assert len(rows) == 200
+    assert all(r.c == 1 for r in rows)
+
+
+def test_streaming_dedup_batch_fallback(spark, staged_events):
+    df = spark.read.parquet(staged_events)
+    both = df.union(df)
+    out = streaming_dedup(both, keys=["event_id"], ts_col="ts")
+    assert out.count() == 200

@@ -1,0 +1,74 @@
+"""Text-analysis operator tests (values pinned by hand on tiny fixtures;
+corpus-level behavior covered by the oracle-parity suite)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_token_stats(spark):
+    out = text.token_stats(_docs(spark, ["a bb ccc a"]))
+    r = out.collect()[0]
+    assert (r.n_tokens, r.n_uniq_tokens, r.n_chars, r.max_token_len) == (4, 3, 10, 3)
+
+
+def test_language_id_markers_and_tiebreak(spark):
+    out = text.language_id(
+        _docs(
+            spark,
+            [
+                "the cat is here",      # en markers
+                "der hund ist nicht da",  # de markers
+                "xyz qqq zzz",          # nothing -> und
+                "the der",              # tie 1-1 -> first lang in sorted order: de
+            ],
+        )
+    )
+    langs = [r.detected_lang for r in out.orderBy("doc_id").collect()]
+    assert langs == ["en", "de", "und", "de"]
+
+
+def test_language_id_cjk_script(spark):
+    out = text.language_id(_docs(spark, ["你好 world the"]))
+    assert out.collect()[0].detected_lang == "zh"
+
+
+def test_quality_score_components(spark):
+    # 25 tokens, all unique, mean len 3 -> all three components hit
+    good = " ".join(f"tk{i}" for i in range(25))
+    # 5 tokens -> misses length; 'a a a a a' diversity 20% fails; mean len 1 fails
+    bad = "a a a a a"
+    out = text.quality_score(_docs(spark, [good, bad])).orderBy("doc_id").collect()
+    assert out[0].quality == 100
+    assert out[1].quality == 0
+
+
+def test_fingerprint_matches_hand_md5(spark):
+    doc = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # two 8-token windows
+    wins = ["w1 w2 w3 w4 w5 w6 w7 w8", "w2 w3 w4 w5 w6 w7 w8 w9"]
+    expected = min(hashlib.md5(w.encode()).hexdigest() for w in wins)
+    out = text.doc_fingerprint(_docs(spark, [doc]), window=8)
+    assert out.collect()[0].fingerprint == expected
+
+
+def test_fingerprint_short_doc_hashes_full_text(spark):
+    doc = "only three tokens"
+    out = text.doc_fingerprint(_docs(spark, [doc]), window=8)
+    assert out.collect()[0].fingerprint == hashlib.md5(doc.encode()).hexdigest()
+
+
+def test_rollup(spark):
+    df = _docs(spark, ["a b", "c d e"])
+    r = text.token_rollup(df).collect()[0]
+    assert (r.n_docs, r.total_tokens, r.total_chars) == (2, 5, 8)
