@@ -218,6 +218,21 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity); batch path of the
+    stateful streaming sessionizer. Timestamps exported as epoch seconds."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("first_ts")).alias("first_epoch_us"),
+        F.unix_micros(F.col("last_ts")).alias("last_epoch_us"),
+    )
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) variant — no oracle (recall < 1 by design);
     tests pin recall against the brute-force baseline."""
@@ -358,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_chain_envelope": _smt_chain_envelope,
         "dedup_exact": _dedup_exact,
         "dedup_streaming_batch": _dedup_streaming_batch,
+        "events_sessionize": _events_sessionize,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
@@ -468,6 +484,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_streaming_batch": """
             select user_id, event_type, event_id from events
             qualify row_number() over (partition by user_id, event_type order by event_id) = 1
+        """,
+        "events_sessionize": """
+            with g as (
+              select user_id, ts,
+                     case when epoch_us(ts) - coalesce(
+                           lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
+                           > 1800000000
+                          then 1 else 0 end as new_session
+              from events
+            ),
+            s as (
+              select user_id, ts,
+                     sum(new_session) over (partition by user_id order by ts
+                                            rows between unbounded preceding and current row) as sid
+              from g
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_events,
+                   cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
+                   cast(epoch_us(max(ts)) as bigint) as last_epoch_us
+            from s
+            group by user_id, sid
         """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,

@@ -31,3 +31,101 @@ def streaming_dedup(
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+SESSION_SCHEMA = "user_id bigint, n_events bigint, first_ts timestamp, last_ts timestamp"
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session aggregation with inactivity timeout — the custom
+    stateful operator escape hatch (``applyInPandasWithState``) for semantics
+    the built-in windowed aggregations can't express.
+
+    Emits one row per closed session: (key, n_events, first_ts, last_ts).
+    State per key is a single open session (bounded); the processing-time
+    timeout closes idle sessions. On a batch DataFrame, falls back to an
+    equivalent gap-based sessionization via window functions (lag + running
+    session ids) — same output, no state store.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    if not df.isStreaming:
+        from pyspark.sql import Window, functions as F
+
+        gap_us = _duration_to_seconds(gap) * 1_000_000
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        # microsecond-exact gap arithmetic (second-truncation could flip a
+        # boundary decision on sub-second data)
+        with_gap = df.withColumn(
+            "_new_session",
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.coalesce(F.lag(F.unix_micros(F.col(ts_col))).over(w), F.lit(0))
+                > gap_us
+            ).cast("int"),
+        )
+        with_sid = with_gap.withColumn(
+            "_sid", F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return (
+            with_sid.groupBy(F.col(key_col).alias("user_id"), "_sid")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(ts_col).alias("first_ts"),
+                F.max(ts_col).alias("last_ts"),
+            )
+            .drop("_sid")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_to_seconds(gap) * 1000
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (n, first_ts, last_ts) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(first_ts, unit="us")],
+                    "last_ts": [pd.Timestamp(last_ts, unit="us")],
+                }
+            )
+            return
+        n, first_ts, last_ts = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            ts = pdf["ts"].astype("datetime64[us]").astype("int64")
+            n += len(pdf)
+            first_ts = int(ts.min()) if first_ts is None else min(first_ts, int(ts.min()))
+            last_ts = int(ts.max()) if last_ts is None else max(last_ts, int(ts.max()))
+        state.update((n, first_ts, last_ts))
+        state.setTimeoutDuration(gap_ms)
+        # nothing to emit until the session times out
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="n bigint, first_ts bigint, last_ts bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _duration_to_seconds(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult

@@ -51,3 +51,20 @@ def test_frame_sample(docs):
     assert all(r.frame_idx % 10 == 0 for r in rows)
     vids = {r.doc_id for r in decoded.filter(F.col("mime") == "video/mp4").collect()}
     assert {r.doc_id for r in rows} == vids
+
+
+def test_resize_stub_plumbing(docs):
+    att = multimodal.attach_payload(docs)
+    out = multimodal.resize_images(att, width=128, height=128)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.mime.startswith("image/") for r in rows)
+    assert all((r.out_width, r.out_height) == (128, 128) for r in rows)
+    n_images = att.filter(F.col("meta.mime") == "image/png").count()
+    assert len(rows) == n_images
+
+
+def test_resize_real_decoder_raises(docs):
+    att = multimodal.attach_payload(docs)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_images(att, real_decoder=True)

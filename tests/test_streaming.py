@@ -62,3 +62,37 @@ def test_streaming_dedup_batch_fallback(spark, staged_events):
     both = df.union(df)
     out = streaming_dedup(both, keys=["event_id"], ts_col="ts")
     assert out.count() == 200
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # same session
+        (1, base + dt.timedelta(minutes=50)),   # 40-min gap -> new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, gap="30 minutes")
+    got = sorted((r.user_id, r.n_events) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_sessionize_streaming_state_plumbing(spark, staged_events):
+    """The applyInPandasWithState pipeline must run end-to-end on a stream
+    (sessions only emit on timeout, so an availableNow pass emits nothing —
+    this pins the state plumbing, not the emission)."""
+    from kafka_custom_transforms_spark.sources.tables import load_table
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize
+
+    batch = spark.read.parquet(staged_events)
+    stream = spark.readStream.schema(batch.schema).parquet(staged_events)
+    out = sessionize(stream, key_col="user_id", ts_col="ts", gap="30 minutes")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(out, name)
+    assert spark.sql(f"select * from {name}").columns == [
+        "user_id", "n_events", "first_ts", "last_ts",
+    ]
