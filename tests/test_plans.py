@@ -1,0 +1,76 @@
+"""Physical-plan shape tests: the 100 TB hygiene checks.
+
+A correct result with the wrong plan fails at scale; these tests pin that
+filters reach the parquet scan, projections prune columns, small sides
+broadcast, and the SMT transforms add no shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from kafka_custom_transforms_spark import drop_fields, hoist_field, transform_chain
+from kafka_custom_transforms_spark.plans.explain import (
+    broadcast_join_count,
+    has_pushed_filter,
+    scan_read_schema,
+    shuffle_count,
+)
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    assert has_pushed_filter(q, "l_returnflag")
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    q = entry_mod.queries()["q1_pricing_summary"](spark, sf_dir)
+    cols = scan_read_schema(q)
+    # 5 value columns + the filter column; never the full 11-column table
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }, cols
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    q = entry_mod.queries()["q3_shipping_priority"](spark, sf_dir)
+    assert broadcast_join_count(q) >= 1
+
+
+def test_smt_chain_adds_no_shuffle(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    out = chain(ev.select(F.col("props").alias("value")))
+    assert shuffle_count(out) == 0
+
+
+def test_smt_struct_ops_stay_in_codegen(spark, sf_dir):
+    """The drop/hoist struct expressions must appear inside a
+    WholeStageCodegen span (no interpreted projection in the hot path)."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.struct(
+            F.col("l_orderkey").alias("k1"),
+            F.struct(F.struct(F.col("l_returnflag").alias("k2")).alias("child")).alias("parent"),
+        ).alias("value")
+    )
+    out = drop_fields(["parent.child.k2"])(df)
+    # formatted explain marks codegen stages with a leading '* '
+    assert "* Project" in plan_str(out)
