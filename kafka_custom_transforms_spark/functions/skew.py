@@ -1,0 +1,58 @@
+"""Skew mitigation helpers for hot-key aggregations and joins.
+
+AQE's skew-join splitting handles most cases at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on by default in session.py); these
+helpers cover the patterns AQE can't: skewed *aggregations* (AQE does not
+split hot groupBy keys) and deliberate two-phase rollups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups by (keys..., salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the partials by the real keys.
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max} (the decomposable aggregates).
+
+    Example::
+
+        salted_agg(events, ["event_type"], {"total": ("value", "sum"),
+                                            "n": ("event_id", "count")})
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (_, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"salted_agg: non-decomposable aggregate {fn!r} for {name!r}")
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[first_fn[fn](F.col(src)).alias(name) for name, (src, fn) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge_fn[fn](F.col(name)).alias(name) for name, (_, fn) in aggs.items()]
+    )
+
+
+def salted_join_keys(df: DataFrame, key: str, salt_buckets: int, explode_side: bool) -> DataFrame:
+    """Manual skew-join salting (for engines/paths where AQE is off):
+    the skewed side gets a random salt in [0, n); the other side is exploded
+    n ways so every salted key finds its match."""
+    if explode_side:
+        salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+        return df.withColumn("_salt", F.explode(salts))
+    return df.withColumn(
+        "_salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)),
+    )

@@ -74,3 +74,43 @@ def test_smt_struct_ops_stay_in_codegen(spark, sf_dir):
     out = drop_fields(["parent.child.k2"])(df)
     # formatted explain marks codegen stages with a leading '* '
     assert "* Project" in plan_str(out)
+
+
+def test_ngram_jaccard_has_no_cross_join(spark, sf_dir):
+    """The exact-Jaccard pair finder must be an inverted-index equi-join,
+    never a cartesian/BNLJ product of the documents table."""
+    from kafka_custom_transforms_spark.operators.dedup import ngram_jaccard_pairs
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_str(ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from kafka_custom_transforms_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r.n): round(r.total, 6)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("total"), F.count("event_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.event_type, r.n): round(r.total, 6)
+        for r in salted_agg(
+            ev, ["event_type"], {"total": ("value", "sum"), "n": ("event_id", "count")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    from kafka_custom_transforms_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(ev, ["event_type"], {"m": ("value", "avg")})
