@@ -96,3 +96,37 @@ def test_sessionize_streaming_state_plumbing(spark, staged_events):
     assert spark.sql(f"select * from {name}").columns == [
         "user_id", "n_events", "first_ts", "last_ts",
     ]
+
+
+def test_parquet_sink_exactly_once(spark, staged_events):
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp()
+    batch = spark.read.parquet(staged_events)
+    stream = spark.readStream.schema(batch.schema).parquet(staged_events)
+    q = write_parquet_stream(stream, d + "/out", d + "/ckpt")
+    q.awaitTermination(120)
+    assert spark.read.parquet(d + "/out").count() == 200
+    # re-running against the same checkpoint must not duplicate rows
+    stream2 = spark.readStream.schema(batch.schema).parquet(staged_events)
+    q2 = write_parquet_stream(stream2, d + "/out", d + "/ckpt")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(d + "/out").count() == 200
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_sink(spark, staged_events):
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import write_foreach_batch
+
+    d = tempfile.mkdtemp()
+    seen = []
+    batch = spark.read.parquet(staged_events)
+    stream = spark.readStream.schema(batch.schema).parquet(staged_events)
+    q = write_foreach_batch(stream, lambda bdf, bid: seen.append((bid, bdf.count())), d + "/ckpt")
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == 200
+    shutil.rmtree(d, ignore_errors=True)
