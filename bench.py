@@ -32,7 +32,10 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "events_sessionize",
     "similarity_topk",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "text_token_stats",
     "text_fingerprint",
     "text_rollup",

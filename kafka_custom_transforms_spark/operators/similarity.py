@@ -91,33 +91,69 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     tables: int = 4,
     bits_per_table: int = 8,
+    method: str = "numpy",
 ) -> DataFrame:
     """(id, table, bucket) assignments: ``tables`` independent SRP tables of
-    ``bits_per_table`` bits each. Vectors land in tables*1 buckets; similar
-    vectors collide in >= 1 table with high probability."""
-    v = as_double(F.col(vec_col))
-    # Materialize the signature as a named column before slicing: inlining
-    # the (bits x dim)-term expression once per table would multiply the
-    # plan tree by `tables` and blow up analysis.
-    sig_df = df.select(
-        F.col(id_col).alias("id"),
-        hyperplane_signature(v, dim, tables * bits_per_table).alias("hsig"),
+    ``bits_per_table`` bits each. Vectors land in one bucket per table;
+    similar vectors collide in >= 1 table with high probability.
+
+    ``method="numpy"`` (default): Arrow-batched sign(V @ W^T) — the
+    (bits x dim) projection as one matmul per batch. The expression variant
+    (``method="expr"``, pure JVM) builds a bits*dim-term projection that is
+    correct but costs tens of seconds of analysis+interpretation per query
+    at 48x64; use it only where Python workers are unavailable."""
+    bits = tables * bits_per_table
+    if method == "expr":
+        v = as_double(F.col(vec_col))
+        # Materialize the signature as a named column before slicing:
+        # inlining the expression once per table would multiply the plan
+        # tree by `tables` and blow up analysis.
+        sig_df = df.select(
+            F.col(id_col).alias("id"),
+            hyperplane_signature(v, dim, bits).alias("hsig"),
+        )
+        mask = (1 << bits_per_table) - 1
+        assignments = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    F.shiftright(F.col("hsig"), t * bits_per_table)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return sig_df.select("id", F.explode(assignments).alias("tb")).select(
+            "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(
+        [[_hyperplane_weight(j, i) for i in range(dim)] for j in range(bits)]
     )
-    mask = (1 << bits_per_table) - 1
-    assignments = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.shiftright(F.col("hsig"), t * bits_per_table)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for t in range(tables)
-        ]
-    )
-    return sig_df.select("id", F.explode(assignments).alias("tb")).select(
-        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
-    )
+    pow2 = 1 << np.arange(bits_per_table, dtype=np.int64)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["v"].to_numpy())
+            sig_bits = (a @ W.T) > 0  # n x bits
+            frames = []
+            for t in range(tables):
+                chunk = sig_bits[:, t * bits_per_table : (t + 1) * bits_per_table]
+                bucket = (chunk * pow2[None, :]).sum(axis=1)
+                frames.append(
+                    pd.DataFrame({"id": ids, "table": t, "bucket": bucket})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    vecs = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return vecs.mapInPandas(_assign, schema="id long, table int, bucket long")
 
 
 def lsh_topk_neighbors(
