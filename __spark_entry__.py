@@ -350,6 +350,50 @@ def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical aggregates with null-filled supertotals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: purchasers who never hit an error."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purchasers.subtract(erroring)  # EXCEPT (distinct) semantics
+
+
+def _scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library demo over orders (string/date/math, all
+    cross-engine-exact outputs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.abs(F.col("o_custkey") - 100).cast("long").alias("cust_dist"),
+    )
+
+
+def _topn_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: global rank 11..20 by (totalprice, key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") >= 11) & (F.col("rnk") <= 20))
+        .select("o_orderkey", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -392,6 +436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "window_top_orders": _window_top_orders,
+        "rollup_docs": _rollup_docs,
+        "setops_users": _setops_users,
+        "scalar_funcs": _scalar_funcs,
+        "topn_pagination": _topn_pagination,
     }
 
 
@@ -677,6 +725,37 @@ def oracle_sql() -> dict[str, str]:
             group by l_orderkey, o_orderdate
             order by revenue desc, l_orderkey asc
             limit 10
+        """,
+        "rollup_docs": """
+            select lang, source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
+            from documents
+            group by rollup (lang, source)
+        """,
+        "setops_users": """
+            select distinct user_id from events where event_type = 'purchase'
+            except
+            select user_id from events where event_type = 'error'
+        """,
+        "scalar_funcs": """
+            select o_orderkey,
+                   cast(year(o_orderdate) as bigint) as order_year,
+                   cast(month(o_orderdate) as bigint) as order_month,
+                   upper(o_orderpriority) as priority_upper,
+                   substr(o_orderstatus, 1, 1) as status_c,
+                   cast(length(o_orderpriority) as bigint) as prio_len,
+                   cast(o_orderkey % 7 as bigint) as key_mod7,
+                   cast(abs(o_custkey - 100) as bigint) as cust_dist
+            from orders
+        """,
+        "topn_pagination": """
+            select o_orderkey, rnk from (
+              select o_orderkey,
+                     cast(row_number() over (order by o_totalprice desc, o_orderkey asc) as bigint)
+                       as rnk
+              from orders
+            ) where rnk between 11 and 20
         """,
         "window_top_orders": """
             select o_custkey, o_orderkey,
