@@ -350,6 +350,15 @@ def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts (batch path of the streaming
+    windowed aggregation — identical code runs under readStream)."""
+    from kafka_custom_transforms_spark.streaming.windows import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(ev, keys=["event_type"], window="1 hour")
+
+
 def _rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP — hierarchical aggregates with null-filled supertotals."""
     docs = load_table(spark, sf_dir, "documents")
@@ -436,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "window_top_orders": _window_top_orders,
+        "windowed_counts": _windowed_counts,
         "rollup_docs": _rollup_docs,
         "setops_users": _setops_users,
         "scalar_funcs": _scalar_funcs,
@@ -725,6 +735,16 @@ def oracle_sql() -> dict[str, str]:
             group by l_orderkey, o_orderdate
             order by revenue desc, l_orderkey asc
             limit 10
+        """,
+        "windowed_counts": """
+            select cast(epoch_us(time_bucket(interval '1 hour', ts)) as bigint)
+                     as window_start_us,
+                   cast(epoch_us(time_bucket(interval '1 hour', ts) + interval '1 hour') as bigint)
+                     as window_end_us,
+                   event_type,
+                   cast(count(*) as bigint) as n
+            from events
+            group by 1, 2, 3
         """,
         "rollup_docs": """
             select lang, source,

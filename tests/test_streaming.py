@@ -130,3 +130,24 @@ def test_foreach_batch_sink(spark, staged_events):
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == 200
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_stream_matches_batch(spark, staged_events):
+    from kafka_custom_transforms_spark.streaming.windows import windowed_counts
+
+    batch_df = spark.read.parquet(staged_events)
+    want = {
+        (r.window_start_us, r.event_type, r.n)
+        for r in windowed_counts(batch_df, keys=["event_type"], window="1 hour").collect()
+    }
+    stream = spark.readStream.schema(batch_df.schema).parquet(staged_events)
+    out = windowed_counts(stream, keys=["event_type"], window="1 hour")
+    name = "s" + uuid.uuid4().hex[:8]
+    q = out.writeStream.format("memory").queryName(name).outputMode("complete") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        (r.window_start_us, r.event_type, r.n)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == want and len(got) > 0
