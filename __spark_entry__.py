@@ -153,6 +153,21 @@ def _smt_hoist_json_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("value").alias("value_json"))
 
 
+def _smt_hoist_json_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 branch end-to-end: JSON partition via the pandas-UDF parity path.
+    keep_in_root=['k'] on {"k": N} moves nothing -> magic omitted entirely;
+    a second transform with keep_in_root=['nope'] moves everything."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_id", F.col("props").alias("value"))
+    kept = hoist_field("magic", keep_in_root=["k"])(df)
+    moved = hoist_field("magic", keep_in_root=["nope"])(
+        ev.select("event_id", F.col("props").alias("value"))
+    )
+    return kept.select("event_id", F.col("value").alias("kept_json")).join(
+        moved.select("event_id", F.col("value").alias("moved_json")), "event_id"
+    )
+
+
 def _smt_to_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     df = ev.select("event_id", F.create_map(F.col("event_type"), F.col("user_id")).alias("value"))
@@ -422,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_hoist_struct": _smt_hoist_struct,
         "smt_hoist_null_inner": _smt_hoist_null_inner,
         "smt_hoist_json_wrap": _smt_hoist_json_wrap,
+        "smt_hoist_json_keep": _smt_hoist_json_keep,
         "smt_to_json_map": _smt_to_json_map,
         "smt_chain_envelope": _smt_chain_envelope,
         "dedup_exact": _dedup_exact,
@@ -525,6 +541,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "smt_hoist_json_wrap": """
             select event_id, '{"magic":' || props || '}' as value_json from events
+        """,
+        "smt_hoist_json_keep": """
+            select event_id,
+                   '{"k":' || (props->>'k') || '}' as kept_json,
+                   '{"magic":{"k":' || (props->>'k') || '}}' as moved_json
+            from events
         """,
         "smt_to_json_map": """
             select event_id, to_json(map([event_type], [user_id])) as value_json from events

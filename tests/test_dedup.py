@@ -78,3 +78,29 @@ def test_minhash_validates_config(docs):
 def test_simhash_validates_config(docs):
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(docs, max_hamming=15, chunks=15)
+
+
+def test_minhash_expression_variant_matches_agg(spark):
+    """The per-row expression signature (documented for narrow widths) must
+    equal the explode+agg signature the operators use."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.functions import texthash
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sets = dedup.shingle_sets(df, "doc_id", "text", 3)
+    perms = texthash.minhash_perms(16)
+    expr_sigs = {
+        r.id: list(r.sig)
+        for r in sets.select(
+            "id", texthash.minhash_signature(F.col("sh"), perms).alias("sig")
+        ).collect()
+    }
+    agg_sigs = {
+        r.id: list(r.sig)
+        for r in texthash.minhash_signature_agg(sets, perms).collect()
+    }
+    assert expr_sigs == agg_sigs
