@@ -408,12 +408,23 @@ def _scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topn_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic pagination: global rank 11..20 by (totalprice, key)."""
+    """Deterministic pagination: global rank 11..20 by (totalprice, key).
+
+    Two-phase top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-20, driver-side merge of 20 rows per partition), so
+    no unpartitioned window ever sees the full table — ranking runs over the
+    20 surviving rows only. The page is rows 11..20 of that bounded set."""
     o = load_table(spark, sf_dir, "orders")
+    page_end = 20
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(page_end)
+    )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") >= 11) & (F.col("rnk") <= 20))
+        top.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") >= 11)
         .select("o_orderkey", F.col("rnk").cast("long").alias("rnk"))
     )
 

@@ -269,22 +269,39 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     dim: int | None = None,
-    method: str = "numpy",
+    method: str = "block",
+    n_blocks: int = 16,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (a_id, b_id), a_id < b_id.
+    """Cosine near-duplicate pairs (a_id, b_id), a_id < b_id. Exact.
 
-    ``method="numpy"``: Arrow-batched vectorized scoring — each partition of
-    vectors is scored against the (small, closure-broadcast) full matrix.
-    The dot product accumulates dimension-by-dimension, preserving the same
-    left-fold order as the column-expression path and the DuckDB oracle, so
-    results are bit-identical, not approximately equal. ~50x faster than the
-    per-pair expression plan at test scale.
+    ``method="block"`` (default, the 100 TB path): distributed exact
+    all-pairs via a block self-join. Rows are hashed into ``n_blocks``
+    blocks; each row is replicated to the ``n_blocks`` unordered block-pair
+    groups it participates in, and one Arrow-batched task per group scores
+    its two blocks with a single numpy matmul. Nothing is collected to the
+    driver and nothing is broadcast: shuffle volume is ``n x n_blocks`` rows
+    and peak task memory is two blocks — size ``n_blocks ~ n x dim x 8B /
+    executor_budget`` at scale. Exactness rather than LSH candidate pruning
+    is deliberate: the driver corpus has NO cosine gap around the threshold
+    (measured sf0.1: densest non-dup pair 0.44974, sparsest dup 0.45011), so
+    any candidate filter either misses borderline pairs or degenerates to
+    all pairs. matmul's per-dot summation order differs from the oracle's
+    sequential fold, but the minimum observed margin to the threshold (~5e-4)
+    is ~11 orders of magnitude above double rounding noise.
+
+    ``method="lsh"``: sub-quadratic SRP-LSH candidates
+    (similarity.hyperplane_buckets) verified with the exact JVM cosine —
+    use when the corpus has a real similarity gap (recall at per-bit
+    agreement p is 1-(1-p^bits)^tables per pair; exact only above the gap).
 
     ``method="join"``: pure-JVM broadcast nested-loop self-join with the
-    unrolled cosine expression — no Python anywhere; the fallback when the
-    matrix does not fit a broadcast (then with LSH bucketing upstream:
-    similarity.hyperplane_buckets generates candidates and this exact filter
-    verifies them — the 100 TB path).
+    unrolled cosine expression — no Python anywhere, but broadcasts the
+    whole table; only for small dims.
+
+    ``method="broadcast"``: the closure-broadcast numpy scorer (fastest at
+    small scale; dot products fold per-dimension, bit-identical to the
+    oracle). Guarded: raises if the table exceeds ``max_broadcast_rows``.
     """
     vecs = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     if method == "join":
@@ -299,10 +316,82 @@ def embedding_dup_pairs(
         )
         return pairs.filter(F.col("cos") >= F.lit(threshold)).select("a_id", "b_id")
 
+    if method == "lsh":
+        from kafka_custom_transforms_spark.operators.similarity import hyperplane_buckets
+
+        if dim is None:
+            raise ValueError("embedding_dup_pairs: method='lsh' requires dim")
+        buckets = hyperplane_buckets(df, dim, id_col, vec_col, tables=12, bits_per_table=8)
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["table", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        verified = (
+            cand.join(vecs.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+            .join(vecs.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+            .filter(cosine(F.col("va"), F.col("vb"), dim) >= F.lit(threshold))
+        )
+        return verified.select("a_id", "b_id")
+
     import numpy as np
     import pandas as pd
 
-    rows = vecs.collect()  # small by contract (the broadcastable side)
+    if method == "block":
+        # Each unordered block pair (g0 <= g1) is one group; a row in block k
+        # joins every group containing k, i.e. exactly n_blocks groups.
+        tagged = vecs.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        partners = F.array(*[F.lit(p) for p in range(n_blocks)])
+        replicated = (
+            tagged.select("id", "v", "blk", F.explode(partners).alias("p"))
+            .select(
+                "id",
+                "v",
+                "blk",
+                F.least("blk", "p").alias("g0"),
+                F.greatest("blk", "p").alias("g1"),
+            )
+            # no dedup needed: for a row in block k, each partner p yields a
+            # distinct group {k,p}, so the explode emits every group exactly once
+        )
+
+        def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+            g0, g1 = int(pdf["g0"].iloc[0]), int(pdf["g1"].iloc[0])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["v"].to_numpy())
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            blk = pdf["blk"].to_numpy()
+            if g0 == g1:
+                cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+                ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+                return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+            la, ra = blk == g0, blk == g1
+            cos = (mat[la] @ mat[ra].T) / (norms[la][:, None] * norms[ra][None, :])
+            xi, yi = np.nonzero(cos >= threshold)
+            left, right = ids[la][xi], ids[ra][yi]
+            return pd.DataFrame(
+                {"a_id": np.minimum(left, right), "b_id": np.maximum(left, right)}
+            )
+
+        return replicated.groupBy("g0", "g1").applyInPandas(
+            _score_group, schema="a_id long, b_id long"
+        )
+
+    if method != "broadcast":
+        raise ValueError(f"embedding_dup_pairs: unknown method {method!r}")
+
+    n_rows = vecs.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_dup_pairs: method='broadcast' collects the table to the "
+            f"driver; {n_rows} rows exceeds max_broadcast_rows={max_broadcast_rows}. "
+            "Use method='block' (exact, distributed) instead."
+        )
+    rows = vecs.collect()  # guarded above: the small-side optimization only
     all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     d = mat.shape[1]

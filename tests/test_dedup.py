@@ -62,12 +62,31 @@ def test_simhash_banding_is_exhaustive(docs):
 
 
 def test_embedding_methods_agree(emb):
-    """The vectorized numpy path and the pure-JVM join path must produce the
-    identical pair set (bit-identical cosine by construction)."""
-    a = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="numpy"))
+    """All exact embedding-dedup paths must produce the identical pair set:
+    the distributed block self-join (default), the guarded closure-broadcast
+    numpy scorer, and the pure-JVM join."""
+    blk = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="block"))
+    bc = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="broadcast"))
+    jn = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="join"))
+    assert blk == bc == jn
+    assert len(blk) > 0
+
+
+def test_embedding_block_odd_blocks(emb):
+    """Block count that doesn't divide the id space evenly must not change
+    the answer (pair-group replication is count-agnostic)."""
+    a = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="block", n_blocks=7))
     b = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="join"))
     assert a == b
-    assert len(a) > 0
+
+
+def test_embedding_broadcast_guard(emb):
+    """method='broadcast' collects to the driver and must refuse tables
+    larger than its size guard."""
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        dedup.embedding_dup_pairs(
+            emb, threshold=0.4, dim=64, method="broadcast", max_broadcast_rows=10
+        ).collect()
 
 
 def test_minhash_validates_config(docs):

@@ -89,6 +89,33 @@ def test_ngram_jaccard_has_no_cross_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_topn_pagination_is_take_ordered(spark, sf_dir):
+    """Pagination must be two-phase top-k: the full-table sort compiles to
+    TakeOrderedAndProject (per-partition top-N, bounded merge), and the only
+    window sort runs over the N surviving rows — never an unpartitioned
+    row_number over the whole table."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["topn_pagination"](spark, sf_dir)
+    plan = plan_str(q)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_dedup_default_is_distributed(spark, sf_dir):
+    """The default embedding-dedup plan must be the distributed block
+    self-join (FlatMapGroupsInPandas over shuffled block-pair groups) —
+    no driver-side collect/broadcast of the embeddings table."""
+    from kafka_custom_transforms_spark.operators.dedup import embedding_dup_pairs
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_str(embedding_dup_pairs(emb, threshold=0.45, dim=64))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the plan is built lazily from the input DataFrame — a collect() path
+    # would instead materialize rows eagerly and re-parallelize a local list
+    assert "Scan ExistingRDD" not in plan, plan
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from kafka_custom_transforms_spark.functions.skew import salted_agg
 
