@@ -207,8 +207,12 @@ def _dedup_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bands=64 (r=2) so candidate recall AT the oracle threshold 0.5 is
+    # 1-(1-0.5^2)^64 ~ 1-1e-8 — oracle equality no longer leans on the
+    # corpus's jaccard gap. Exact verification removes the extra false
+    # candidates r=2 admits.
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, shingle_k=3, num_perm=128, bands=64, threshold=0.5)
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:

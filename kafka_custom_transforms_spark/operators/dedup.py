@@ -99,10 +99,14 @@ def minhash_lsh_pairs(
     found via MinHash/LSH candidates and exactly verified.
 
     With r = num_perm/bands rows per band, a pair at Jaccard s collides with
-    probability 1 - (1 - s^r)^bands; at the defaults (r=4, b=32) recall at
-    s=0.8 is 1 - 5e-8. False positives are eliminated by the verification
-    join, so the output equals the exact-Jaccard result with overwhelming
-    probability — the DuckDB oracle computes the exact version.
+    probability 1 - (1 - s^r)^bands. Recall is a property of s, not of the
+    threshold: at the defaults (r=4, b=32) a pair at s=0.8 is found with
+    probability 1 - 5e-8, but a pair JUST above s=0.5 only with ~0.87 — if
+    the corpus has borderline pairs at the threshold, use bands=num_perm/2
+    (r=2: recall 1-1e-8 at s=0.5, at the cost of more false candidates for
+    the exact-verify stage to discard). False positives are always
+    eliminated by the verification join, so output precision is exact; only
+    candidate recall is probabilistic.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")

@@ -108,9 +108,15 @@ def hoist_field(
         elif isinstance(dtype, StringType) and string_is_json:
             if not keep:
                 # H1 for JSON text: splice the original document (or JSON null)
-                # under the field — pure string concat, no parse needed.
+                # under the field — pure string concat, no parse needed. The
+                # field name is JSON-escaped (quotes/backslashes in the name
+                # must not break the literal); the payload itself must already
+                # be JSON text per the representation contract (SURVEY.md
+                # §1.4) — pass string_is_json=False for bare strings.
+                import json
+
                 new_col = F.concat(
-                    F.lit('{"' + field + '":'),
+                    F.lit("{" + json.dumps(field) + ":"),
                     F.coalesce(col, F.lit("null")),
                     F.lit("}"),
                 )
@@ -137,6 +143,10 @@ def hoist_field(
                 def _hoist(s: pd.Series) -> pd.Series:
                     def one(x):
                         if x is None:
+                            # Divergence from the reference: getValueAsMap
+                            # throws on null input (ExtendedHoistField.java:
+                            # 52-60); we propagate null, consistent with the
+                            # engine-wide null-passthrough convention (D1).
                             return None
                         obj = json.loads(x)
                         if not isinstance(obj, dict):

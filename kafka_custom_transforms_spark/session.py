@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver testdata stores TIMESTAMP(NANOS), which Spark 4 rejects
+        # by default; read nanos as longs session-wide (load_table converts
+        # them back losslessly). Declared here so it is an explicit session
+        # property, not a surprise side effect of the first table read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Wide aggregates (128-permutation MinHash, 60-bit SimHash votes)
         # must stay inside whole-stage codegen: the interpreted fallback is
         # 10-30x slower once JIT call sites go megamorphic. Default is 100.

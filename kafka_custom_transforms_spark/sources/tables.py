@@ -38,8 +38,17 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read ``{sf_dir}/{name}.parquet`` with nanos-timestamp repair."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Read ``{sf_dir}/{name}.parquet`` with nanos-timestamp repair.
+
+    Session-wide side effect (documented, not scoped): the returned
+    DataFrame is lazy and the parquet reader consults
+    ``spark.sql.legacy.parquet.nanosAsLong`` again at execution time, so a
+    save/restore around the read would break the very plan we return. The
+    conf is therefore left on for the session; :func:`..session.get_spark`
+    sets it at construction so this is normally a no-op here.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):

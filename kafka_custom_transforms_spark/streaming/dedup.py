@@ -33,6 +33,14 @@ def streaming_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def session_schema(df: DataFrame, key_col: str) -> str:
+    """Output schema of :func:`sessionize` for ``df``: the key column keeps
+    its input name and type; the aggregates are fixed."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    return f"{key_col} {key_type}, n_events bigint, first_ts timestamp, last_ts timestamp"
+
+
+# Backward-compatible alias for the default (user_id bigint) shape.
 SESSION_SCHEMA = "user_id bigint, n_events bigint, first_ts timestamp, last_ts timestamp"
 
 
@@ -47,7 +55,8 @@ def sessionize(
     stateful operator escape hatch (``applyInPandasWithState``) for semantics
     the built-in windowed aggregations can't express.
 
-    Emits one row per closed session: (key, n_events, first_ts, last_ts).
+    Emits one row per closed session: (key, n_events, first_ts, last_ts);
+    the key column keeps its input name and type (see :func:`session_schema`).
     State per key is a single open session (bounded); the processing-time
     timeout closes idle sessions. On a batch DataFrame, falls back to an
     equivalent gap-based sessionization via window functions (lag + running
@@ -58,7 +67,7 @@ def sessionize(
     if not df.isStreaming:
         from pyspark.sql import Window, functions as F
 
-        gap_us = _duration_to_seconds(gap) * 1_000_000
+        gap_us = _duration_to_ms(gap) * 1000
         w = Window.partitionBy(key_col).orderBy(ts_col)
         # microsecond-exact gap arithmetic (second-truncation could flip a
         # boundary decision on sub-second data)
@@ -74,7 +83,7 @@ def sessionize(
             "_sid", F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
         return (
-            with_sid.groupBy(F.col(key_col).alias("user_id"), "_sid")
+            with_sid.groupBy(F.col(key_col), "_sid")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.min(ts_col).alias("first_ts"),
@@ -85,7 +94,8 @@ def sessionize(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = _duration_to_seconds(gap) * 1000
+    gap_ms = _duration_to_ms(gap)
+    out_schema = session_schema(df, key_col)
 
     def _update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -95,7 +105,7 @@ def sessionize(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "n_events": [n],
                     "first_ts": [pd.Timestamp(first_ts, unit="us")],
                     "last_ts": [pd.Timestamp(last_ts, unit="us")],
@@ -104,7 +114,7 @@ def sessionize(
             return
         n, first_ts, last_ts = (state.get if state.exists else (0, None, None))
         for pdf in pdfs:
-            ts = pdf["ts"].astype("datetime64[us]").astype("int64")
+            ts = pdf[ts_col].astype("datetime64[us]").astype("int64")
             n += len(pdf)
             first_ts = int(ts.min()) if first_ts is None else min(first_ts, int(ts.min()))
             last_ts = int(ts.max()) if last_ts is None else max(last_ts, int(ts.max()))
@@ -117,7 +127,7 @@ def sessionize(
         .groupBy(key_col)
         .applyInPandasWithState(
             _update,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType="n bigint, first_ts bigint, last_ts bigint",
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
@@ -125,7 +135,28 @@ def sessionize(
     )
 
 
-def _duration_to_seconds(s: str) -> int:
-    qty, unit = s.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
-    return int(qty) * mult
+_DURATION_MS = {
+    "millisecond": 1,
+    "milliseconds": 1,
+    "second": 1000,
+    "seconds": 1000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def _duration_to_ms(s: str) -> int:
+    """Parse a Spark-style duration string ('30 minutes', '500 milliseconds',
+    '1 day') to integer milliseconds."""
+    try:
+        qty, unit = s.split()
+        return int(qty) * _DURATION_MS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported duration {s!r}: expected '<int> "
+            f"{'|'.join(sorted(set(_DURATION_MS)))}'"
+        ) from None

@@ -83,6 +83,15 @@ def test_json_wrap_all_including_null_and_primitive(spark):
     assert vals == ['{"magic":42}', '{"magic":{"a":1}}', '{"magic":null}']
 
 
+def test_json_wrap_escapes_field_name(spark):
+    """A field name containing quotes/backslashes must still yield valid
+    JSON (the H1 splice JSON-escapes the literal key)."""
+    df = spark.createDataFrame([('{"a":1}',)], "value string")
+    out = hoist_field('we"ird\\name')(df)
+    got = json.loads(out.collect()[0].value)
+    assert got == {'we"ird\\name': {"a": 1}}
+
+
 def test_json_partition_udf_path(spark):
     """H2 (ExtendedHoistFieldTest.java:53-72): partition; 76-111: omit magic
     when nothing moves."""

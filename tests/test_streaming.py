@@ -98,6 +98,39 @@ def test_sessionize_streaming_state_plumbing(spark, staged_events):
     ]
 
 
+def test_sessionize_streaming_honors_renamed_columns(spark, staged_events):
+    """Non-default key_col/ts_col must flow through the stateful update
+    function (regression: the update fn once read pdf['ts'] literally and
+    hard-coded the user_id output schema)."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize, session_schema
+
+    batch = spark.read.parquet(staged_events).withColumnRenamed("user_id", "uid") \
+        .withColumnRenamed("ts", "event_ts")
+    d = tempfile.mkdtemp()
+    batch.write.mode("overwrite").parquet(d + "/renamed")
+    stream = spark.readStream.schema(batch.schema).parquet(d + "/renamed")
+    out = sessionize(stream, key_col="uid", ts_col="event_ts", gap="30 minutes")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(out, name)  # raises if the update fn still reads pdf["ts"]
+    assert spark.sql(f"select * from {name}").columns == [
+        "uid", "n_events", "first_ts", "last_ts",
+    ]
+    assert session_schema(batch, "uid").startswith("uid bigint")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duration_parsing():
+    from kafka_custom_transforms_spark.streaming.dedup import _duration_to_ms
+
+    assert _duration_to_ms("500 milliseconds") == 500
+    assert _duration_to_ms("30 minutes") == 1_800_000
+    assert _duration_to_ms("1 day") == 86_400_000
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_to_ms("3 fortnights")
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_to_ms("soon")
+
+
 def test_parquet_sink_exactly_once(spark, staged_events):
     import tempfile
 
