@@ -10,10 +10,11 @@ Five families, each picked for a different scale/accuracy trade-off:
     expressions (no explode); the only shuffle is the equi-join on
     (band, band_hash), whose key distribution is uniform by construction.
     Verification joins shingle sets back on the (small) candidate set.
-  - :func:`ngram_jaccard_pairs` — *exact* Jaccard similarity via an inverted
-    shingle index (explode -> self-equi-join -> pair-count). No cross join:
-    cost is sum over shingles of (posting-list length)^2, the classic
-    set-similarity-join shape. Prefix filtering can prune further at scale.
+  - :func:`ngram_jaccard_pairs` — *exact* Jaccard similarity via a
+    prefix-filtered inverted index (PPJoin-style): only each document's
+    rarest-first prefix is indexed and self-joined, which provably loses no
+    pair at the threshold while removing hot-shingle quadratic fan-out;
+    candidates are verified on the full sets. No cross join.
   - :func:`simhash_pairs` — 60-bit SimHash over word shingles using the
     md5-prefix hash (bit-identical in DuckDB, so the oracle can recompute
     it), with pigeonhole banding: hamming distance <= t is *guaranteed* to
@@ -77,6 +78,27 @@ def _exact_jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter / union
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Truncate lineage so multi-consumer intermediates compute once.
+
+    ``"local"``: ``localCheckpoint`` — fastest, but blocks live on executors
+    without replication, so a lost executor kills the query; right for
+    local[*] and short interactive jobs. ``"reliable"``: ``checkpoint`` to
+    ``sparkContext.setCheckpointDir`` storage (HDFS/object store on a
+    cluster) — survives executor loss; the right mode for the 100 TB run.
+    ``"none"``: no materialization (lineage recomputes per consumer; lets
+    AQE see the whole plan). Both checkpoint modes are plan-equivalent —
+    tests pin that the three modes return identical results.
+    """
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "none":
+        return df
+    raise ValueError(f"checkpoint mode must be local|reliable|none, got {mode!r}")
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingles) with empty-shingle docs removed (shorter than k words)."""
     return (
@@ -94,6 +116,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Near-duplicate pairs (a_id, b_id) with exact Jaccard >= threshold,
     found via MinHash/LSH candidates and exactly verified.
@@ -116,12 +139,12 @@ def minhash_lsh_pairs(
     # self-join. Materialize each once (both are small: one row per doc /
     # 'bands' rows per doc) instead of recomputing the upstream pipeline
     # per consumer.
-    sets = shingle_sets(df, id_col, text_col, shingle_k).localCheckpoint(eager=True)
+    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k), checkpoint)
     perms = minhash_perms(num_perm, seed)
     # Checkpoint the compact signatures (one row per doc), not the exploded
     # bucket rows (bands x docs) — measured 2x faster end-to-end; the band
     # derivation from materialized signatures is cheap to run per join side.
-    sig = minhash_signature_agg(sets, perms).localCheckpoint(eager=True)
+    sig = _materialize(minhash_signature_agg(sets, perms), checkpoint)
     buckets = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -134,9 +157,9 @@ def minhash_lsh_pairs(
     )
     # Materialize the candidate set once: it is tiny (near-dup pairs), but
     # lazily re-deriving it inside each verification join would recompute the
-    # whole signature pipeline per join branch. localCheckpoint truncates the
+    # whole signature pipeline per join branch; the checkpoint truncates the
     # lineage so the verify stage reads only the materialized pairs.
-    cand = cand.localCheckpoint(eager=True)
+    cand = _materialize(cand, checkpoint)
     verified = (
         sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
         .join(F.broadcast(cand), "a_id")
@@ -147,38 +170,75 @@ def minhash_lsh_pairs(
     return verified
 
 
+def prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (a_id, b_id) pairs via the prefix-filtering principle.
+
+    With shingles in a fixed global order — rarest first by corpus document
+    frequency, shingle text as tiebreak — any pair with Jaccard >= t shares
+    at least one shingle inside each side's prefix of the first
+    ``|S| - ceil(t*|S|) + 1`` shingles (PPJoin, Xiao et al., WWW'08:
+    J >= t implies |A∩B| >= t*max(|A|,|B|), so a document whose prefix
+    misses every shared shingle would need more shared shingles in its
+    suffix than the suffix holds). Indexing ONLY prefixes makes the
+    inverted-index self-join skew-proof: a corpus-hot shingle has maximal
+    df, sorts last, and is excluded from every prefix long enough to matter
+    — the quadratic posting-list fan-out a hot shingle causes in a naive
+    index cannot occur, and no true pair is lost (the filter is exact, not
+    heuristic).
+    """
+    postings = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    prefix = (
+        postings.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "s")
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _verify_jaccard(sets: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against full sets."""
+    return (
+        sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+        .join(cand, "a_id")
+        .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+        .filter(_exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold))
+        .select("a_id", "b_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    checkpoint: str = "local",
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via inverted shingle index.
+    """Exact Jaccard >= threshold pairs via a prefix-filtered inverted index.
 
-    explode(shingles) -> self-join on shingle -> count common shingles per
-    pair -> jaccard = common / (|A| + |B| - common). Avoids the O(n^2) cross
-    join: only pairs sharing at least one shingle are materialized. The
-    shuffle key is the shingle itself; stop-shingle removal / prefix
-    filtering are the standard mitigations if a shingle is hot at scale.
+    Candidates come from :func:`prefix_filter_candidates` (df-ordered prefix
+    filtering — provably recall-free pruning that also removes hot-shingle
+    join skew); each candidate is verified with the exact Jaccard on the
+    full shingle sets, so the result equals the brute-force O(n^2) answer
+    (and the DuckDB oracle) exactly.
+
+    Shuffle inventory: shingle-df aggregation (uniform keys), per-doc prefix
+    window (keyed by id), prefix equi-join (rare keys by construction),
+    candidate distinct, two verify joins on id. No cross join anywhere.
     """
-    sets = shingle_sets(df, id_col, text_col, shingle_k)
-    sized = sets.select("id", F.size("sh").alias("n"), "sh")
-    postings = sized.select("id", "n", F.explode("sh").alias("s"))
-    common = (
-        postings.alias("a")
-        .join(postings.alias("b"), "s")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-    return common.filter(jac >= F.lit(threshold)).select("a_id", "b_id")
+    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k), checkpoint)
+    cand = prefix_filter_candidates(sets, threshold)
+    return _verify_jaccard(sets, cand, threshold)
 
 
 def simhash_signatures(sets: DataFrame, bits: int = 60) -> DataFrame:
@@ -218,6 +278,7 @@ def simhash_pairs(
     bits: int = 60,
     max_hamming: int = 5,
     chunks: int = 10,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -237,7 +298,7 @@ def simhash_pairs(
     sets = shingle_sets(df, id_col, text_col, shingle_k)
     # Materialize the signatures (one small row per doc): both sides of the
     # banded self-join would otherwise recompute the explode+agg pipeline.
-    sigs = simhash_signatures(sets, bits).localCheckpoint(eager=True)
+    sigs = _materialize(simhash_signatures(sets, bits), checkpoint)
     slices = sigs.select(
         "id",
         "sig",

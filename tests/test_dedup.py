@@ -89,6 +89,55 @@ def test_embedding_broadcast_guard(emb):
         ).collect()
 
 
+def _brute_jaccard_pairs(sets_df, threshold):
+    rows = {r.id: set(r.sh) for r in sets_df.collect()}
+    ids = sorted(rows)
+    return sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(rows[a] & rows[b]) / len(rows[a] | rows[b]) >= threshold
+    )
+
+
+def test_prefix_filter_bounds_hot_shingle_fanout(spark):
+    """A corpus-hot shingle must NOT blow up the candidate set: 100 docs all
+    sharing one hot trigram but otherwise unique yield ~0 candidates (the hot
+    shingle has max df, sorts last, and falls outside every prefix), where a
+    naive postings self-join yields C(100,2)=4950 pairs. Two planted
+    duplicates must still be found — the filter is recall-free."""
+    docs = [(i, f"hot hot hot u{i}a u{i}b u{i}c") for i in range(100)]
+    docs += [(100, "planted dup text alpha beta gamma"), (101, "planted dup text alpha beta gamma")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = dedup.shingle_sets(df, "doc_id", "text", 3)
+    cand = dedup.prefix_filter_candidates(sets, 0.5)
+    n_cand = cand.count()
+    assert n_cand < 50  # naive index join: >= 4950 via the hot shingle
+    out = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.5))
+    assert out == _brute_jaccard_pairs(sets, 0.5)
+    assert (100, 101) in out
+
+
+def test_prefix_filter_exact_on_corpus(docs):
+    """Prefix-filtered exact Jaccard must equal brute force on the real
+    documents table (no pair lost to the prefix pruning)."""
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    assert _pairs(dedup.ngram_jaccard_pairs(docs)) == _brute_jaccard_pairs(sets, 0.5)
+
+
+def test_checkpoint_modes_agree(spark, docs, tmp_path):
+    """'local', 'reliable', and 'none' checkpointing are plan-equivalent —
+    identical pair sets from minhash and simhash."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = _pairs(dedup.minhash_lsh_pairs(docs, checkpoint="local"))
+    assert _pairs(dedup.minhash_lsh_pairs(docs, checkpoint="reliable")) == base
+    assert _pairs(dedup.minhash_lsh_pairs(docs, checkpoint="none")) == base
+    sh_base = _pairs(dedup.simhash_pairs(docs, checkpoint="local"))
+    assert _pairs(dedup.simhash_pairs(docs, checkpoint="reliable")) == sh_base
+    with pytest.raises(ValueError, match="checkpoint mode"):
+        dedup.minhash_lsh_pairs(docs, checkpoint="bogus")
+
+
 def test_minhash_validates_config(docs):
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_lsh_pairs(docs, num_perm=100, bands=32)
