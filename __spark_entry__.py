@@ -185,6 +185,33 @@ def _smt_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain(env).select("offset", "key", "value")
 
 
+def _stream_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SMT chain executed as a REAL Structured Streaming job: file-backed
+    envelope stream -> drop/hoist chain -> checkpointed parquet sink
+    (availableNow trigger), sink read back as the result. Same oracle as the
+    batch chain — stream/batch parity is the Structured Streaming contract
+    the whole SMT layer is built on (every operator is a stateless column
+    transform, legal in append-mode streams)."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.envelope import stream_events_envelope
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-stream-")
+    # FileStreamSource wants a directory of files (a Kafka topic stand-in);
+    # the driver testdata is one parquet file — stage it.
+    load_table(spark, sf_dir, "events").write.parquet(d + "/staged")
+    env = stream_events_envelope(spark, d + "/staged")
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    out = chain(env).select("offset", "key", "value")
+    q = write_parquet_stream(out, d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     op = dedup.dedup_exact(
@@ -455,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_hoist_json_keep": _smt_hoist_json_keep,
         "smt_to_json_map": _smt_to_json_map,
         "smt_chain_envelope": _smt_chain_envelope,
+        "stream_chain_envelope": _stream_chain_envelope,
         "dedup_exact": _dedup_exact,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_sessionize": _events_sessionize,
@@ -567,6 +595,12 @@ def oracle_sql() -> dict[str, str]:
             select event_id, to_json(map([event_type], [user_id])) as value_json from events
         """,
         "smt_chain_envelope": """
+            select event_id as offset,
+                   '{"user_id":' || user_id || '}' as key,
+                   '{"payload":{}}' as value
+            from events
+        """,
+        "stream_chain_envelope": """
             select event_id as offset,
                    '{"user_id":' || user_id || '}' as key,
                    '{"payload":{}}' as value

@@ -64,6 +64,11 @@ def events_envelope(events: DataFrame) -> DataFrame:
 def stream_events_envelope(spark: SparkSession, parquet_dir: str) -> DataFrame:
     """File-backed streaming envelope over pre-staged events parquet — the
     test stand-in for the Kafka source (same columns, same code path)."""
+    # The driver testdata stores TIMESTAMP(NANOS); read nanos as longs
+    # (same repair as sources.tables.load_table, which this must not depend
+    # on having run first).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(parquet_dir)
     stream = spark.readStream.schema(batch.schema).parquet(parquet_dir)
     return events_envelope(stream)
