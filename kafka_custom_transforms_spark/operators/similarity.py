@@ -194,6 +194,33 @@ def lsh_topk_neighbors(
     )
 
 
+def _seed_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic pseudo-random centroid seeds: the ``n_centroids`` rows
+    first in md5(id) order. A hash order is independent of id assignment and
+    data layout, so seeds spread across the corpus — first-k ids (the naive
+    seed) inherit whatever clustering the id order carries. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, k-row driver
+    merge), so seeding never global-sorts the table."""
+    return (
+        vecs.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+
+def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> DataFrame:
+    """(id, v, cid): each vector joined to its max-cosine centroid
+    (broadcast join — centroids are tiny; ties break on cid asc)."""
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    return (
+        vecs.join(F.broadcast(centroids), how="cross")
+        .select("id", "v", "cid", cosine(F.col("v"), F.col("cv"), dim).alias("ccos"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("id", "v", "cid")
+    )
+
+
 def ivf_topk_neighbors(
     base: DataFrame,
     queries: DataFrame,
@@ -203,27 +230,32 @@ def ivf_topk_neighbors(
     n_centroids: int = 16,
     n_probe: int = 4,
     dim: int | None = None,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
-    """IVF-flat ANN: deterministic centroid seed set (first n_centroids ids),
-    cells assigned by max cosine, queries probe the n_probe nearest cells.
+    """IVF-flat ANN: hash-sampled deterministic centroid seeds refined by
+    ``lloyd_iters`` rounds of Lloyd's algorithm (assign each vector to its
+    max-cosine cell, recenter each cell on its element-wise mean), then
+    queries probe the ``n_probe`` nearest cells.
 
-    At 100 TB the cell assignment is one broadcast join (centroids are tiny)
-    and the probe join shuffles only by cell id — bounded fan-out, no cross
-    join. Recall is tested against the brute-force baseline.
+    At 100 TB: seeding is a bounded TakeOrderedAndProject; each Lloyd round
+    is one broadcast join plus one groupBy(cid) with ``dim`` avg-aggregates
+    (single shuffle, map-side partial aggregation, stays in codegen); the
+    probe join shuffles only by cell id — bounded fan-out, no cross join.
+    Recall is tested against the brute-force baseline.
     """
+    if lloyd_iters and dim is None:
+        raise ValueError("ivf_topk_neighbors: lloyd_iters > 0 requires dim")
     vecs = base.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    centroids = (
-        vecs.orderBy("id").limit(n_centroids)
-        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
-    )
-    assign_w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    assigned = (
-        vecs.join(F.broadcast(centroids), how="cross")
-        .select("id", "v", "cid", cosine(F.col("v"), F.col("cv"), dim).alias("ccos"))
-        .withColumn("crank", F.row_number().over(assign_w))
-        .filter(F.col("crank") == 1)
-        .select("id", "v", "cid")
-    )
+    centroids = _seed_centroids(vecs, n_centroids)
+    for _ in range(lloyd_iters):
+        step = _assign_cells(vecs, centroids, dim).groupBy("cid").agg(
+            F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv")
+        )
+        # Tiny (n_centroids rows) but consumed by both the base assignment
+        # and the query probes — materialize so the Lloyd chain (broadcast
+        # join + wide agg over the full table) runs once, not per consumer.
+        centroids = step.localCheckpoint(eager=True)
+    assigned = _assign_cells(vecs, centroids, dim)
     qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     probes = (

@@ -68,4 +68,7 @@ def test_ivf_recall_against_brute_force(emb, queries_df):
         )
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # hash-sampled seeds + 1 Lloyd round measure 0.78 on this corpus
+    # (first-k seeding measured 0.74 at the 0-iteration equivalent); the
+    # bound leaves margin for float-order nondeterminism in the cell means.
+    assert recall >= 0.65, f"IVF recall {recall:.2f}"
