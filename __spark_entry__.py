@@ -185,6 +185,45 @@ def _smt_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain(env).select("offset", "key", "value")
 
 
+def _smt_mixed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record representation dispatch (reference DropField.java:47-51):
+    one stream interleaving schema'd records (odd event_id, parsed struct)
+    and schemaless records (even event_id, raw JSON text), both run through
+    the same drop+hoist chain via the two-column mixed representation, then
+    merged back to one JSON output. The branch marker proves each record
+    took its own representation's code path."""
+    from kafka_custom_transforms_spark.operators.mixed import (
+        merge_mixed,
+        mixed_smt,
+        split_mixed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("user_id").alias("uid"),
+            )
+        ).alias("value"),
+    )
+    chain = transform_chain(
+        split_mixed(
+            target="value",
+            is_structured=F.col("event_id") % 2 == 1,
+            schema="k int, uid bigint",
+        ),
+        mixed_smt(
+            drop_fields, ["k"], target="value",
+            json_kwargs={"json_schema": "k int, uid bigint"},
+        ),
+        mixed_smt(hoist_field, "payload", target="value"),
+        merge_mixed(target="value", keep_branch="repr_branch"),
+    )
+    return chain(df).select("event_id", "repr_branch", "value")
+
+
 def _stream_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SMT chain executed as a REAL Structured Streaming job: file-backed
     envelope stream -> drop/hoist chain -> checkpointed parquet sink
@@ -483,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_to_json_map": _smt_to_json_map,
         "smt_chain_envelope": _smt_chain_envelope,
         "stream_chain_envelope": _stream_chain_envelope,
+        "smt_mixed_chain": _smt_mixed_chain,
         "dedup_exact": _dedup_exact,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_sessionize": _events_sessionize,
@@ -598,6 +638,13 @@ def oracle_sql() -> dict[str, str]:
             select event_id as offset,
                    '{"user_id":' || user_id || '}' as key,
                    '{"payload":{}}' as value
+            from events
+        """,
+        "smt_mixed_chain": """
+            select event_id,
+                   case when event_id % 2 = 1 then 'structured' else 'schemaless' end
+                     as repr_branch,
+                   '{"payload":{"uid":' || user_id || '}}' as value
             from events
         """,
         "stream_chain_envelope": """
