@@ -47,9 +47,9 @@ def _pruned_struct_type(schema: StructType, prefix: str, dropset: set[str]) -> S
         if p in dropset:
             continue
         if isinstance(f.dataType, StructType) and any(d.startswith(p + ".") for d in dropset):
-            out.add(f.name, _pruned_struct_type(f.dataType, p + ".", dropset), f.nullable)
+            out.add(f.name, _pruned_struct_type(f.dataType, p + ".", dropset), f.nullable, f.metadata)
         else:
-            out.add(f.name, f.dataType, f.nullable)
+            out.add(f.name, f.dataType, f.nullable, f.metadata)
     return out
 
 
@@ -57,7 +57,10 @@ def _rebuild_struct(col: Column, schema: StructType, prefix: str, dropset: set[s
     """Struct rebuild expression omitting dropped paths.
 
     Rebuilding (rather than ``dropFields``) keeps field order, supports empty
-    structs, and preserves nulls at every nesting level.
+    structs, and preserves nulls at every nesting level. Kept fields carry
+    their ``StructField.metadata`` through the rebuild — the Spark home for
+    the reference's schema basics (name/version/doc/params;
+    SchemaUtil.copySchemaBasics via DropField.java:107).
     """
     kept: list[Column] = []
     for f in schema.fields:
@@ -71,10 +74,10 @@ def _rebuild_struct(col: Column, schema: StructType, prefix: str, dropset: set[s
             kept.append(
                 F.when(child.isNotNull(), rebuilt)
                 .otherwise(F.lit(None).cast(new_type))
-                .alias(f.name)
+                .alias(f.name, metadata=f.metadata)
             )
         else:
-            kept.append(child.alias(f.name))
+            kept.append(child.alias(f.name, metadata=f.metadata))
     if not kept:
         return F.expr("struct()")
     return F.struct(*kept)
@@ -182,6 +185,11 @@ def drop_fields(
                 "expected struct (schema'd), map or JSON string (schemaless). "
                 "The reference requires a Map for schemaless input (DropField.java:56)."
             )
-        return df.withColumn(target, new_col)
+        out = df.withColumn(target, new_col)
+        # The target column's own metadata is the envelope-level schema
+        # basics slot (Connect schema name/version/doc); withColumn drops
+        # it, so restore (DropField.java:107 copySchemaBasics parity).
+        md = df.schema[target].metadata
+        return out.withMetadata(target, md) if md else out
 
     return _transform

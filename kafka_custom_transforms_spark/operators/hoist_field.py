@@ -50,12 +50,16 @@ def _struct_hoist(col: Column, schema: StructType, field: str, keep: list[str]) 
     movable = [f.name for f in schema.fields if f.name not in keep]
     if not movable:
         return None  # H5 — nothing moves, transform is the identity
-    inner = F.struct(*[col.getField(n).alias(n) for n in movable])
+    # Field metadata (the Connect schema basics slot) rides the aliases
+    # through the rebuild — SchemaUtil.copySchemaBasics parity.
+    inner = F.struct(
+        *[col.getField(n).alias(n, metadata=schema[n].metadata) for n in movable]
+    )
     inner_type = StructType([schema[n] for n in movable])
     any_set: Column = col.getField(movable[0]).isNotNull()
     for n in movable[1:]:
         any_set = any_set | col.getField(n).isNotNull()
-    members = [col.getField(n).alias(n) for n in root_fields]
+    members = [col.getField(n).alias(n, metadata=schema[n].metadata) for n in root_fields]
     members.append(
         F.when(any_set, inner).otherwise(F.lit(None).cast(inner_type)).alias(field)
     )
@@ -166,6 +170,10 @@ def hoist_field(
         else:
             # H6 / H1-primitive: wrap a bare value.
             new_col = F.struct(col.alias(field))
-        return df.withColumn(target, new_col)
+        out = df.withColumn(target, new_col)
+        # Envelope-level schema basics (target column metadata) survive the
+        # hoist — copySchemaBasics parity (ExtendedHoistField.java:101-124).
+        md = df.schema[target].metadata
+        return out.withMetadata(target, md) if md else out
 
     return _transform

@@ -111,3 +111,42 @@ def test_key_target(spark):
     out = drop_fields(["a"], target="key")(df)
     row = out.collect()[0]
     assert row.key == {"b": 2} and row.value == "v"
+
+
+def test_schema_basics_metadata_survive_rebuild(spark):
+    """Connect schema basics (name/version/doc — SchemaUtil.copySchemaBasics,
+    DropField.java:107) ride StructField.metadata through drop and hoist
+    rebuilds, at the envelope level and on kept nested fields."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from kafka_custom_transforms_spark import hoist_field
+
+    inner = StructType(
+        [
+            StructField("a", IntegerType(), True, {"doc": "field a"}),
+            StructField("b", IntegerType(), True),
+        ]
+    )
+    sch = StructType(
+        [
+            StructField(
+                "value",
+                inner,
+                True,
+                {"connect.name": "com.example.Rec", "connect.version": 3, "doc": "envelope"},
+            )
+        ]
+    )
+    df = spark.createDataFrame([((1, 2),)], sch)
+
+    dropped = drop_fields(["b"])(df)
+    vf = dropped.schema["value"]
+    assert vf.metadata["connect.name"] == "com.example.Rec"
+    assert vf.metadata["connect.version"] == 3
+    assert vf.dataType["a"].metadata == {"doc": "field a"}
+
+    hoisted = hoist_field("payload", keep_in_root=["a"])(df)
+    hf = hoisted.schema["value"]
+    assert hf.metadata["doc"] == "envelope"
+    assert hf.dataType["a"].metadata == {"doc": "field a"}
+    assert hf.dataType["payload"].dataType["b"].metadata == {}
