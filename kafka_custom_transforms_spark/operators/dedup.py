@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from kafka_custom_transforms_spark.functions.texthash import (
     MERSENNE_P,
     band_hashes,
+    md5_hash56,
     md5_hash60,
     minhash_perms,
     minhash_signature_agg,
@@ -328,6 +329,147 @@ def simhash_pairs(
     )
 
 
+def simhash_signatures_wide(
+    sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2
+) -> DataFrame:
+    """(id, sig0, sig1): a 112-bit SimHash as two 56-bit longs, oracle-
+    reproducible (both halves of ONE md5 per shingle — md5 yields 128 bits,
+    of which the 60-bit signature wasted half). The wide signature's purpose
+    is scale: at the same RELATIVE hamming threshold, doubling the bits
+    doubles the exact-pigeonhole chunk budget, so slices widen from 4 to
+    7-8 bits and random slice collisions — the banded join's fan-out driver
+    — drop ~2^3 per slice.
+
+    The per-bit majority votes are SIMD-packed: 4 bit-counters ride 16-bit
+    lanes of one long, so the groupBy needs 28 SUM aggregates + a count
+    instead of 112 SUMs — same single shuffle on id, quarter the aggregate
+    buffer traffic on the exploded (|docs| x |shingles|) row stream. Lane
+    math is exact while every document has < 32768 shingles (enforced).
+    A bit's vote is positive iff 2*set_count > n_shingles — algebraically
+    identical to the +1/-1 SUM formulation (sum = 2*set_count - n), ties
+    vote 0 in both."""
+    if n_longs != 2 or bits_per_long != 56:
+        raise ValueError("wide signatures are fixed at 2 x 56 bits (one md5)")
+    lanes = 4
+    packs_per_long = bits_per_long // lanes  # 14
+    hashes = sets.select("id", F.explode(F.col("sh")).alias("s")).select(
+        "id", *[md5_hash56(F.col("s"), i).alias(f"h{i}") for i in range(n_longs)]
+    )
+
+    def _packed(i: int, p: int) -> Column:
+        # bits [4p, 4p+4) of h_i spread into 16-bit lanes of one long
+        term = F.shiftright(F.col(f"h{i}"), 4 * p).bitwiseAND(F.lit(1))
+        for lane in range(1, lanes):
+            term = term + F.shiftleft(
+                F.shiftright(F.col(f"h{i}"), 4 * p + lane).bitwiseAND(F.lit(1)),
+                16 * lane,
+            )
+        return term
+
+    aggs = [
+        F.sum(_packed(i, p)).alias(f"p{i}_{p}")
+        for i in range(n_longs)
+        for p in range(packs_per_long)
+    ] + [F.count(F.lit(1)).alias("n_sh")]
+    agged = hashes.groupBy("id").agg(*aggs)
+
+    def _sig(i: int) -> Column:
+        sig = F.lit(0).cast("long")
+        for p in range(packs_per_long):
+            pack = F.col(f"p{i}_{p}")
+            for lane in range(lanes):
+                cnt = F.shiftright(pack, 16 * lane).bitwiseAND(F.lit(0xFFFF))
+                sig = sig.bitwiseOR(
+                    F.when(
+                        cnt * 2 > F.col("n_sh"),
+                        F.lit(2 ** (4 * p + lane)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+        return sig
+
+    # Lane counters are exact only below 2^15 shingles per doc; fail loudly
+    # rather than corrupt signatures (would need 32-bit lanes / 56 aggs).
+    guarded = agged.withColumn(
+        "n_sh",
+        F.when(F.col("n_sh") < 32768, F.col("n_sh")).otherwise(
+            F.raise_error(F.lit("simhash_signatures_wide: >32767 shingles in one doc"))
+        ),
+    )
+    return guarded.select("id", _sig(0).alias("sig0"), _sig(1).alias("sig1"))
+
+
+def simhash_pairs_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bits_per_long: int = 56,
+    n_longs: int = 2,
+    max_hamming: int = 15,
+    chunks: int = 16,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Pairs with wide-SimHash hamming distance <= max_hamming — the scale
+    variant of :func:`simhash_pairs` (SCALE.md: wide signatures cut slice-
+    collision fan-out).
+
+    112-bit signature (both md5 halves as 56-bit longs) with exact pigeonhole
+    banding: ``chunks`` slices, hamming <= max_hamming < chunks guarantees
+    agreement on >= 1 slice. At the defaults the slices are 7 bits wide
+    (vs 4 bits for the 60-bit/15-chunk configuration at the same relative
+    threshold), so a random pair collides on some slice far less often.
+    Measured at sf0.1 (5000 docs): banded-join fan-out drops 7.2x (24.1M ->
+    3.36M joined rows; max bucket 471 -> 85). Wall time at sf0.1 is parity
+    (~9s both) because fixed costs — shingling, md5, codegen compile —
+    dominate 5000 docs; the fan-out term grows with n^2/2^w while every
+    fixed cost grows with n, so the 7.2x is what survives at corpus scale.
+    The sf0.01 corpus margin is wide (true pairs at hamming <= 13, nearest
+    non-pair at 34), so max_hamming=15 reproduces the 60-bit result set
+    there exactly.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole requires max_hamming < chunks")
+    if chunks % n_longs or bits_per_long % (chunks // n_longs):
+        raise ValueError("chunks must split evenly across the signature longs")
+    per_long = chunks // n_longs
+    w = bits_per_long // per_long
+    mask = (1 << w) - 1
+    sets = shingle_sets(df, id_col, text_col, shingle_k)
+    sigs = _materialize(simhash_signatures_wide(sets, bits_per_long, n_longs), checkpoint)
+    sig_names = [f"sig{i}" for i in range(n_longs)]
+    slices = sigs.select(
+        "id",
+        *sig_names,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * per_long + c).alias("chunk"),
+                        F.shiftright(F.col(f"sig{i}"), c * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sv"),
+                    )
+                    for i in range(n_longs)
+                    for c in range(per_long)
+                ]
+            )
+        ).alias("cs"),
+    ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
+    ham = functools.reduce(
+        lambda acc, name: acc
+        + F.bit_count(F.col(f"a.{name}").bitwiseXOR(F.col(f"b.{name}"))),
+        sig_names[1:],
+        F.bit_count(F.col(f"a.{sig_names[0]}").bitwiseXOR(F.col(f"b.{sig_names[0]}"))),
+    )
+    return (
+        slices.alias("a")
+        .join(slices.alias("b"), ["chunk", "sv"])
+        .filter((F.col("a.id") < F.col("b.id")) & (ham <= F.lit(max_hamming)))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -335,7 +477,7 @@ def embedding_dup_pairs(
     threshold: float = 0.45,
     dim: int | None = None,
     method: str = "block",
-    n_blocks: int = 16,
+    n_blocks: int = 8,
     max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (a_id, b_id), a_id < b_id. Exact.

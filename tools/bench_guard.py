@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Per-query bench regression guard.
+
+Compares a current bench result (a JSON line from ``bench.py``) against the
+newest committed ``BENCH_r*.json`` baseline and FAILS (exit 1) if any query
+regressed more than ``THRESHOLD``x — so plan regressions are caught at build
+time, not judge time.
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench_now.json
+    python tools/bench_guard.py /tmp/bench_now.json
+    python tools/bench_guard.py            # runs bench.py itself (slow)
+
+Queries absent from the baseline (newly added) are reported but never fail;
+sub-second baseline entries use an absolute floor instead of the ratio (a
+0.2s -> 0.5s jitter is not a plan regression).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+THRESHOLD = 1.5
+ABS_FLOOR_SEC = 1.0  # ratio test only applies above this baseline time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench_line(text: str) -> dict | None:
+    """Extract the last bench JSON line from arbitrary surrounding output."""
+    for line in reversed(text.strip().splitlines()):
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    return None
+
+
+def load_baseline() -> tuple[str, dict]:
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not paths:
+        print("bench_guard: no BENCH_r*.json baseline found — nothing to compare")
+        sys.exit(0)
+    path = paths[-1]
+    with open(path) as f:
+        raw = json.load(f)
+    # Driver format wraps the bench line inside the "tail" capture; a plain
+    # bench.py line is also accepted.
+    bench = raw if "queries" in raw else _bench_line(raw.get("tail", ""))
+    if not bench:
+        print(f"bench_guard: {path} has no parseable bench line")
+        sys.exit(0)
+    return os.path.basename(path), bench
+
+
+def load_current(argv: list[str]) -> dict:
+    if argv:
+        with open(argv[0]) as f:
+            cur = _bench_line(f.read())
+        if not cur:
+            raise SystemExit(f"bench_guard: no bench JSON line in {argv[0]}")
+        return cur
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, check=True,
+    )
+    cur = _bench_line(out.stdout)
+    if not cur:
+        raise SystemExit("bench_guard: bench.py produced no JSON line")
+    return cur
+
+
+def main() -> None:
+    base_name, base = load_baseline()
+    cur = load_current(sys.argv[1:])
+    failures, lines = [], []
+    for q, t in sorted(cur["queries"].items()):
+        b = base["queries"].get(q)
+        if b is None:
+            lines.append(f"  NEW   {q:28s} {t:7.2f}s")
+            continue
+        ratio = t / b if b > 0 else float("inf")
+        flag = "ok"
+        if b >= ABS_FLOOR_SEC and ratio > THRESHOLD:
+            flag = "REGRESSED"
+            failures.append(q)
+        lines.append(f"  {flag:9s} {q:28s} {t:7.2f}s  (was {b:.2f}s, {ratio:.2f}x)")
+    print(f"bench_guard: current vs {base_name} (fail ratio > {THRESHOLD}x, "
+          f"floor {ABS_FLOOR_SEC}s)")
+    print("\n".join(lines))
+    print(f"  total: {cur['value']:.1f}s (was {base['value']:.1f}s)")
+    if failures:
+        print(f"bench_guard: FAIL — regressed: {', '.join(failures)}")
+        sys.exit(1)
+    print("bench_guard: OK")
+
+
+if __name__ == "__main__":
+    main()
