@@ -33,6 +33,50 @@ __all__ = [
     "hoist_field",
     "to_json_string",
     "transform_chain",
+    "version",
+    "CONFIG_DEFS",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def version() -> str:
+    """Library version — parity with the reference's ``Versioned`` interface
+    (``version()`` via AppInfoParser, DropField.java:38-41)."""
+    return __version__
+
+
+# ConfigDef-style introspection (reference: SimpleConfig/ConfigDef per
+# transform, DropField.java:23-28, ExtendedHoistField.java:42-45,
+# StructuredSchemalessToJsonString.java:35). The same keys are enforced at
+# factory-call time by each operator's kwarg validation; this table is the
+# machine-readable mirror for tooling.
+CONFIG_DEFS = {
+    "drop_fields": {
+        "paths": {"type": "list[str]", "default": [], "required": False,
+                  "doc": "dot-separated field paths to drop (KIP-821 notation)"},
+        "target": {"type": "str", "default": "value", "required": False,
+                   "doc": "envelope column to operate on (Key/Value variants)"},
+        "json_schema": {"type": "DDL str | StructType | None", "default": None,
+                        "required": False,
+                        "doc": "schema of JSON-string targets for the JVM fast path"},
+    },
+    "hoist_field": {
+        "field": {"type": "str", "default": None, "required": True,
+                  "doc": "wrapping field name (reference NO_DEFAULT_VALUE)"},
+        "keep_in_root": {"type": "list[str]", "default": [], "required": False,
+                         "doc": "top-level fields left at the root"},
+        "target": {"type": "str", "default": "value", "required": False,
+                   "doc": "envelope column to operate on"},
+        "json_schema": {"type": "DDL str | StructType | None", "default": None,
+                        "required": False, "doc": "JVM fast path for JSON targets"},
+        "string_is_json": {"type": "bool", "default": True, "required": False,
+                           "doc": "treat StringType targets as JSON text"},
+    },
+    "to_json_string": {
+        "target": {"type": "str", "default": "value", "required": False,
+                   "doc": "envelope column to operate on"},
+        "force_structs": {"type": "bool", "default": False, "required": False,
+                          "doc": "serialize struct (schema'd) targets too"},
+    },
+}

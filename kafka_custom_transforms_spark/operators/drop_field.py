@@ -118,7 +118,7 @@ def _prune_json_obj(obj: object, prefix: str, dropset: set[str]) -> object:
 
 
 def drop_fields(
-    paths: Sequence[str],
+    paths: Sequence[str] = (),
     target: str = "value",
     json_schema: DataType | str | None = None,
 ) -> Callable[[DataFrame], DataFrame]:

@@ -55,3 +55,23 @@ def test_smt_chain_composition(spark):
     assert out.collect()[0].value == (
         '{"meta":"m","payload":{"k1":123,"parent":{"child":{"k3":"y"}}}}'
     )
+
+
+def test_version_and_config_def_introspection():
+    """Versioned/ConfigDef parity surface (DropField.java:38-41, :23-28):
+    the introspection table mirrors each factory's actual signature."""
+    import inspect
+
+    import kafka_custom_transforms_spark as ktx
+
+    assert ktx.version() == ktx.__version__
+    for name, cfg in ktx.CONFIG_DEFS.items():
+        sig = inspect.signature(getattr(ktx, name))
+        assert set(cfg) == set(sig.parameters), name
+        for key, spec in cfg.items():
+            param = sig.parameters[key]
+            if spec["required"]:
+                assert param.default is inspect.Parameter.empty, (name, key)
+            else:
+                default = param.default
+                assert (list(default) if isinstance(default, tuple) else default) == spec["default"], (name, key)
