@@ -327,6 +327,46 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each purchase gets the latest preceding (or
+    exactly coincident) click by the same user. Single-shuffle union+window
+    plan (operators/joins.py:asof_join); oracle is DuckDB's native ASOF LEFT
+    JOIN — an independent implementation of the same semantics. The right
+    side is pre-aggregated to one row per (user_id, ts) so ties are
+    deterministic on both engines."""
+    from kafka_custom_transforms_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts", right_cols=["click_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "click_id",
+        F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
+    )
+
+
+def _events_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-equi-key interval join: for each purchase, count clicks by ANY
+    user in the preceding 60 s (inclusive). Bucketized equi-join on time
+    bucket (operators/joins.py:interval_count) — never a cartesian/range
+    join; oracle is DuckDB's BETWEEN range join."""
+    from kafka_custom_transforms_spark.operators.joins import interval_count
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("ts")
+    out = interval_count(p, c, "ts", "ts", lo_us=-60_000_000, hi_us=0, count_alias="n_clicks_60s")
+    return out.select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "n_clicks_60s")
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) variant — no oracle (recall < 1 by design);
     tests pin recall against the brute-force baseline."""
@@ -535,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_sessionize": _events_sessionize,
+        "events_asof_attrib": _events_asof_attrib,
+        "events_range_counts": _events_range_counts,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
@@ -691,6 +733,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(epoch_us(max(ts)) as bigint) as last_epoch_us
             from s
             group by user_id, sid
+        """,
+        "events_asof_attrib": """
+            with p as (select event_id, user_id, ts from events
+                       where event_type = 'purchase'),
+                 c as (select user_id, ts, max(event_id) as click_id
+                       from events where event_type = 'click'
+                       group by user_id, ts)
+            select p.event_id, p.user_id,
+                   cast(epoch_us(p.ts) as bigint) as ts_us,
+                   c.click_id,
+                   cast(epoch_us(c.ts) as bigint) as click_ts_us
+            from p asof left join c
+              on p.user_id = c.user_id and p.ts >= c.ts
+        """,
+        "events_range_counts": """
+            with p as (select event_id, ts from events where event_type = 'purchase'),
+                 c as (select ts from events where event_type = 'click')
+            select p.event_id,
+                   cast(epoch_us(p.ts) as bigint) as ts_us,
+                   cast(count(c.ts) as bigint) as n_clicks_60s
+            from p left join c
+              on c.ts between p.ts - interval 60 second and p.ts
+            group by p.event_id, p.ts
         """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
