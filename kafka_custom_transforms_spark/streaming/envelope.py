@@ -26,25 +26,21 @@ ENVELOPE_SCHEMA = (
 def read_kafka_stream(
     spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
 ) -> DataFrame:
-    """Real Kafka source (untestable in this container — no broker; the
-    code path is the standard spark-sql-kafka connector contract)."""
+    """Real Kafka source. Only the ``.format("kafka")`` boilerplate below is
+    broker-dependent; the record decode is
+    :func:`~kafka_custom_transforms_spark.streaming.kafka_wire.decode_wire`,
+    unit- and oracle-tested broker-free over wire-shaped frames."""
+    from kafka_custom_transforms_spark.streaming.kafka_wire import decode_wire
+
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
+        .option("includeHeaders", "true")
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    # Cast binary key/value to the JSON-string schemaless representation.
-    return raw.select(
-        F.col("key").cast("string"),
-        F.col("value").cast("string"),
-        "topic",
-        "partition",
-        "offset",
-        F.col("timestamp").alias("ts"),
-        "headers",
-    )
+    return decode_wire(raw)
 
 
 def events_envelope(events: DataFrame) -> DataFrame:

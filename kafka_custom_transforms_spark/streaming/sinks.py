@@ -9,7 +9,7 @@ at-least-once).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -39,12 +39,13 @@ def write_kafka_stream(
     topic: str,
     checkpoint: str,
 ) -> StreamingQuery:
-    """Kafka sink (untestable in this container — no broker). The envelope's
-    key/value string columns are cast to the binary shape Kafka expects."""
-    out = df.select(
-        F.col("key").cast("binary").alias("key"),
-        F.col("value").cast("binary").alias("value"),
-    )
+    """Kafka sink. The envelope->binary encode is
+    :func:`~kafka_custom_transforms_spark.streaming.kafka_wire.encode_wire`
+    (unit- and oracle-tested broker-free); only the ``.format("kafka")``
+    boilerplate below needs a broker."""
+    from kafka_custom_transforms_spark.streaming.kafka_wire import encode_wire
+
+    out = encode_wire(df.select("key", "value"), topic=None)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
