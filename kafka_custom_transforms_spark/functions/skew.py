@@ -56,3 +56,25 @@ def salted_join_keys(df: DataFrame, key: str, salt_buckets: int, explode_side: b
         "_salt",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)),
     )
+
+
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Fan out degenerate source parallelism before a compute-heavy per-row
+    pipeline.
+
+    A small parquet table is often ONE file with ONE row group -> Spark
+    scans it as a single task, and everything narrow downstream (shingling,
+    hashing, signature votes) serializes on one core no matter how many the
+    session has. Repartitioning to ``n`` (default:
+    ``sparkContext.defaultParallelism``) costs one shuffle of the raw rows —
+    trivial exactly when the problem occurs (the input is small).
+
+    At 100 TB this is a guaranteed NO-OP: the scan already has far more
+    partitions than ``defaultParallelism``, so the guard below never fires
+    and no full-table shuffle is ever introduced.
+    """
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -204,3 +204,20 @@ def test_simhash_wide_validates_config(docs):
         dedup.simhash_pairs_wide(docs, max_hamming=16, chunks=16)
     with pytest.raises(ValueError, match="split evenly"):
         dedup.simhash_pairs_wide(docs, max_hamming=10, chunks=15)
+
+
+def test_shingle_udf_matches_expression(spark, sf_dir):
+    """The Arrow-vectorized shingler is bit-identical (values AND order) to
+    the word_shingles expression the DuckDB oracle mirrors."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.functions.texthash import tokens, word_shingles
+    from kafka_custom_transforms_spark.operators.dedup import _shingle_udf
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        word_shingles(tokens(F.col("text")), 3).alias("expr_sh"),
+        _shingle_udf(3)(F.col("text")).alias("udf_sh"),
+    )
+    assert both.filter(F.col("expr_sh") != F.col("udf_sh")).count() == 0
