@@ -384,6 +384,17 @@ def _events_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "n_clicks_60s")
 
 
+def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct 8-gram overlaps
+    with a benchmark subset (doc_id % 31 == 0). Broadcast benchmark grams;
+    the corpus side is never shuffled (operators/decontaminate.py)."""
+    from kafka_custom_transforms_spark.operators.decontaminate import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    return contamination_flags(docs, bench, ngram=8)
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) variant — no oracle (recall < 1 by design);
     tests pin recall against the brute-force baseline."""
@@ -430,6 +441,32 @@ def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII appended to 1-in-7 docs —
+    the raw corpus contains no pattern hits, so the oracle would otherwise
+    compare all-zeros."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.io/"), F.col("doc_id").cast("string"),
+        F.lit(" ref 123456789"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), tail)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def _text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pattern_scan(_docs_with_pii(spark, sf_dir))
+
+
+def _text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redact(_docs_with_pii(spark, sf_dir))
 
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding,
+        "decontaminate_docs": _decontaminate_docs,
         "similarity_topk": _similarity_topk,
         "similarity_topk_lsh": _similarity_topk_lsh,
         "similarity_topk_ivf": _similarity_topk_ivf,
@@ -608,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _text_language_id,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
+        "text_pii_scan": _text_pii_scan,
+        "text_pii_redact": _text_pii_redact,
         "text_rollup": _text_rollup,
         "multimodal_stats": _multimodal_stats,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -758,6 +798,26 @@ def oracle_sql() -> dict[str, str]:
             from s
             group by user_id, sid
         """,
+        "decontaminate_docs": """
+            with toks as (select doc_id, string_split(text, ' ') as w from documents),
+            sh8 as (
+              select doc_id, case when len(w) >= 8
+                then list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 6)])
+                else [] end as s
+              from toks
+            ),
+            bench as (select distinct unnest(s) as g from sh8 where doc_id % 31 = 0),
+            dg as (select doc_id, unnest(s) as g from sh8),
+            hits as (
+              select dg.doc_id, count(*) as n_bench_grams
+              from dg join bench using (g)
+              group by dg.doc_id
+            )
+            select t.doc_id,
+                   cast(coalesce(h.n_bench_grams, 0) as bigint) as n_bench_grams
+            from documents t left join hits h using (doc_id)
+        """,
         "events_asof_attrib": """
             with p as (select event_id, user_id, ts from events
                        where event_type = 'purchase'),
@@ -890,6 +950,46 @@ def oracle_sql() -> dict[str, str]:
                      as bigint) as quality,
                    n as n_tokens, uniq as n_uniq_tokens
             from t
+        """,
+        "text_pii_scan": """
+            with docs_pii as (
+              select doc_id,
+                     case when doc_id % 7 = 0
+                          then text || ' contact user' || doc_id ||
+                               '@example.com via https://ex.io/' || doc_id ||
+                               ' ref 123456789'
+                          else text end as text
+              from documents
+            )
+            select doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
+                     as n_email,
+                   cast(len(regexp_extract_all(text,
+                        'https?://[^ \\t\\n]+')) as bigint) as n_url,
+                   cast(len(regexp_extract_all(text, '[0-9]{7,}')) as bigint)
+                     as n_long_number
+            from docs_pii
+        """,
+        "text_pii_redact": """
+            with docs_pii as (
+              select doc_id,
+                     case when doc_id % 7 = 0
+                          then text || ' contact user' || doc_id ||
+                               '@example.com via https://ex.io/' || doc_id ||
+                               ' ref 123456789'
+                          else text end as text
+              from documents
+            )
+            select doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[REDACTED]', 'g'),
+                       'https?://[^ \\t\\n]+', '[REDACTED]', 'g'),
+                     '[0-9]{7,}', '[REDACTED]', 'g') as redacted
+            from docs_pii
         """,
         "text_fingerprint": """
             with t as (select doc_id, text, string_split(text, ' ') as w from documents)

@@ -1,0 +1,75 @@
+"""Benchmark decontamination: flag training documents that share n-grams
+with an evaluation/benchmark corpus.
+
+The standard pre-training hygiene step (see e.g. the GPT-3 and PaLM papers'
+"contamination" appendices): any training document containing a long n-gram
+that also appears in a benchmark is suspect and gets dropped or audited.
+No reference counterpart (the reference is an SMT library, SURVEY.md §2.4);
+this is a driver-mandated LLM-data-pipeline extension operator.
+
+Scale design (100 TB corpus, small benchmark): benchmarks are tiny
+(thousands of documents), so their distinct n-gram set is broadcast and the
+training corpus is NEVER shuffled — the gram join is a map-side broadcast
+hash join pruned to (id, gram) pairs. The only shuffle is the per-doc hit
+count, on (id) after map-side partial aggregation. If the benchmark gram
+set outgrows the broadcast budget (~10s of MB), pre-hash grams to 64-bit
+(xxhash64) before broadcast — 8-word grams compress ~10x; collisions only
+ever over-flag, and only at ~2^-64 per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_custom_transforms_spark.operators.dedup import shingle_sets
+
+__all__ = ["contamination_flags"]
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram: int = 8,
+    count_alias: str = "n_bench_grams",
+) -> DataFrame:
+    """(id, n_bench_grams): for every document in ``docs``, how many of its
+    distinct ``ngram``-word shingles appear anywhere in ``benchmark``
+    (0 = clean). Documents shorter than ``ngram`` words are clean by
+    definition. Threshold/boolean policy is the caller's (``> 0`` is the
+    conservative "any hit" rule).
+    """
+    bench_text = bench_text_col or text_col
+    # `_bid` is only a placeholder id for shingle_sets's contract; the
+    # benchmark side is reduced to its distinct gram set immediately.
+    bench_grams = (
+        shingle_sets(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text).alias("_btext")),
+            "_bid",
+            "_btext",
+            ngram,
+        )
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    doc_grams = shingle_sets(docs, id_col, text_col, ngram).select(
+        "id", F.explode("sh").alias("g")
+    )
+    # Per-doc shingles are already distinct (shingle_sets contract), so a
+    # plain count after the broadcast semi-side join is the distinct-gram
+    # hit count.
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(count_alias), F.lit(0)).cast("long").alias(count_alias),
+        )
+    )

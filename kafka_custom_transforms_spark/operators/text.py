@@ -127,3 +127,45 @@ def token_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("nc").alias("total_chars"),
         )
     )
+
+
+# PII-ish patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded quantifiers only — no
+# backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url": "https?://[^ \\t\\n]+",
+    "long_number": "[0-9]{7,}",
+}
+
+
+def pattern_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document counts of PII-ish pattern hits (email / url / long
+    number) — the audit step before redaction in a training-data pipeline.
+    Pure codegen regexp expressions, zero shuffle."""
+    return df.select(
+        F.col(id_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentinel: str = "[REDACTED]",
+) -> DataFrame:
+    """Replace every PII pattern hit with ``sentinel`` (all occurrences —
+    Spark regexp_replace is global; the DuckDB oracle needs the 'g' flag).
+    Map-side only; composes with any downstream operator."""
+    out = F.col(text_col)
+    for p in PII_PATTERNS.values():
+        out = F.regexp_replace(out, p, sentinel)
+    return df.select(F.col(id_col), out.alias("redacted"))

@@ -1,0 +1,55 @@
+"""contamination_flags unit tests: hand-computable fixture + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_custom_transforms_spark.operators.decontaminate import contamination_flags
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 1 contains the benchmark sentence verbatim -> all grams hit
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        # doc 2 shares a 8-gram window (first 9 words shifted by one)
+        (2, "a the quick brown fox jumps over the lazy cat"),
+        # doc 3 unrelated
+        (3, "completely different words with no overlap at all whatsoever here"),
+        # doc 4 too short for 8-grams
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_counts(corpus, bench_docs):
+    out = contamination_flags(corpus, bench_docs, ngram=8)
+    got = {r.doc_id: r.n_bench_grams for r in out.collect()}
+    # benchmark text has 9 words -> 2 distinct 8-grams
+    # doc 1: contains both ("...dog" and "quick...lazy" windows) -> 2
+    # doc 2: words 2..10 = benchmark words 1..9 -> shares both 8-grams? No:
+    #   doc2 tokens: a the quick brown fox jumps over the lazy cat
+    #   windows of 8: [a..the], [the..lazy], [quick..cat]
+    #   "the quick brown fox jumps over the lazy" is benchmark window 1 -> 1 hit
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+def test_every_doc_present_with_zero(corpus, bench_docs):
+    out = contamination_flags(corpus, bench_docs, ngram=8)
+    assert out.count() == 4
+
+
+def test_plan_broadcasts_benchmark_grams(corpus, bench_docs):
+    plan = (
+        contamination_flags(corpus, bench_docs, ngram=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

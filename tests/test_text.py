@@ -72,3 +72,23 @@ def test_rollup(spark):
     df = _docs(spark, ["a b", "c d e"])
     r = text.token_rollup(df).collect()[0]
     assert (r.n_docs, r.total_tokens, r.total_chars) == (2, 5, 8)
+
+
+def test_pattern_scan_counts(spark):
+    from kafka_custom_transforms_spark.operators.text import pattern_scan, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or x@y.io and call 12345678"),
+            (2, "see https://example.com/page?q=1 and http://a.b/c"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_email, r.n_url, r.n_long_number) for r in pattern_scan(df).collect()}
+    assert got == {1: (2, 0, 1), 2: (0, 2, 0), 3: (0, 0, 0)}
+
+    red = {r.doc_id: r.redacted for r in pii_redact(df).collect()}
+    assert red[1] == "mail me at [REDACTED] or [REDACTED] and call [REDACTED]"
+    assert red[2] == "see [REDACTED] and [REDACTED]"
+    assert red[3] == "clean text only"
