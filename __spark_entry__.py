@@ -344,6 +344,58 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming sessionizer (applyInPandasWithState, event-time
+    timeout) run as a real Structured Streaming job and compared to the same
+    oracle as the batch path. Events are staged as file batch 1; a sentinel
+    row far past every session end is file batch 2 (maxFilesPerTrigger=1),
+    so the watermark advances past last_ts + gap and every open session
+    closes via its event-time timeout before the stream drains. The sentinel
+    key is filtered from the result; the surviving rows must equal the batch
+    gap-split row-for-row."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-sess-stream-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ev.coalesce(1).write.parquet(d + "/staged")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1)], "event_id long, ts timestamp, user_id long"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    before = set(_glob.glob(d + "/staged/*.parquet"))
+    sentinel.coalesce(1).write.mode("append").parquet(d + "/staged")
+    # FileStreamSource orders files by modification time; the sentinel MUST
+    # be batch 2 (a sentinel-first order would start the watermark past every
+    # event and drop them all as late) — force its mtime after the staged
+    # events regardless of filesystem timestamp granularity.
+    bump = _time.time() + 60
+    for f in set(_glob.glob(d + "/staged/*.parquet")) - before:
+        _os.utime(f, (bump, bump))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/staged")
+    )
+    sessions = sessionize(stream, key_col="user_id", ts_col="ts", gap="30 minutes")
+    q = write_parquet_stream(sessions, d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    out = spark.read.parquet(d + "/sink").filter(F.col("user_id") >= 0)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("first_ts")).alias("first_epoch_us"),
+        F.unix_micros(F.col("last_ts")).alias("last_epoch_us"),
+    )
+
+
 def _events_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution: each purchase gets the latest preceding (or
     exactly coincident) click by the same user. Single-shuffle union+window
@@ -384,6 +436,29 @@ def _events_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "n_clicks_60s")
 
 
+def _events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-producing inner interval join (the operator behind
+    events_range_counts' aggregation): every (purchase, click) pair with the
+    click in the 60 s window ending at the purchase. Bucketized equi-join —
+    never a cartesian/range join; oracle is DuckDB's BETWEEN range join."""
+    from kafka_custom_transforms_spark.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = interval_join(p, c, "p_ts", "c_ts", lo_us=-60_000_000, hi_us=0)
+    return out.select(
+        "p_id",
+        "c_id",
+        F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+        F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+    )
+
+
 def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc count of distinct 8-gram overlaps
     with a benchmark subset (doc_id % 31 == 0). Broadcast benchmark grams;
@@ -405,10 +480,12 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (IVF-flat) variant — no oracle; recall tested vs brute force."""
+    """Approximate (IVF-flat) variant — no oracle; recall tested vs brute
+    force. n_centroids derived ~sqrt(n) so the scored-candidate fraction
+    shrinks with corpus size (fixed 16 cells probed half the table)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    out = similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_centroids=16, n_probe=8, dim=64)
+    out = similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_probe=8, dim=64)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -485,11 +562,17 @@ def _text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime rollup of CONTENT-derived decode features: width/duration/
+    frames come from the 56-bit md5 prefix of the payload bytes and the
+    magic/hash aggregates verify the decoder read every byte (the DuckDB
+    oracle recomputes the same md5-prefix from the same bytes)."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_payload(multimodal.attach_payload(docs))
     return decoded.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct(F.col("magic")).alias("n_magics"),
+        F.sum(F.pmod(F.col("payload_hash"), F.lit(1000003))).cast("long").alias("total_hash_mod"),
         F.sum(F.col("width").cast("long")).alias("total_width"),
         F.sum(F.col("duration_ms").cast("long")).alias("total_duration_ms"),
         F.sum(F.col("n_frames").cast("long")).alias("total_frames"),
@@ -630,8 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_sessionize": _events_sessionize,
+        "events_sessionize_stream": _events_sessionize_stream,
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
+        "events_interval_pairs": _events_interval_pairs,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
@@ -671,6 +756,31 @@ sh as (
     else [] end as s
   from toks
 )
+"""
+
+# One SQL for both sessionize paths: the batch window gap-split and the
+# stateful streaming operator must produce identical session sets.
+_SESSIONIZE_SQL = """
+    with g as (
+      select user_id, ts,
+             case when epoch_us(ts) - coalesce(
+                   lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
+                   > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+    ),
+    s as (
+      select user_id, ts,
+             sum(new_session) over (partition by user_id order by ts
+                                    rows between unbounded preceding and current row) as sid
+      from g
+    )
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
+           cast(epoch_us(max(ts)) as bigint) as last_epoch_us
+    from s
+    group by user_id, sid
 """
 
 _JACCARD_PAIRS_SQL = (
@@ -776,28 +886,8 @@ def oracle_sql() -> dict[str, str]:
             select user_id, event_type, event_id from events
             qualify row_number() over (partition by user_id, event_type order by event_id) = 1
         """,
-        "events_sessionize": """
-            with g as (
-              select user_id, ts,
-                     case when epoch_us(ts) - coalesce(
-                           lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
-                           > 1800000000
-                          then 1 else 0 end as new_session
-              from events
-            ),
-            s as (
-              select user_id, ts,
-                     sum(new_session) over (partition by user_id order by ts
-                                            rows between unbounded preceding and current row) as sid
-              from g
-            )
-            select user_id,
-                   cast(count(*) as bigint) as n_events,
-                   cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
-                   cast(epoch_us(max(ts)) as bigint) as last_epoch_us
-            from s
-            group by user_id, sid
-        """,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_sessionize_stream": _SESSIONIZE_SQL,
         "decontaminate_docs": """
             with toks as (select doc_id, string_split(text, ' ') as w from documents),
             sh8 as (
@@ -840,6 +930,17 @@ def oracle_sql() -> dict[str, str]:
             from p left join c
               on c.ts between p.ts - interval 60 second and p.ts
             group by p.event_id, p.ts
+        """,
+        "events_interval_pairs": """
+            with p as (select event_id as p_id, ts as p_ts from events
+                       where event_type = 'purchase'),
+                 c as (select event_id as c_id, ts as c_ts from events
+                       where event_type = 'click')
+            select p_id, c_id,
+                   cast(epoch_us(p_ts) as bigint) as p_ts_us,
+                   cast(epoch_us(c_ts) as bigint) as c_ts_us
+            from p join c
+              on c_ts between p_ts - interval 60 second and p_ts
         """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
@@ -887,10 +988,10 @@ def oracle_sql() -> dict[str, str]:
             with m as (
               select doc_id,
                      (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3)::INT + 1] as mime,
-                     octet_length(encode(text)) as n
+                     ('0x' || substr(md5(text), 1, 14))::BIGINT as h
               from documents
             )
-            select doc_id, unnest(generate_series(0, (n % 250 + 1) - 1, 10))::INT as frame_idx
+            select doc_id, unnest(generate_series(0, (h % 250 + 1) - 1, 10))::INT as frame_idx
             from m
             where mime = 'video/mp4'
         """,
@@ -1013,21 +1114,24 @@ def oracle_sql() -> dict[str, str]:
             with m as (
               select doc_id,
                      (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3)::INT + 1] as mime,
-                     octet_length(encode(text)) as n
+                     octet_length(encode(text)) as n,
+                     ('0x' || substr(md5(text), 1, 14))::BIGINT as h,
+                     lower(substr(hex(encode(text)), 1, 8)) as magic
               from documents
             )
             select mime,
                    cast(count(*) as bigint) as n_docs,
                    cast(sum(n) as bigint) as total_bytes,
-                   cast(sum(case when mime = 'image/png' then n % 640 + 1
+                   cast(count(distinct magic) as bigint) as n_magics,
+                   cast(sum(h % 1000003) as bigint) as total_hash_mod,
+                   cast(sum(case when mime = 'image/png' then h % 640 + 1
                                  when mime = 'audio/wav' then 0
-                                 else n % 1920 + 1 end) as bigint) as total_width,
+                                 else h % 1920 + 1 end) as bigint) as total_width,
                    cast(sum(case when mime = 'image/png' then 0
-                                 when mime = 'audio/wav' then n * 10
-                                 else n * 40 end) as bigint) as total_duration_ms,
+                                 else h % 100000 end) as bigint) as total_duration_ms,
                    cast(sum(case when mime = 'image/png' then 1
                                  when mime = 'audio/wav' then 0
-                                 else n % 250 + 1 end) as bigint) as total_frames
+                                 else h % 250 + 1 end) as bigint) as total_frames
             from m
             group by mime
         """,

@@ -4,17 +4,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count) to force execution end-to-end.
-A warm-up pass on a trivial query absorbs one-time JVM/codegen cost so the
-numbers measure the plans, not the JIT.
+Each query is fully materialized (count) to force execution end-to-end and
+run ``SAMPLES`` times; the reported per-query time is the MEDIAN. Round-2
+adjudication showed single-shot timings on this sandbox swing up to 2.3x on
+identical code (machine contention) and fold one-time Janino/JIT compile
+into whichever query runs first — medians measure the plans. The per-query
+min/max spread is emitted under "spread" so a reader can see the noise
+floor; "cold" records each query's first-run time (includes one-time
+codegen), since that is what a run-once user pays.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
 
 from pyspark.sql import SparkSession
 
@@ -54,10 +62,17 @@ def main() -> None:
     queries["text_token_stats"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for i in range(SAMPLES):
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        cold[name] = samples[0]
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [min(samples), max(samples)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -68,6 +83,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "samples": SAMPLES,
+                "cold": cold,
+                "spread": spread,
             }
         )
     )

@@ -34,12 +34,21 @@ def contamination_flags(
     bench_text_col: str | None = None,
     ngram: int = 8,
     count_alias: str = "n_bench_grams",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(id, n_bench_grams): for every document in ``docs``, how many of its
     distinct ``ngram``-word shingles appear anywhere in ``benchmark``
     (0 = clean). Documents shorter than ``ngram`` words are clean by
     definition. Threshold/boolean policy is the caller's (``> 0`` is the
     conservative "any hit" rule).
+
+    ``hash_grams=True`` joins on ``xxhash64`` of the gram instead of the raw
+    string — the broadcast-budget path for big benchmarks (8-word grams
+    compress ~10x; a 50 MB raw gram set becomes ~5 MB of longs). Collisions
+    can only OVER-flag (a clean doc counted as contaminated at ~2^-64 per
+    gram pair), never under-flag — the correct failure direction for a
+    hygiene filter; exact equality with the raw path is test-pinned on this
+    corpus.
     """
     bench_text = bench_text_col or text_col
     # `_bid` is only a placeholder id for shingle_sets's contract; the
@@ -57,6 +66,11 @@ def contamination_flags(
     doc_grams = shingle_sets(docs, id_col, text_col, ngram).select(
         "id", F.explode("sh").alias("g")
     )
+    if hash_grams:
+        # distinct raw grams hash to distinct longs (mod collisions, which
+        # over-flag only); per-doc distinctness is preserved the same way.
+        bench_grams = bench_grams.select(F.xxhash64("g").alias("g")).distinct()
+        doc_grams = doc_grams.select("id", F.xxhash64("g").alias("g"))
     # Per-doc shingles are already distinct (shingle_sets contract), so a
     # plain count after the broadcast semi-side join is the distinct-gram
     # hit count.

@@ -165,29 +165,36 @@ def interval_join(
     """
     if hi_us < lo_us:
         raise ValueError(f"hi_us {hi_us} < lo_us {lo_us}")
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
-    in_range = (r_us >= l_us + F.lit(int(lo_us))) & (r_us <= l_us + F.lit(int(hi_us)))
+    # Epoch-us helper columns are materialized PER SIDE before the join so
+    # the range predicate never references a timestamp by bare name across
+    # the join — with the natural same-name case (left 'ts' vs right 'ts')
+    # an unqualified F.col would raise AMBIGUOUS_REFERENCE, and self-derived
+    # inputs can hit Spark's self-join resolution trap. Dropped on output.
+    l2 = left.withColumn("_ij_l_us", F.unix_micros(F.col(left_ts)))
+    r2 = right.withColumn("_ij_r_us", F.unix_micros(F.col(right_ts)))
+    in_range = (F.col("_ij_r_us") >= F.col("_ij_l_us") + F.lit(int(lo_us))) & (
+        F.col("_ij_r_us") <= F.col("_ij_l_us") + F.lit(int(hi_us))
+    )
 
     if on is not None:
         keys = _as_list(on)
         cond = in_range
         for k in keys:
-            cond = cond & (left[k] == right[k])
-        return left.join(right, cond, "inner")
+            cond = cond & (l2[k] == r2[k])
+        return l2.join(r2, cond, "inner").drop("_ij_l_us", "_ij_r_us")
 
     width = hi_us - lo_us
     grain = int(grain_us) if grain_us is not None else max(width, 1)
     if grain < width:
         raise ValueError(f"grain_us {grain} < window width {width}: windows would span >2 buckets")
-    lo_b = F.floor((l_us + F.lit(int(lo_us))) / F.lit(grain))
-    hi_b = F.floor((l_us + F.lit(int(hi_us))) / F.lit(grain))
-    exploded = left.withColumn("_ij_bucket", F.explode(F.sequence(lo_b, hi_b)))
-    r_b = right.withColumn("_ij_bucket", _bucketize(right_ts, grain))
+    lo_b = F.floor((F.col("_ij_l_us") + F.lit(int(lo_us))) / F.lit(grain))
+    hi_b = F.floor((F.col("_ij_l_us") + F.lit(int(hi_us))) / F.lit(grain))
+    exploded = l2.withColumn("_ij_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    r_b = r2.withColumn("_ij_bucket", _bucketize(right_ts, grain))
     return (
         exploded.join(r_b, "_ij_bucket", "inner")
         .filter(in_range)
-        .drop("_ij_bucket")
+        .drop("_ij_bucket", "_ij_l_us", "_ij_r_us")
     )
 
 
@@ -207,8 +214,15 @@ def interval_count(
 
     Implementation nulls out-of-range matches instead of filtering rows, so
     a left row whose bucket-join found only out-of-range candidates still
-    survives with count 0; the final groupBy is over the left columns
-    (partial-aggregated map-side before the single count shuffle).
+    survives with count 0. The final aggregation groups on a per-row tag
+    (``monotonically_increasing_id`` assigned BEFORE the bucket explode),
+    not on the left columns: grouping on values would silently collapse
+    duplicate left rows into one output row with a summed count, and fails
+    outright for non-groupable column types (e.g. map). The tag is assigned
+    in the scan stage and is stable within one execution (parquet scans
+    replay deterministically on retry); left columns ride through the
+    aggregation as ``any_value`` — all rows in a group carry the identical
+    left row, so the choice is deterministic.
     """
     if hi_us < lo_us:
         raise ValueError(f"hi_us {hi_us} < lo_us {lo_us}")
@@ -217,10 +231,11 @@ def interval_count(
     if grain < width:
         raise ValueError(f"grain_us {grain} < window width {width}: windows would span >2 buckets")
 
+    tagged = left.withColumn("_ij_row_id", F.monotonically_increasing_id())
     l_us = F.unix_micros(F.col(left_ts))
     lo_b = F.floor((l_us + F.lit(int(lo_us))) / F.lit(grain))
     hi_b = F.floor((l_us + F.lit(int(hi_us))) / F.lit(grain))
-    exploded = left.withColumn("_ij_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    exploded = tagged.withColumn("_ij_bucket", F.explode(F.sequence(lo_b, hi_b)))
 
     r_b = right.select(
         _bucketize(right_ts, grain).alias("_ij_bucket"),
@@ -233,6 +248,10 @@ def interval_count(
         & (F.col("_ij_r_us") <= F.unix_micros(F.col(left_ts)) + F.lit(int(hi_us)))
     )
     return (
-        j.groupBy(*[F.col(c) for c in left.columns])
-        .agg(F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias))
+        j.groupBy("_ij_row_id")
+        .agg(
+            *[F.any_value(F.col(c)).alias(c) for c in left.columns],
+            F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias),
+        )
+        .drop("_ij_row_id")
     )

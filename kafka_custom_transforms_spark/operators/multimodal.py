@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 MIMES = ("image/png", "audio/wav", "video/mp4")
 
 DECODED_SCHEMA = (
-    "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
-    "duration_ms int, n_frames int"
+    "doc_id bigint, mime string, n_bytes bigint, magic string, "
+    "payload_hash bigint, width int, height int, duration_ms int, n_frames int"
 )
 
 
@@ -50,14 +50,29 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def _fake_decode(doc_id: int, mime: str, data: bytes) -> dict:
     """Deterministic stand-in for a real media decoder (NO media libs in this
-    container). Feature values are pure functions of payload size so the
-    DuckDB oracle can recompute them."""
-    n = len(data)
+    container). Every feature is a pure function of the payload BYTES, not
+    merely its length: ``magic`` is the leading 4 bytes (the sniff a real
+    decoder starts with), ``payload_hash`` is the 56-bit md5 prefix of the
+    full payload (reading every byte), and the geometry/duration fields are
+    derived from that hash — so two same-length payloads with different
+    content decode differently (test-pinned). md5-prefix is the engine's
+    cross-engine hash family: the DuckDB oracle recomputes it exactly as
+    ('0x' || substr(md5(text), 1, 14))::BIGINT."""
+    import hashlib
+
+    h = int(hashlib.md5(data).hexdigest()[:14], 16)
     if mime.startswith("image/"):
-        return {"width": n % 640 + 1, "height": n % 480 + 1, "duration_ms": 0, "n_frames": 1}
-    if mime.startswith("audio/"):
-        return {"width": 0, "height": 0, "duration_ms": n * 10, "n_frames": 0}
-    return {"width": n % 1920 + 1, "height": n % 1080 + 1, "duration_ms": n * 40, "n_frames": n % 250 + 1}
+        feats = {"width": h % 640 + 1, "height": h % 480 + 1, "duration_ms": 0, "n_frames": 1}
+    elif mime.startswith("audio/"):
+        feats = {"width": 0, "height": 0, "duration_ms": h % 100_000, "n_frames": 0}
+    else:
+        feats = {
+            "width": h % 1920 + 1,
+            "height": h % 1080 + 1,
+            "duration_ms": h % 100_000,
+            "n_frames": h % 250 + 1,
+        }
+    return {"magic": data[:4].hex(), "payload_hash": h, **feats}
 
 
 def decode_payload(df: DataFrame, real_decoder: bool = False) -> DataFrame:

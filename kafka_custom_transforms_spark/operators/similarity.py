@@ -229,14 +229,90 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> Dat
     )
 
 
+def ivf_params(n: int, n_probe: int = 8) -> tuple[int, int]:
+    """Derived IVF quantizer size for an ``n``-vector corpus:
+    ``n_centroids = max(16, round(sqrt(n)))`` (the standard IVF sizing —
+    cells hold ~sqrt(n) vectors, so probe work per query is
+    ``n_probe * sqrt(n)`` instead of ``n``), and ``n_probe`` capped to half
+    the centroids so the scored-candidate fraction n_probe/n_centroids is
+    always < 1/2 and shrinks as 1/sqrt(n). At sf0.1 (60k vectors):
+    (245, 8) — ~3% of the table scored per query; the old fixed (16, 8)
+    scored HALF the table, defeating the pruning entirely."""
+    import math
+
+    n_centroids = max(16, int(round(math.sqrt(max(n, 1)))))
+    return n_centroids, max(1, min(n_probe, n_centroids // 2))
+
+
+# Below this base-table size the one-shot Janino/JIT compile of the unrolled
+# cosine (~600 expression nodes appearing in 3-4 distinct stages; measured
+# 14s of one-time cost per cold stage at dim=64) costs more than the
+# interpreted higher-order-function fold's per-row penalty saves. Both
+# evaluate the identical sequential left-fold, so results are bit-equal —
+# this is purely a compile-vs-throughput trade.
+UNROLL_MIN_ROWS = 500_000
+
+
+def _ivf_candidates(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    n_probe: int,
+    dim: int | None,
+    lloyd_iters: int,
+    train_fraction: float,
+    cos_dim: int | None = None,
+) -> DataFrame:
+    """(query_id, qv, id, v): the candidate set each query scores — every
+    vector assigned to one of the query's ``n_probe`` nearest cells.
+    Factored out so tests can measure the scored-candidate fraction
+    directly (the whole point of IVF is that this is ≪ |base|).
+    ``cos_dim`` controls unrolling of the cosine expressions only (None =
+    interpreted fold, bit-equal values); ``dim`` is still required for
+    Lloyd's per-dimension mean aggregates."""
+    if lloyd_iters and dim is None:
+        raise ValueError("ivf_topk_neighbors: lloyd_iters > 0 requires dim")
+    vecs = base.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    if n_centroids is None:
+        n = vecs.count()
+        n_centroids, n_probe = ivf_params(n, n_probe)
+        cos_dim = dim if n >= UNROLL_MIN_ROWS else None
+    train = vecs
+    if lloyd_iters and train_fraction < 1.0:
+        buckets = max(int(round(1.0 / train_fraction)), 1)
+        train = vecs.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(buckets)) == 0)
+    centroids = _seed_centroids(train, n_centroids)
+    for _ in range(lloyd_iters):
+        step = _assign_cells(train, centroids, cos_dim).groupBy("cid").agg(
+            F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv")
+        )
+        # Tiny (n_centroids rows) but consumed by both the base assignment
+        # and the query probes — materialize so the Lloyd chain (broadcast
+        # join + wide agg over the sample) runs once, not per consumer.
+        centroids = step.localCheckpoint(eager=True)
+    assigned = _assign_cells(vecs, centroids, cos_dim)
+    qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    probes = (
+        qvecs.join(F.broadcast(centroids), how="cross")
+        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv"), cos_dim).alias("ccos"))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    return probes.join(assigned, "cid").filter(F.col("query_id") != F.col("id"))
+
+
 def ivf_topk_neighbors(
     base: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int = 8,
     dim: int | None = None,
     lloyd_iters: int = 0,
     train_fraction: float = 0.1,
@@ -245,6 +321,17 @@ def ivf_topk_neighbors(
     ``lloyd_iters`` rounds of Lloyd's algorithm (assign each vector to its
     max-cosine cell, recenter each cell on its element-wise mean), then
     queries probe the ``n_probe`` nearest cells.
+
+    ``n_centroids=None`` (default) derives the quantizer size from the
+    corpus: ``max(16, round(sqrt(n)))`` cells (one cheap count of the base
+    table at plan time). This keeps the scored-candidate fraction
+    ``n_probe/n_centroids ~ n_probe/sqrt(n)`` — at 60k vectors ~3%, at 10^9
+    ~0.03% — whereas any FIXED n_centroids eventually probes a constant
+    fraction of the table and the "ANN" degenerates to brute force plus
+    join overhead (the round-2 regression: 16 cells / 8 probes = half the
+    table scored). Assignment cost is n*sqrt(n) broadcast-join cosines —
+    map-side, no shuffle, embarrassingly parallel; for n where that term
+    matters (>10^8) shard the assignment or raise train_fraction sampling.
 
     Hash-sampled seeds alone lift recall over first-k-ids seeding (measured
     0.74 vs the prior 0.5 floor at sf0.001) at zero extra cost, so Lloyd
@@ -259,38 +346,19 @@ def ivf_topk_neighbors(
     ``dim`` avg-aggregates over the sample (single shuffle, map-side
     partial aggregation, stays in codegen); the probe join shuffles only by
     cell id — bounded fan-out, no cross join. Recall is tested against the
-    brute-force baseline.
+    brute-force baseline; the scored fraction is pinned by
+    test_ivf_scored_fraction.
     """
-    if lloyd_iters and dim is None:
-        raise ValueError("ivf_topk_neighbors: lloyd_iters > 0 requires dim")
-    vecs = base.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    train = vecs
-    if lloyd_iters and train_fraction < 1.0:
-        buckets = max(int(round(1.0 / train_fraction)), 1)
-        train = vecs.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(buckets)) == 0)
-    centroids = _seed_centroids(train, n_centroids)
-    for _ in range(lloyd_iters):
-        step = _assign_cells(train, centroids, dim).groupBy("cid").agg(
-            F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv")
-        )
-        # Tiny (n_centroids rows) but consumed by both the base assignment
-        # and the query probes — materialize so the Lloyd chain (broadcast
-        # join + wide agg over the sample) runs once, not per consumer.
-        centroids = step.localCheckpoint(eager=True)
-    assigned = _assign_cells(vecs, centroids, dim)
-    qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    probes = (
-        qvecs.join(F.broadcast(centroids), how="cross")
-        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv"), dim).alias("ccos"))
-        .withColumn("crank", F.row_number().over(probe_w))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cid")
-    )
-    scored = (
-        probes.join(assigned, "cid")
-        .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v"), dim).alias("cos"))
+    cos_dim = dim
+    if n_centroids is None:
+        n = base.count()
+        n_centroids, n_probe = ivf_params(n, n_probe)
+        cos_dim = dim if n >= UNROLL_MIN_ROWS else None
+    scored = _ivf_candidates(
+        base, queries, id_col, vec_col, n_centroids, n_probe, dim, lloyd_iters,
+        train_fraction, cos_dim,
+    ).select(
+        "query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v"), cos_dim).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

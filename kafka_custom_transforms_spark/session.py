@@ -44,6 +44,10 @@ def get_spark(
         # them back losslessly). Declared here so it is an explicit session
         # property, not a surprise side effect of the first table read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Round-3 testdata stores TIMESTAMP(MICROS) NTZ; load_table casts to
+        # session-local timestamps. UTC pins that cast to an identity on the
+        # stored micros, matching the DuckDB oracle's naive reading.
+        .config("spark.sql.session.timeZone", "UTC")
         # Wide aggregates (128-permutation MinHash, 60-bit SimHash votes)
         # must stay inside whole-stage codegen: the interpreted fallback is
         # 10-30x slower once JIT call sites go megamorphic. Default is 100.

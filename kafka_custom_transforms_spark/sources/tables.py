@@ -1,10 +1,18 @@
 """Parquet table loading for the driver's synthetic testdata.
 
-The driver's parquet files carry TIMESTAMP(NANOS) columns, which Spark 4's
-reader rejects by default (PARQUET_TYPE_ILLEGAL). We flip the runtime conf
-``spark.sql.legacy.parquet.nanosAsLong`` (reads them as nanosecond longs) and
-convert back to proper timestamps with ``timestamp_micros`` — verified
-lossless: the generated data has zero sub-microsecond precision.
+Timestamp repair, handling BOTH generations of the driver testdata:
+
+  - TIMESTAMP(NANOS) columns (rounds 1-2), which Spark 4's reader rejects
+    by default (PARQUET_TYPE_ILLEGAL): flip the runtime conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` (reads them as nanosecond
+    longs) and convert back with ``timestamp_micros`` — verified lossless,
+    the generated data has zero sub-microsecond precision.
+  - TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (round-3 testdata),
+    which Spark reads as TIMESTAMP_NTZ: cast to the session-local TIMESTAMP
+    type so ``unix_micros`` / ``window`` / watermarks work. The session
+    timezone is pinned to UTC (session.py / tests/conftest.py), making the
+    cast a type-tag change on identical micros values — bit-parity with the
+    DuckDB oracle's naive-timestamp ``epoch_us`` reading of the same file.
 
 Scale note: the conversion is a map-side projection fused into the scan stage
 by whole-stage codegen; filter pushdown and column pruning on the remaining
@@ -14,7 +22,7 @@ columns are unaffected.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # Timestamp columns per table (stored as TIMESTAMP(NANOS) in the parquet).
 _TS_COLS: dict[str, tuple[str, ...]] = {
@@ -51,10 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             # integer division: the nanos values exceed double's 53-bit
             # exact-integer range, so `/ 1000` would be off by up to 1 us
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # TIMESTAMP(MICROS) testdata: NTZ -> session-local timestamp
+            # (UTC session, so the micros value is unchanged)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -57,10 +57,13 @@ def sessionize(
 
     Emits one row per closed session: (key, n_events, first_ts, last_ts);
     the key column keeps its input name and type (see :func:`session_schema`).
-    State per key is a single open session (bounded); the processing-time
-    timeout closes idle sessions. On a batch DataFrame, falls back to an
-    equivalent gap-based sessionization via window functions (lag + running
-    session ids) — same output, no state store.
+    State per key is a single open session (bounded); batch-internal gap
+    splits emit immediately and the trailing open session closes via an
+    EVENT-TIME timeout when the watermark passes last_ts + gap — so the
+    stream's total output equals the batch gap-split exactly (oracle-checked
+    by the events_sessionize_stream query). On a batch DataFrame, falls back
+    to an equivalent gap-based sessionization via window functions (lag +
+    running session ids) — same output, no state store.
     """
     import pandas as pd  # noqa: F401  (worker-side)
 
@@ -95,32 +98,59 @@ def sessionize(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = _duration_to_ms(gap)
+    gap_us = gap_ms * 1000
     out_schema = session_schema(df, key_col)
 
     def _update(key, pdfs, state: GroupState):
+        """Event-time sessionization: rows for the key are sorted by event
+        time and gap-split; every sub-session closed WITHIN the batch is
+        emitted immediately, the trailing open session is kept in state with
+        an event-time timeout at last_ts + gap — when the watermark passes
+        it, the session closes and emits. This makes the stateful operator's
+        total output equal the batch gap-split exactly once the watermark
+        passes every session end (the correctness harness advances it with a
+        sentinel event), so stream/batch parity is checkable row-for-row."""
         import pandas as pd
 
-        if state.hasTimedOut:
-            (n, first_ts, last_ts) = state.get
-            state.remove()
-            yield pd.DataFrame(
+        def _emit(sessions):
+            return pd.DataFrame(
                 {
-                    key_col: [key[0]],
-                    "n_events": [n],
-                    "first_ts": [pd.Timestamp(first_ts, unit="us")],
-                    "last_ts": [pd.Timestamp(last_ts, unit="us")],
+                    key_col: [key[0]] * len(sessions),
+                    "n_events": [s[0] for s in sessions],
+                    "first_ts": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                    "last_ts": [pd.Timestamp(s[2], unit="us") for s in sessions],
                 }
             )
+
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield _emit([closed])
             return
-        n, first_ts, last_ts = (state.get if state.exists else (0, None, None))
-        for pdf in pdfs:
-            ts = pdf[ts_col].astype("datetime64[us]").astype("int64")
-            n += len(pdf)
-            first_ts = int(ts.min()) if first_ts is None else min(first_ts, int(ts.min()))
-            last_ts = int(ts.max()) if last_ts is None else max(last_ts, int(ts.max()))
-        state.update((n, first_ts, last_ts))
-        state.setTimeoutDuration(gap_ms)
-        # nothing to emit until the session times out
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames) if len(frames) > 1 else frames[0]
+        ts = rows[ts_col].astype("datetime64[us]").astype("int64").sort_values().to_numpy()
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        sessions = []
+        for t in ts:
+            t = int(t)
+            if last_us is not None and t - last_us > gap_us:
+                sessions.append((n, first_us, last_us))
+                n, first_us, last_us = 0, None, None
+            n += 1
+            first_us = t if first_us is None else first_us
+            last_us = t
+        state.update((n, first_us, last_us))
+        # Event-time timeout at session end + gap; must stay ahead of the
+        # current watermark (Spark rejects timeouts at/behind it).
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if sessions:
+            yield _emit(sessions)
 
     return (
         df.withWatermark(ts_col, watermark_delay)
@@ -130,7 +160,7 @@ def sessionize(
             outputStructType=out_schema,
             stateStructType="n bigint, first_ts bigint, last_ts bigint",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -42,10 +42,16 @@ def write_kafka_stream(
     """Kafka sink. The envelope->binary encode is
     :func:`~kafka_custom_transforms_spark.streaming.kafka_wire.encode_wire`
     (unit- and oracle-tested broker-free); only the ``.format("kafka")``
-    boilerplate below needs a broker."""
+    boilerplate below needs a broker.
+
+    Headers ride the record through the whole pipeline when present —
+    reference parity: every SMT's newRecord forwards record.headers()
+    (ExtendedHoistField.java:192-194), so dropping them at the sink would
+    lose what the transform chain preserved."""
     from kafka_custom_transforms_spark.streaming.kafka_wire import encode_wire
 
-    out = encode_wire(df.select("key", "value"), topic=None)
+    carried = [c for c in ("key", "value", "headers") if c in df.columns]
+    out = encode_wire(df.select(*carried), topic=None)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -47,6 +47,18 @@ def test_every_doc_present_with_zero(corpus, bench_docs):
     assert out.count() == 4
 
 
+def test_hashed_grams_match_raw(corpus, bench_docs):
+    """The xxhash64-compressed broadcast path must equal the raw-string path
+    on collision-free data (collisions are ~2^-64 per pair and can only
+    OVER-flag — the hygiene-safe direction, documented)."""
+    raw = {r.doc_id: r.n_bench_grams
+           for r in contamination_flags(corpus, bench_docs, ngram=8).collect()}
+    hashed = {r.doc_id: r.n_bench_grams
+              for r in contamination_flags(corpus, bench_docs, ngram=8,
+                                           hash_grams=True).collect()}
+    assert hashed == raw == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
 def test_plan_broadcasts_benchmark_grams(corpus, bench_docs):
     plan = (
         contamination_flags(corpus, bench_docs, ngram=8)

@@ -89,6 +89,50 @@ def test_embedding_broadcast_guard(emb):
         ).collect()
 
 
+def test_embedding_auto_dispatch(emb):
+    """method='auto' picks the exact block path below the row boundary and
+    the sub-quadratic LSH path above it. Below: identical to the exact
+    answer. Above: the LSH candidates are exact-verified, so precision is 1
+    (every returned pair is a true pair) — recall < 1 is expected on this
+    deliberately gapless corpus, which is exactly why block stays the
+    default at oracle scales."""
+    exact = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="join"))
+    below = _pairs(dedup.embedding_dup_pairs(emb, threshold=0.4, dim=64, method="auto"))
+    above = _pairs(
+        dedup.embedding_dup_pairs(
+            emb, threshold=0.4, dim=64, method="auto", auto_lsh_rows=10
+        )
+    )
+    assert below == exact
+    assert len(above) > 0 and set(above) <= set(exact)  # lsh: exact precision
+
+
+def test_derive_n_blocks_formula():
+    """n_blocks follows the two-blocks-per-task memory formula and never
+    exceeds what memory requires (replication is n x n_blocks rows)."""
+    assert dedup._derive_n_blocks(2_000, 64, 64 << 20) == 1  # tiny: one matmul
+    # 1e8 rows x 1024 dims x 8 B x 2 / 256 MB -> ~6104 blocks
+    big = dedup._derive_n_blocks(100_000_000, 1024, 256 << 20)
+    assert 6000 <= big <= 6200
+    assert dedup._derive_n_blocks(0, 64, 64 << 20) == 1
+
+
+def test_embedding_string_ids_and_zero_norms(spark):
+    """Block path with non-integer ids and a zero vector: hash-assigned
+    blocks must not require numeric ids, the output schema follows the id
+    type, and zero-norm vectors never pair (no NaNs)."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [1.0, 0.001]),
+        ("z", [0.0, 0.0]),
+        ("c", [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = dedup.embedding_dup_pairs(df, threshold=0.9, dim=2, method="block", n_blocks=3)
+    assert dict(out.dtypes) == {"a_id": "string", "b_id": "string"}
+    assert _pairs(out) == [("a", "b")]
+
+
 def _brute_jaccard_pairs(sets_df, threshold):
     rows = {r.id: set(r.sh) for r in sets_df.collect()}
     ids = sorted(rows)

@@ -27,16 +27,40 @@ def test_attach_payload_schema(docs):
 
 
 def test_decode_stub_features(docs):
+    import hashlib
+
     out = multimodal.decode_payload(multimodal.attach_payload(docs))
     rows = out.collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
     assert len(rows) == 60
     for r in rows:
+        data = texts[r.doc_id].encode("utf-8")
+        h = int(hashlib.md5(data).hexdigest()[:14], 16)
+        assert r.payload_hash == h
+        assert r.magic == data[:4].hex()
         if r.mime == "image/png":
-            assert 1 <= r.width <= 640 and r.n_frames == 1
+            assert r.width == h % 640 + 1 and r.n_frames == 1
         elif r.mime == "audio/wav":
-            assert r.duration_ms == r.n_bytes * 10 and r.width == 0
+            assert r.duration_ms == h % 100_000 and r.width == 0
         else:
-            assert r.n_frames == r.n_bytes % 250 + 1
+            assert r.n_frames == h % 250 + 1
+
+
+def test_decode_reads_bytes_not_length(spark):
+    """Two same-length payloads with different content must decode
+    differently — the stub provably consumes the bytes, not just their
+    count (round-2 verdict: nothing forced the stub to stay honest)."""
+    df = spark.createDataFrame(
+        [(0, "aaaa bbbb cccc"), (3, "aaaa bbbb cccd")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in multimodal.decode_payload(multimodal.attach_payload(df)).collect()
+    }
+    a, b = rows[0], rows[3]
+    assert a.n_bytes == b.n_bytes  # identical lengths...
+    assert a.payload_hash != b.payload_hash  # ...different content features
+    assert a.magic == b.magic  # same 4-byte prefix, as a real sniffer would see
 
 
 def test_real_decoder_raises_without_media_libs(docs):

@@ -61,10 +61,12 @@ def test_lsh_recall_against_brute_force(emb, queries_df):
 
 def test_ivf_recall_against_brute_force(emb, queries_df):
     exact = {(q, n) for q, n, _ in _rows(similarity.topk_neighbors(emb, queries_df, k=5, dim=64))}
+    # Derived quantizer (n_centroids=None -> ~sqrt(n) cells): the shipped
+    # configuration of the similarity_topk_ivf query.
     approx = {
         (q, n)
         for q, n, _ in _rows(
-            similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_centroids=16, n_probe=8, dim=64)
+            similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_probe=8, dim=64)
         )
     }
     recall = len(exact & approx) / len(exact)
@@ -84,3 +86,32 @@ def test_ivf_recall_against_brute_force(emb, queries_df):
     # the refined quantizer stays in the same quality band (cell means are
     # float-order nondeterministic).
     assert lloyd_recall >= 0.65, f"IVF+Lloyd recall {lloyd_recall:.2f}"
+
+
+def test_ivf_params_scale_down_scored_fraction():
+    """The derived quantizer keeps n_probe/n_centroids shrinking ~1/sqrt(n):
+    a FIXED n_centroids eventually probes a constant fraction of the table
+    (the round-2 16-cell config scored HALF of it)."""
+    nc, np_ = similarity.ivf_params(2_000)
+    assert (nc, np_) == (45, 8)
+    nc, np_ = similarity.ivf_params(60_000)
+    assert nc == 245 and np_ == 8 and np_ / nc < 0.04
+    nc, np_ = similarity.ivf_params(1_000_000_000)
+    assert np_ / nc < 0.0003
+    # tiny corpora: n_probe capped to half the cells, never more
+    nc, np_ = similarity.ivf_params(10, n_probe=64)
+    assert nc == 16 and np_ == 8
+
+
+def test_ivf_scored_fraction(emb, queries_df):
+    """The candidate set each query scores must be a minority of the base
+    table — the entire point of IVF pruning. Round 2 shipped 16 cells /
+    8 probes = 50% scored; the derived quantizer stays well under."""
+    n = emb.count()
+    nq = queries_df.count()
+    cand = similarity._ivf_candidates(
+        emb, queries_df, "vec_id", "embedding",
+        n_centroids=None, n_probe=8, dim=64, lloyd_iters=0, train_fraction=0.1,
+    )
+    frac = cand.count() / (nq * (n - 1))
+    assert frac < 0.45, f"scored fraction {frac:.2f} — IVF is not pruning"
