@@ -471,8 +471,12 @@ def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (SRP-LSH) variant — no oracle (recall < 1 by design);
-    tests pin recall against the brute-force baseline."""
+    """Approximate (SRP-LSH) top-k — FULLY oracle-checked: the pipeline is
+    deterministic (md5-derived hyperplanes, sequential-fold dots bit-equal
+    to DuckDB's list_reduce), so the oracle recomputes the entire ANN —
+    hyperplane weights, signatures, bucket joins, exact-cosine ranking —
+    and must match the Spark output row-for-row. Recall vs brute force is
+    additionally pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     out = similarity.lsh_topk_neighbors(emb, queries_df, dim=64, k=5, tables=12, bits_per_table=4)
@@ -480,9 +484,12 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (IVF-flat) variant — no oracle; recall tested vs brute
-    force. n_centroids derived ~sqrt(n) so the scored-candidate fraction
-    shrinks with corpus size (fixed 16 cells probed half the table)."""
+    """Approximate (IVF-flat) top-k — FULLY oracle-checked: deterministic
+    hash-ordered seeding, bit-equal cosine folds, and deterministic
+    tie-breaks let the oracle recompute the whole quantizer (seeds, cell
+    assignment, probe selection, candidate ranking) in SQL. n_centroids
+    derived ~sqrt(n) so the scored-candidate fraction shrinks with corpus
+    size (fixed 16 cells probed half the table — the round-2 regression)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     out = similarity.ivf_topk_neighbors(emb, queries_df, k=5, n_probe=8, dim=64)
@@ -802,6 +809,92 @@ _COSINE_EXPR = (
 )
 
 
+# Full ANN recomputation oracles: both ANN variants are deterministic end to
+# end (md5-derived hyperplanes / md5-ordered seeds; every floating sum a
+# sequential left fold bit-equal across engines), so DuckDB re-runs the
+# ENTIRE pipeline — not just a brute-force reference — and the driver's
+# hash compare verifies the ANN result exactly.
+_LSH_ORACLE_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+w as (
+  select j, list(((('0x'||substr(md5('hp:'||j||':'||i),1,15))::BIGINT
+                   % 2000000 - 1000000) / 1000000.0) order by i) as wl
+  from (select unnest(range(48)) as j), (select unnest(range(64)) as i)
+  group by j
+),
+dp as (
+  select e.vec_id, w.j,
+         list_reduce(list_transform(generate_series(1, 64),
+                                    i -> e.v[i] * w.wl[i]), (x, y) -> x + y) as d
+  from e, w
+),
+buck as (
+  select vec_id, j // 4 as tbl,
+         sum(((d > 0)::INT) * (1 << (j % 4)))::BIGINT as bucket
+  from dp group by vec_id, j // 4
+),
+qb as (select * from buck where vec_id % 50 = 0),
+cand as (
+  select distinct qb.vec_id as query_id, bb.vec_id as neighbor_id
+  from qb join buck bb on qb.tbl = bb.tbl and qb.bucket = bb.bucket
+  where qb.vec_id != bb.vec_id
+),
+scored as (
+  select c.query_id, c.neighbor_id, {cos_qb} as c
+  from cand c
+  join e q on q.vec_id = c.query_id
+  join e b on b.vec_id = c.neighbor_id
+)
+select query_id, neighbor_id,
+       cast(row_number() over (partition by query_id
+            order by c desc, neighbor_id) as bigint) as rank
+from scored
+qualify rank <= 5
+"""
+
+_IVF_ORACLE_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from e),
+seeds as (
+  select cid, cv from (
+    select vec_id as cid, v as cv,
+           row_number() over (order by md5(cast(vec_id as varchar)), vec_id) as rn
+    from e)
+  where rn <= (select nc from params)
+),
+assign as (
+  select id, cid from (
+    select e.vec_id as id, s.cid,
+           row_number() over (partition by e.vec_id
+                              order by {cos_es} desc, s.cid) as rn
+    from e, seeds s)
+  where rn = 1
+),
+q as (select vec_id as query_id, v as qv from e where vec_id % 50 = 0),
+probes as (
+  select query_id, cid from (
+    select q.query_id, s.cid,
+           row_number() over (partition by q.query_id
+                              order by {cos_qs} desc, s.cid) as rn
+    from q, seeds s)
+  where rn <= (select least(8, nc // 2) from params)
+),
+scored as (
+  select p.query_id, a.id as neighbor_id, {cos_qb} as c
+  from probes p
+  join assign a using (cid)
+  join e b on b.vec_id = a.id
+  join q on q.query_id = p.query_id
+  where a.id != p.query_id
+)
+select query_id, neighbor_id,
+       cast(row_number() over (partition by query_id
+            order by c desc, neighbor_id) as bigint) as rank
+from scored
+qualify rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cos = _COSINE_EXPR.format(a="a.v", b="b.v")
     qcos = _COSINE_EXPR.format(a="q.v", b="e.v")
@@ -984,6 +1077,14 @@ def oracle_sql() -> dict[str, str]:
             from s
             qualify rank <= 5
         """,
+        "similarity_topk_lsh": _LSH_ORACLE_SQL.format(
+            cos_qb=_COSINE_EXPR.format(a="q.v", b="b.v")
+        ),
+        "similarity_topk_ivf": _IVF_ORACLE_SQL.format(
+            cos_es=_COSINE_EXPR.format(a="e.v", b="s.cv"),
+            cos_qs=_COSINE_EXPR.format(a="q.qv", b="s.cv"),
+            cos_qb=_COSINE_EXPR.format(a="q.qv", b="b.v"),
+        ),
         "multimodal_frame_sample": """
             with m as (
               select doc_id,

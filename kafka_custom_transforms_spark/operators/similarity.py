@@ -142,7 +142,17 @@ def hyperplane_buckets(
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             a = np.stack(pdf["v"].to_numpy())
-            sig_bits = (a @ W.T) > 0  # n x bits
+            # Sequential per-dimension fold, NOT a @ W.T: BLAS matmul sums
+            # in blocked/SIMD order, but the DuckDB oracle recomputes these
+            # dots as a sequential list_reduce — the explicit left fold
+            # (((0 + x1) + x2) + ...; 0 + x1 == x1 exactly in IEEE) makes
+            # every dot bit-identical across engines, so sign decisions at
+            # the bucket boundary can never diverge. Still vectorized: one
+            # outer-product accumulation per dimension.
+            dots = np.zeros((len(ids), bits))
+            for i in range(dim):
+                dots += a[:, i : i + 1] * W.T[i : i + 1, :]
+            sig_bits = dots > 0  # n x bits
             frames = []
             for t in range(tables):
                 chunk = sig_bits[:, t * bits_per_table : (t + 1) * bits_per_table]
