@@ -396,6 +396,90 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark exercised as a REAL streaming job (the
+    dedup_streaming_batch row covers only its batch equivalent): events are
+    staged DOUBLED (every row exactly twice), streamed with a watermark, and
+    deduplicated on event_id — the sink must contain each event exactly
+    once, equal to the plain events table."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.dedup import streaming_dedup
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-dedup-stream-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.unionAll(ev).coalesce(2).write.parquet(d + "/staged")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(d + "/staged")
+    out = streaming_dedup(stream, keys=["event_id"], ts_col="ts", watermark_delay="1 minute")
+    q = write_parquet_stream(out, d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(d + "/sink")
+        .select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "event_type")
+    )
+
+
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides — Spark's
+    native streaming join surface (state bounded by watermark + range).
+    Stream-stream joins REQUIRE an equality predicate, so this runs the
+    interval_join time-bucketization on streams: clicks key into their 60 s
+    bucket, purchases explode to the <=2 buckets their window covers, the
+    join is bucket-equality + exact range — each click lives in exactly one
+    bucket, so no pair duplicates. Same oracle as events_interval_pairs."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-ssjoin-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(d + "/staged")
+    schema = "event_id long, ts timestamp, event_type string"
+    grain = 60_000_000  # us; == window width, so a window spans <= 2 buckets
+    p_us = F.unix_micros(F.col("p_ts"))
+    p = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((p_us - F.lit(grain)) / F.lit(grain)),
+                    F.floor(p_us / F.lit(grain)),
+                )
+            ),
+        )
+    )
+    c = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn("bucket", F.floor(F.unix_micros(F.col("c_ts")) / F.lit(grain)))
+    )
+    j = p.join(
+        c,
+        (p["bucket"] == c["bucket"])
+        & F.expr("c_ts between p_ts - interval 60 seconds and p_ts"),
+        "inner",
+    )
+    q = write_parquet_stream(j.drop("bucket"), d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink").select(
+        "p_id",
+        "c_id",
+        F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+        F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+    )
+
+
 def _events_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution: each purchase gets the latest preceding (or
     exactly coincident) click by the same user. Single-shuffle union+window
@@ -692,6 +776,94 @@ def _topn_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping-set combinations (rollup_docs covers
+    the hierarchical subset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never placed an order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median per priority, by rank selection — NOT interpolating
+    percentile functions, whose float interpolation formulas differ between
+    engines ((1-d)*a + d*b vs a + d*(b-a)); selecting the actual row value
+    at rank (n+1)//2 is arithmetic-free and cross-engine exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    cnt = Window.partitionBy("o_orderpriority")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") == F.floor((F.col("n") + F.lit(1)) / F.lit(2)))
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("median_price"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary top-20 by frequency: the wordcount that builds
+    tokenizer vocabularies. TakeOrderedAndProject after one count shuffle —
+    per-partition top-k, bounded driver merge, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+        .select("tok", F.col("n").cast("long").alias("n"))
+    )
+
+
+def _sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample (functions/sampling.py): stable across
+    runs, partitionings, and engines — the DuckDB oracle recomputes the
+    same md5-prefix bucket and must select the identical rows."""
+    from kafka_custom_transforms_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", num=10, den=100).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend in order-date order — cumulative window
+    frame (rows unbounded preceding..current). Decimal accumulation, double
+    only at the output boundary, so partial sums are order-independent and
+    cross-engine exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
 def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -724,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
         "events_interval_pairs": _events_interval_pairs,
+        "stream_dedup_watermark": _stream_dedup_watermark,
+        "stream_interval_join": _stream_interval_join,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
@@ -747,6 +921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": _window_top_orders,
         "windowed_counts": _windowed_counts,
         "rollup_docs": _rollup_docs,
+        "cube_docs": _cube_docs,
+        "customers_without_orders": _customers_without_orders,
+        "median_order_value": _median_order_value,
+        "top_tokens": _top_tokens,
+        "sample_docs_hash": _sample_docs_hash,
+        "window_running_totals": _window_running_totals,
         "setops_users": _setops_users,
         "scalar_funcs": _scalar_funcs,
         "topn_pagination": _topn_pagination,
@@ -763,6 +943,20 @@ sh as (
     else [] end as s
   from toks
 )
+"""
+
+# One SQL for the batch interval join and the stream-stream join: both must
+# produce the identical pair set.
+_INTERVAL_PAIRS_SQL = """
+    with p as (select event_id as p_id, ts as p_ts from events
+               where event_type = 'purchase'),
+         c as (select event_id as c_id, ts as c_ts from events
+               where event_type = 'click')
+    select p_id, c_id,
+           cast(epoch_us(p_ts) as bigint) as p_ts_us,
+           cast(epoch_us(c_ts) as bigint) as c_ts_us
+    from p join c
+      on c_ts between p_ts - interval 60 second and p_ts
 """
 
 # One SQL for both sessionize paths: the batch window gap-split and the
@@ -1024,16 +1218,12 @@ def oracle_sql() -> dict[str, str]:
               on c.ts between p.ts - interval 60 second and p.ts
             group by p.event_id, p.ts
         """,
-        "events_interval_pairs": """
-            with p as (select event_id as p_id, ts as p_ts from events
-                       where event_type = 'purchase'),
-                 c as (select event_id as c_id, ts as c_ts from events
-                       where event_type = 'click')
-            select p_id, c_id,
-                   cast(epoch_us(p_ts) as bigint) as p_ts_us,
-                   cast(epoch_us(c_ts) as bigint) as c_ts_us
-            from p join c
-              on c_ts between p_ts - interval 60 second and p_ts
+        "events_interval_pairs": _INTERVAL_PAIRS_SQL,
+        "stream_interval_join": _INTERVAL_PAIRS_SQL,
+        "stream_dedup_watermark": """
+            select event_id, cast(epoch_us(ts) as bigint) as ts_us,
+                   user_id, event_type
+            from events
         """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
@@ -1278,6 +1468,48 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_chars) as bigint) as total_chars
             from documents
             group by rollup (lang, source)
+        """,
+        "cube_docs": """
+            select lang, source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
+            from documents
+            group by cube (lang, source)
+        """,
+        "customers_without_orders": """
+            select c_custkey, c_name from customer c
+            where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+        """,
+        "median_order_value": """
+            select o_orderpriority, median_price, n_orders from (
+              select o_orderpriority, o_totalprice as median_price,
+                     row_number() over (partition by o_orderpriority
+                          order by o_totalprice, o_orderkey) as rn,
+                     cast(count(*) over (partition by o_orderpriority) as bigint)
+                       as n_orders
+              from orders
+            ) where rn = (n_orders + 1) // 2
+        """,
+        "top_tokens": """
+            select tok, cast(count(*) as bigint) as n
+            from (select unnest(string_split(text, ' ')) as tok from documents)
+            group by tok
+            order by n desc, tok asc
+            limit 20
+        """,
+        "sample_docs_hash": """
+            select doc_id, lang, source from documents
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                  % 100 < 10
+        """,
+        "window_running_totals": """
+            select o_custkey, o_orderkey,
+                   cast(sum(cast(o_totalprice as decimal(18,2)))
+                        over (partition by o_custkey
+                              order by o_orderdate, o_orderkey
+                              rows between unbounded preceding and current row)
+                        as double) as running_spend
+            from orders
         """,
         "setops_users": """
             select distinct user_id from events where event_type = 'purchase'

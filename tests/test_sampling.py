@@ -1,0 +1,56 @@
+"""Deterministic hash sampling tests: reproducibility, slice disjointness,
+cross-engine hash parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.functions.sampling import hash_bucket, hash_sample
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_sample_is_deterministic_and_partition_independent(docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 10).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_complementary_slices_partition_the_keyspace(docs):
+    n = docs.count()
+    train = hash_sample(docs, "doc_id", 90)
+    holdout = docs.filter(hash_bucket(F.col("doc_id"), 100) >= 90)
+    t, h = train.count(), holdout.count()
+    assert t + h == n
+    overlap = train.select("doc_id").intersect(holdout.select("doc_id")).count()
+    assert overlap == 0
+    # ~10% holdout, binomial tolerance
+    assert 0.03 < h / n < 0.25
+
+
+def test_bucket_matches_duckdb(docs, sf_dir):
+    spark_sample = sorted(
+        r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()
+    )
+    ddb = duckdb.sql(
+        f"""select doc_id from '{sf_dir}/documents.parquet'
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                  % 100 < 10"""
+    ).fetchall()
+    assert spark_sample == sorted(r[0] for r in ddb)
+
+
+def test_bad_args_raise(docs):
+    with pytest.raises(ValueError, match="buckets"):
+        hash_bucket(F.col("doc_id"), 0)
+    with pytest.raises(ValueError, match="num"):
+        hash_sample(docs, "doc_id", 101, 100)
