@@ -641,6 +641,18 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(load_table(spark, sf_dir, "documents"), window=8)
 
 
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.normalize_text(
+        load_table(spark, sf_dir, "documents").withColumn(
+            "text", F.concat(F.lit("  MiXeD   Case "), F.col("text"), F.lit("  "))
+        )
+    )
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def _text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.token_rollup(load_table(spark, sf_dir, "documents"))
     return out.select(
@@ -709,6 +721,141 @@ def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", F.col("o_orderdate").cast("date").cast("string").alias("orderdate"), "revenue")
+    )
+
+
+def _sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h windows every 15 min — each event in 4
+    overlapping windows); batch path of the streaming sliding aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def _session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation — the second, independent
+    implementation of gap sessionization (the custom stateful operator and
+    its batch window equivalent are events_sessionize/_stream). Session
+    bounds: window = [min_ts, max_ts + gap), so last_ts = end - gap exactly
+    (integer micros). Split semantics: a gap of EXACTLY 30 min splits here
+    (windows that merely touch don't merge), hence the dedicated oracle
+    with >= instead of > — identical on data with no exact-gap pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.unix_micros(F.col("sw.start")).alias("first_epoch_us"),
+            (F.unix_micros(F.col("sw.end")) - F.lit(1_800_000_000)).alias("last_epoch_us"),
+        )
+    )
+
+
+def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region->nation->customer/supplier->
+    orders->lineitem) with broadcast dimension tables and the
+    local-supplier condition c_nationkey = s_nationkey; revenue per nation.
+    Exercises Catalyst join reordering + broadcast planning on the deepest
+    join tree in the suite."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.join(orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.salted_agg): hot groupBy
+    keys spread over salt buckets then merged — the skewed-aggregation
+    pattern AQE does not handle (it splits skewed JOINS only). Decimal sums
+    so the two-phase merge is bit-equal to the one-phase oracle."""
+    from kafka_custom_transforms_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"total_value": ("value_dec", "sum"), "n": ("event_id", "count"),
+         "max_user": ("user_id", "max")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n").cast("long").alias("n"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )
+
+
+def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed storage: orders and customer both written
+    bucketed+sorted on custkey, then sort-merge joined with ZERO exchanges
+    on the join (the write paid the shuffle once — the 100 TB pattern for
+    every repeated fact-table join key). Plan shape pinned in
+    tests/test_plans.py; oracle is the plain join."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.sources.bucketing import bucketed_equijoin
+
+    d = tempfile.mkdtemp(prefix="kcts-bucketed-")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = bucketed_equijoin(
+        spark, orders, cust, "o_custkey", "c_custkey", d, n_buckets=8,
+        table_prefix="kcts_bucketed_orders",
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _grouping_sets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((lang), (source)) — two independent rollups in
+    one pass (cube/rollup cover the other grouping-set shapes)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        select lang, source,
+               count(*) as n_docs,
+               sum(n_chars) as total_chars
+        from documents_gs
+        group by grouping sets ((lang), (source))
+        """
     )
 
 
@@ -914,12 +1061,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_pii_scan": _text_pii_scan,
         "text_pii_redact": _text_pii_redact,
+        "text_normalize": _text_normalize,
+        "tfidf_top_terms": _tfidf_top_terms,
         "text_rollup": _text_rollup,
         "multimodal_stats": _multimodal_stats,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "window_top_orders": _window_top_orders,
         "windowed_counts": _windowed_counts,
+        "sliding_counts": _sliding_counts,
+        "session_window_native": _session_window_native,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "grouping_sets_docs": _grouping_sets_docs,
+        "bucketed_join_orders": _bucketed_join_orders,
+        "salted_event_totals": _salted_event_totals,
         "rollup_docs": _rollup_docs,
         "cube_docs": _cube_docs,
         "customers_without_orders": _customers_without_orders,
@@ -1393,6 +1548,29 @@ def oracle_sql() -> dict[str, str]:
                         else md5(text) end as fingerprint
             from t
         """,
+        "text_normalize": """
+            select doc_id,
+                   regexp_replace(trim(lower('  MiXeD   Case ' || text || '  ')),
+                                  ' +', ' ', 'g') as normalized
+            from documents
+        """,
+        "tfidf_top_terms": """
+            with toks as (
+              select doc_id, unnest(string_split(text, ' ')) as tok from documents
+            ),
+            tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+            dfx as (select tok, count(*) as df from tf group by 1),
+            sc as (
+              select tf.doc_id, tf.tok, (tf.tf * 1000000) // dfx.df as score
+              from tf join dfx using (tok)
+            )
+            select doc_id, tok,
+                   cast(row_number() over (partition by doc_id
+                        order by score desc, tok) as bigint) as rnk,
+                   cast(score as bigint) as score
+            from sc
+            qualify rnk <= 3
+        """,
         "text_rollup": """
             select lang, source,
                    cast(count(*) as bigint) as n_docs,
@@ -1461,6 +1639,82 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n
             from events
             group by 1, 2, 3
+        """,
+        "sliding_counts": """
+            with x as (
+              select event_type,
+                     time_bucket(interval '15 minutes', ts)
+                       - k * (interval '15 minutes') as ws
+              from events, (select unnest(generate_series(0, 3)) as k)
+            )
+            select cast(epoch_us(ws) as bigint) as window_start_us,
+                   cast(epoch_us(ws + interval '1 hour') as bigint) as window_end_us,
+                   event_type,
+                   cast(count(*) as bigint) as n
+            from x
+            group by 1, 2, 3
+        """,
+        "session_window_native": """
+            with g as (
+              select user_id, ts,
+                     case when epoch_us(ts) - coalesce(
+                           lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
+                           >= 1800000000
+                          then 1 else 0 end as new_session
+              from events
+            ),
+            s as (
+              select user_id, ts,
+                     sum(new_session) over (partition by user_id order by ts
+                                            rows between unbounded preceding and current row) as sid
+              from g
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_events,
+                   cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
+                   cast(epoch_us(max(ts)) as bigint) as last_epoch_us
+            from s
+            group by user_id, sid
+        """,
+        "q5_local_supplier_volume": """
+            select n_name,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as revenue,
+                   cast(count(*) as bigint) as n_items
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'ASIA'
+              and o_orderdate >= timestamp '1996-01-01 00:00:00'
+              and o_orderdate < timestamp '1997-01-01 00:00:00'
+            group by n_name
+        """,
+        "grouping_sets_docs": """
+            select lang, source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
+            from documents
+            group by grouping sets ((lang), (source))
+        """,
+        "bucketed_join_orders": """
+            select c_mktsegment,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                     as total_spend,
+                   cast(count(*) as bigint) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "salted_event_totals": """
+            select event_type,
+                   cast(sum(cast(value as decimal(18,2))) as double) as total_value,
+                   cast(count(event_id) as bigint) as n,
+                   cast(max(user_id) as bigint) as max_user
+            from events
+            group by event_type
         """,
         "rollup_docs": """
             select lang, source,

@@ -169,3 +169,55 @@ def pii_redact(
     for p in PII_PATTERNS.values():
         out = F.regexp_replace(out, p, sentinel)
     return df.select(F.col(id_col), out.alias("redacted"))
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Canonical text form: lowercase, trimmed, internal whitespace runs
+    collapsed to single spaces — the normalization every dedup/fingerprint
+    pass should share so near-identical documents hash identically.
+    Pure codegen expressions; DuckDB oracle is lower/trim/regexp_replace
+    with the 'g' flag (Spark's regexp_replace is global by default)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    return df.select(F.col(id_col), norm.alias(out_col))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k distinctive terms by tf-idf rank. The score is the
+    INTEGER (tf * 1_000_000) / df (floor) — rank-equivalent to tf/df (and
+    monotone in tf * idf for the ranking within a document), chosen over a
+    float log-idf because engines' libm log implementations differ in the
+    last bit while integer division is cross-engine exact. Ties break on
+    token text.
+
+    Plan: explode -> (doc, token) count shuffle -> token df count shuffle ->
+    broadcast-friendly token-stats join -> per-doc top-k window. The df
+    (document-frequency) side is one row per distinct token — at corpus
+    scale that is the vocabulary, orders of magnitude smaller than the
+    corpus; Spark broadcasts it when under the threshold."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # floor of the double quotient equals integer division here: tf*1e6 is
+    # exact in double (< 2^53) and a non-exact quotient sits >= 1/df above
+    # the next integer — far outside double rounding error.
+    scored = tf.join(dfreq, "tok").withColumn(
+        "score", F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "tok",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )

@@ -141,3 +141,27 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(ev, ["event_type"], {"m": ("value", "avg")})
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed+sorted storage on the join key must yield a sort-merge join
+    with ZERO Exchange nodes on the join inputs (the write paid the shuffle
+    once) — the repeated-join pattern that matters most at 100 TB."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+    from kafka_custom_transforms_spark.sources.bucketing import bucketed_equijoin
+
+    d = tempfile.mkdtemp(prefix="kcts-bucketed-test-")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = bucketed_equijoin(
+        spark, orders, cust, "o_custkey", "c_custkey", d, n_buckets=4,
+        table_prefix="kcts_bucketed_plan_test",
+    )
+    plan = plan_str(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket-aligned scans feed the join directly
+    # correctness: the bucketed join equals the plain join
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    assert j.count() == plain

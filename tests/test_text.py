@@ -92,3 +92,38 @@ def test_pattern_scan_counts(spark):
     assert red[1] == "mail me at [REDACTED] or [REDACTED] and call [REDACTED]"
     assert red[2] == "see [REDACTED] and [REDACTED]"
     assert red[3] == "clean text only"
+
+
+def test_normalize_text(spark):
+    from kafka_custom_transforms_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  HeLLo   WORLD  "), (2, "already clean"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.normalized for r in normalize_text(df).collect()}
+    assert got == {1: "hello world", 2: "already clean", 3: ""}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from kafka_custom_transforms_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    got = {(r.doc_id, r.rnk): (r.tok, r.score) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2_000_000; banana tf=1 df=2 -> 500_000
+    assert got[(1, 1)] == ("apple", 2_000_000)
+    assert got[(1, 2)] == ("banana", 500_000)
+    # doc 3: common tf=2 df=3 -> 666_666; cherry tf=1 df=2 -> 500_000
+    assert got[(3, 1)] == ("common", 666_666)
+    assert got[(3, 2)] == ("cherry", 500_000)
+    # doc 2: banana and cherry both tf=1 df=2 -> tie at 500_000, token asc
+    assert got[(2, 1)] == ("banana", 500_000)
+    assert got[(2, 2)] == ("cherry", 500_000)
