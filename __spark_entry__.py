@@ -682,6 +682,69 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline composed end to end — the reason the
+    extension operators exist as composable DataFrame transforms:
+    normalize -> quality-filter (>=70) -> benchmark decontamination (drop
+    any doc sharing an 8-gram with the benchmark slice) -> near-dup removal
+    (winnowing-fingerprint survivor) -> deterministic 50% hash sample.
+    Every stage is individually oracle-checked elsewhere; this row checks
+    their COMPOSITION against one SQL that replays the full pipeline."""
+    from kafka_custom_transforms_spark.functions.sampling import hash_bucket
+    from kafka_custom_transforms_spark.operators.decontaminate import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.withColumn(
+        "text", F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    )
+    quality = text.quality_score(norm).select("doc_id", "quality", "n_tokens")
+    fp = text.doc_fingerprint(norm, window=8)
+    flags = contamination_flags(norm, norm.filter(F.col("doc_id") % 31 == 0), ngram=8)
+    kept = (
+        norm.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(fp, "doc_id")
+        .join(flags, "doc_id")
+        .filter((F.col("quality") >= 70) & (F.col("n_bench_grams") == 0))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    return survivors.filter(hash_bucket(F.col("doc_id"), 100) < 50).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: events exported to JSON and read back with an
+    explicit schema must reproduce the table exactly (timestamps ride as
+    epoch micros — JSON has no timestamp type)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-json-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    ev.write.json(d + "/out")
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, ts_us long"
+    ).json(d + "/out")
+
+
+def _orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (the other columnar format Spark ships natively): same
+    roundtrip contract as JSON."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-orc-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    ev.write.orc(d + "/out")
+    return spark.read.orc(d + "/out")
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1075,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_docs": _grouping_sets_docs,
         "bucketed_join_orders": _bucketed_join_orders,
         "salted_event_totals": _salted_event_totals,
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "json_source_roundtrip": _json_source_roundtrip,
+        "orc_source_roundtrip": _orc_source_roundtrip,
         "rollup_docs": _rollup_docs,
         "cube_docs": _cube_docs,
         "customers_without_orders": _customers_without_orders,
@@ -1715,6 +1781,80 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(user_id) as bigint) as max_user
             from events
             group by event_type
+        """,
+        "pipeline_clean_corpus": """
+            with norm as (
+              select doc_id, lang,
+                     regexp_replace(trim(lower(text)), ' +', ' ', 'g') as text
+              from documents
+            ),
+            tq as (
+              select doc_id, lang, text,
+                     len(string_split(text, ' ')) as n,
+                     len(list_distinct(string_split(text, ' '))) as uniq,
+                     length(text) - (len(string_split(text, ' ')) - 1) as tok_chars
+              from norm
+            ),
+            q as (
+              select doc_id, lang, n as n_tokens,
+                     (case when n between 20 and 120 then 40 else 0 end
+                      + case when uniq * 100 >= 30 * n then 30 else 0 end
+                      + case when tok_chars >= 2 * n and tok_chars <= 12 * n
+                             then 30 else 0 end) as quality
+              from tq
+            ),
+            fpw as (select doc_id, string_split(text, ' ') as w, text from norm),
+            fp as (
+              select doc_id,
+                     case when len(w) >= 8
+                          then list_aggregate(
+                                 [md5(array_to_string(w[i:i+7], ' '))
+                                  for i in range(1, len(w) - 6)], 'min')
+                          else md5(text) end as fingerprint
+              from fpw
+            ),
+            sh8 as (
+              select doc_id, case when len(w) >= 8
+                then list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 6)])
+                else [] end as s
+              from fpw
+            ),
+            bench as (select distinct unnest(s) as g from sh8 where doc_id % 31 = 0),
+            hits as (
+              select dg.doc_id, count(*) as nb
+              from (select doc_id, unnest(s) as g from sh8) dg
+              join bench using (g)
+              group by dg.doc_id
+            ),
+            kept as (
+              select q.doc_id, q.lang, q.n_tokens, fp.fingerprint
+              from q
+              join fp using (doc_id)
+              left join hits using (doc_id)
+              where q.quality >= 70 and coalesce(hits.nb, 0) = 0
+            ),
+            surv as (
+              select doc_id, lang, n_tokens from (
+                select *, row_number() over (partition by fingerprint
+                                             order by doc_id) as rn
+                from kept
+              ) where rn = 1
+            )
+            select doc_id, lang, cast(n_tokens as bigint) as n_tokens
+            from surv
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                  % 100 < 50
+        """,
+        "json_source_roundtrip": """
+            select event_id, user_id, event_type,
+                   cast(epoch_us(ts) as bigint) as ts_us
+            from events
+        """,
+        "orc_source_roundtrip": """
+            select event_id, user_id, event_type,
+                   cast(epoch_us(ts) as bigint) as ts_us
+            from events
         """,
         "rollup_docs": """
             select lang, source,
