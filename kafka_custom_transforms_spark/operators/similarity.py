@@ -39,12 +39,18 @@ def topk_neighbors(
     include_self: bool = False,
     dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k."""
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k.
+
+    The cosine is unrolled into a flat codegen expression only when the base
+    table is large enough to amortize the one-time Janino/JIT compile of the
+    ~600-node tree (see :data:`UNROLL_MIN_ROWS`); the interpreted fold is
+    bit-equal, so results never depend on the choice."""
+    cos_dim = _auto_cos_dim(base, dim)
     b = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
     scored = scored.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), dim).alias("cos")
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -52,6 +58,14 @@ def topk_neighbors(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _auto_cos_dim(base: DataFrame, dim: int | None) -> int | None:
+    """Unroll the cosine only when the base corpus amortizes the compile
+    cost (one cheap count; see UNROLL_MIN_ROWS). None stays None."""
+    if dim is None:
+        return None
+    return dim if base.count() >= UNROLL_MIN_ROWS else None
 
 
 def _hyperplane_weight(plane: int, dim: int) -> float:
@@ -180,6 +194,7 @@ def lsh_topk_neighbors(
     in at least one table, then exact-cosine rank. Same output schema as
     :func:`topk_neighbors`; recall < 1 by design — tests measure it against
     the brute-force baseline."""
+    cos_dim = _auto_cos_dim(base, dim)
     bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)
     qb = hyperplane_buckets(queries, dim, id_col, vec_col, tables, bits_per_table)
     cand = (
@@ -194,7 +209,7 @@ def lsh_topk_neighbors(
     scored = (
         cand.join(bvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), dim).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
