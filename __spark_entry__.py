@@ -308,6 +308,37 @@ def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: connected components over the minhash dup-pair
+    graph, min-id component labels (operators/clusters.py). The oracle
+    recomputes the transitive closure with a DuckDB recursive CTE over the
+    same exact-Jaccard pair set, so the iterative Spark propagation is
+    value-checked end to end."""
+    from kafka_custom_transforms_spark.operators import clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_k=3, num_perm=128, bands=32, threshold=0.5
+    )
+    comp = clusters.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup story: pairs -> clusters -> one survivor per cluster
+    (minimum doc_id), untouched singletons pass through."""
+    from kafka_custom_transforms_spark.operators import clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_k=3, num_perm=128, bands=32, threshold=0.5
+    )
+    out = clusters.resolve_survivors(docs, pairs, id_col="doc_id")
+    return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Wide (112-bit) signature: same result set as the 60-bit/hamming<=12
     # configuration (sf0.01 measured gap: true pairs <= 13, nearest
@@ -1110,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _stream_interval_join,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_survivors": _dedup_survivors,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding,
         "decontaminate_docs": _decontaminate_docs,
@@ -1213,6 +1246,44 @@ select a.doc_id as a_id, b.doc_id as b_id
 from sh a join sh b on a.doc_id < b.doc_id
 where len(a.s) > 0 and len(b.s) > 0
   and len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+"""
+)
+
+# Transitive closure of the exact-Jaccard dup-pair graph: component label =
+# min reachable doc_id, the same deterministic definition the Spark
+# min-label propagation converges to.
+_CLUSTERS_CTE = (
+    "with recursive "
+    + _SHINGLES_CTE
+    + """,
+p as (
+  select a.doc_id as a_id, b.doc_id as b_id
+  from sh a join sh b on a.doc_id < b.doc_id
+  where len(a.s) > 0 and len(b.s) > 0
+    and len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+),
+e as (select a_id as u, b_id as v from p union select b_id as u, a_id as v from p),
+reach(id, x) as (
+  select u, u from e
+  union
+  select e2.u, r.x from e e2 join reach r on r.id = e2.v
+)
+"""
+)
+
+_CLUSTERS_SQL = (
+    _CLUSTERS_CTE
+    + "select id as doc_id, min(x) as cluster_id from reach group by id"
+)
+
+_SURVIVORS_SQL = (
+    _CLUSTERS_CTE
+    + """,
+comp as (select id, min(x) as m from reach group by id)
+select d.doc_id, length(d.text)::BIGINT as n_chars
+from documents d
+left join comp on comp.id = d.doc_id
+where comp.id is null or comp.id = comp.m
 """
 )
 
@@ -1448,6 +1519,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_survivors": _SURVIVORS_SQL,
         "dedup_simhash": (
             "with "
             + _SHINGLES_CTE

@@ -1,0 +1,124 @@
+"""Duplicate-cluster resolution: connected components over dup-pair edges.
+
+The reference SMT library has no notion of dedup at all (SURVEY.md §2.4);
+this is an engine-surface extension operator.  Every pairwise dedup
+operator in this package (``dedup.minhash_lsh_pairs``,
+``dedup.simhash_pairs``, ``dedup.ngram_jaccard_pairs``,
+``dedup.embedding_dup_pairs``) emits dup PAIRS — but a real training-data
+pipeline must resolve pairs into clusters and keep exactly one survivor
+per cluster, because near-duplication is transitive in practice (A~B and
+B~C usually means A, B, C are one document family even when A~C fell just
+below threshold).  That resolution is connected components on the pair
+graph.
+
+Scale design (100 TB):
+
+``connected_components`` runs iterative min-label propagation: per round,
+ONE shuffle (edge equi-join against the label table + a min-aggregate) and
+an exact fixpoint check (count of labels that changed; 0 terminates).
+Lineage is truncated every round (``localCheckpoint`` locally,
+``checkpoint`` to reliable storage on a cluster — same parameterization as
+``dedup._materialize``), so the plan never grows with the round count.
+Rounds to converge = graph diameter.  Verified near-dup clusters are
+near-cliques (every member pair passed the same similarity verify), so the
+diameter is tiny — measured <= 3 on the test corpus — and the loop runs
+2-4 rounds.  For adversarial long-chain graphs, alternating
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) converges in O(log^2 n) rounds with the same
+join-shape per round; this loop is the drop-in place to add it, and
+``max_rounds`` bounds the worst case either way.
+
+The component label is the MINIMUM node id in the component — a
+deterministic, engine-independent definition, which is what makes the
+result oracle-checkable (DuckDB recomputes it with a recursive-CTE
+transitive closure) and what makes the survivor choice reproducible across
+runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_custom_transforms_spark.operators.dedup import _materialize
+
+__all__ = ["connected_components", "resolve_survivors"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_rounds: int = 25,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Resolve dup pairs into components: returns ``(id, component)``.
+
+    ``id`` ranges over every node that appears in ``pairs``; ``component``
+    is the minimum id in that node's connected component (so a node is a
+    cluster's canonical survivor iff ``id == component``).  Works for any
+    orderable id type — ids are never cast.
+
+    Raises ``RuntimeError`` if the graph has not converged after
+    ``max_rounds`` rounds (diameter > max_rounds); near-dup graphs
+    converge in a handful of rounds, see module docstring.
+    """
+    half = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Undirected: propagate labels both ways along every edge.
+    edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = _materialize(edges, checkpoint)
+
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = _materialize(labels, checkpoint)
+
+    for _ in range(max_rounds):
+        # min label among neighbors, one shuffle: join edges to the label
+        # of the source endpoint, aggregate min per destination.
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("component", "nbr_component").alias("component"),
+            (F.col("nbr_component") < F.col("component")).alias("_changed"),
+        )
+        updated = _materialize(updated, checkpoint)
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds "
+        "(graph diameter exceeds max_rounds); raise max_rounds or switch "
+        "to large-star/small-star for long-chain graphs"
+    )
+
+
+def resolve_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Keep one survivor per dup cluster: df minus every non-minimum member.
+
+    Rows of ``df`` never mentioned in ``pairs`` pass through untouched
+    (they are singleton clusters).  The survivor of each cluster is the
+    row whose id equals the component minimum — deterministic and
+    engine-independent.  Plan shape: connected components (see above) then
+    ONE broadcast-friendly left-anti join of ``df`` against the loser set
+    (losers are a small fraction of the corpus in realistic dedup, and the
+    anti join needs only the loser ids, not the full label table).
+    """
+    comp = connected_components(
+        pairs, a_col=a_col, b_col=b_col, checkpoint=checkpoint
+    )
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

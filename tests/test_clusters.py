@@ -1,0 +1,61 @@
+"""Connected-components cluster resolution over dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_custom_transforms_spark.operators import clusters
+
+
+def _comps(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    out = clusters.connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _comps(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # path 1-2-3-4-5-6-7: diameter 6, forces several propagation rounds
+    got = _comps(spark, [(i, i + 1) for i in range(1, 7)])
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_max_rounds_exceeded_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        clusters.connected_components(df, max_rounds=1)
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "a_id string, b_id string"
+    )
+    out = clusters.connected_components(df)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_edge_direction_irrelevant(spark):
+    # pairs given with the larger id first still cluster identically
+    assert _comps(spark, [(3, 1), (2, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_resolve_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a_id long, b_id long")
+    out = clusters.resolve_survivors(docs, pairs)
+    # clusters {1,2,3} -> 1 and {5,6} -> 5; 4 and 7 are untouched singletons
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5, 7]
+
+
+def test_checkpoint_modes_agree(spark):
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    assert _comps(spark, pairs, checkpoint="none") == _comps(
+        spark, pairs, checkpoint="local"
+    )
