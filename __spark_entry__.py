@@ -638,6 +638,12 @@ def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (dup-line / dup-line-char / top-bigram
+    fractions, per-mille ints) — operators/text.py:repetition_stats."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -1154,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_language_id": _text_language_id,
         "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
         "text_fingerprint": _text_fingerprint,
         "text_pii_scan": _text_pii_scan,
         "text_pii_redact": _text_pii_redact,
@@ -1619,6 +1626,52 @@ def oracle_sql() -> dict[str, str]:
                 else 'fr'
               end as detected_lang
             from scored
+        """,
+        "text_repetition": """
+            with d as (
+              select doc_id,
+                     string_split(text, chr(10)) as lines,
+                     string_split(text, ' ') as w
+              from documents
+            ),
+            b as (
+              select doc_id, lines,
+                     case when len(w) >= 2
+                       then [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                       else [] end as bg
+              from d
+            ),
+            m as (
+              select doc_id,
+                len(lines) as n_lines,
+                len(list_distinct(lines)) as n_dist,
+                coalesce(list_sum(list_transform(lines, x -> length(x))), 0) as total_chars,
+                coalesce(list_sum(list_transform(list_distinct(lines),
+                    l -> case when len(list_filter(lines, x -> x = l)) > 1
+                         then len(list_filter(lines, x -> x = l)) * length(l)
+                         else 0 end)), 0) as dup_chars,
+                len(bg) as n_bg,
+                case when len(bg) > 0
+                  then list_max(list_transform(list_distinct(bg),
+                                g -> len(list_filter(bg, x -> x = g))))
+                  else 0 end as top_bg
+              from b
+            ),
+            pm as (
+              select doc_id,
+                cast(n_lines as bigint) as n_lines,
+                cast(((n_lines - n_dist) * 1000) // n_lines as bigint) as dup_line_pm,
+                cast(case when total_chars > 0
+                     then (dup_chars * 1000) // total_chars else 0 end as bigint)
+                  as dup_line_char_pm,
+                cast(case when n_bg > 0
+                     then (top_bg * 1000) // n_bg else 0 end as bigint) as top_bigram_pm
+              from m
+            )
+            select doc_id, n_lines, dup_line_pm, dup_line_char_pm, top_bigram_pm,
+                   (dup_line_pm > 300 or dup_line_char_pm > 200 or top_bigram_pm > 180)
+                     as repetitive
+            from pm
         """,
         "text_quality": """
             with t as (

@@ -114,6 +114,82 @@ def doc_fingerprint(
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446,
+    Table A1): duplicate-line fraction, duplicate-line CHARACTER fraction,
+    and top-bigram occurrence fraction — the standard "document is mostly
+    boilerplate / repeated itself" filters for LLM training corpora.
+
+    Per the module contract, fractions are per-mille bigints (integer
+    division), so DuckDB oracles hash-match bit-exactly. ``repetitive``
+    applies Gopher's published thresholds (dup-line > 30%, dup-line-chars
+    > 20%, top-bigram > 18%).
+
+    Scale: pure per-row Catalyst expressions — zero shuffle, linear scans
+    over the corpus. Per-document cost is O(lines^2 + bigrams^2) from the
+    nested membership scans, fine at web-document length (<= a few
+    thousand lines); for book-length inputs use an explode + groupBy
+    formulation (one shuffle) — the signal definitions are identical.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    raw_bg = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    # guard: sequence(1, 0) would be DESCENDING, not empty
+    bigrams = F.when(n_tok >= 2, raw_bg).otherwise(F.array().cast("array<string>"))
+
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1,
+            F.size(F.filter(lines, lambda x: x == l)).cast("long") * F.length(l),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    n_bg = F.size(bigrams)
+    top_bg = F.when(
+        n_bg > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+    dup_line_pm = (
+        ((n_lines - n_dist).cast("long") * 1000) / n_lines.cast("long")
+    ).cast("long")
+    dup_char_pm = F.when(
+        total_chars > 0, (dup_chars * 1000 / total_chars).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    top_bg_pm = F.when(
+        n_bg > 0, (top_bg.cast("long") * 1000 / n_bg.cast("long")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_pm.alias("dup_line_pm"),
+        dup_char_pm.alias("dup_line_char_pm"),
+        top_bg_pm.alias("top_bigram_pm"),
+        (
+            (dup_line_pm > 300) | (dup_char_pm > 200) | (top_bg_pm > 180)
+        ).alias("repetitive"),
+    )
+
+
 def token_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus rollup: token volume per (lang, source) — partial (map-side)
     aggregation then a single shuffle on the grouping keys."""

@@ -127,3 +127,33 @@ def test_tfidf_top_terms_hand_computed(spark):
     # doc 2: banana and cherry both tf=1 df=2 -> tie at 500_000, token asc
     assert got[(2, 1)] == ("banana", 500_000)
     assert got[(2, 2)] == ("cherry", 500_000)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from kafka_custom_transforms_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "spam" 3x duplicated: dup_line_frac = (4-2)/4 = 500pm;
+            # dup chars = 3*4 = 12 of 4+4+4+2 = 14 chars -> 857pm
+            (1, "spam\nspam\nspam\nok"),
+            (2, "one two three four five six seven eight\nnine ten eleven twelve"),
+            # "buy now buy now buy now": bigrams = [buy now, now buy, buy now,
+            # now buy, buy now] -> top "buy now" 3 of 5 -> 600pm
+            (3, "buy now buy now buy now"),
+            (4, ""),  # empty text: single empty line, no bigrams, all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["dup_line_pm"] == 500
+    assert got[1]["dup_line_char_pm"] == 857
+    assert got[1]["repetitive"] is True
+    assert got[2]["dup_line_pm"] == 0
+    assert got[2]["repetitive"] is False
+    assert got[3]["top_bigram_pm"] == 600
+    assert got[3]["repetitive"] is True
+    assert got[4]["n_lines"] == 1
+    assert got[4]["dup_line_char_pm"] == 0
+    assert got[4]["top_bigram_pm"] == 0
+    assert got[4]["repetitive"] is False
