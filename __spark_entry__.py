@@ -638,6 +638,21 @@ def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+def _pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training (operators/packing.py):
+    hash-sharded, id-ordered first-fit into 256-token windows. md5 bucket
+    hash so DuckDB recomputes the identical assignment with a recursive
+    CTE per bucket."""
+    from kafka_custom_transforms_spark.functions.texthash import tokens
+    from kafka_custom_transforms_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (dup-line / dup-line-char / top-bigram
     fractions, per-mille ints) — operators/text.py:repetition_stats."""
@@ -1161,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _text_language_id,
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
+        "pack_docs": _pack_docs,
         "text_fingerprint": _text_fingerprint,
         "text_pii_scan": _text_pii_scan,
         "text_pii_redact": _text_pii_redact,
@@ -1626,6 +1642,35 @@ def oracle_sql() -> dict[str, str]:
                 else 'fr'
               end as detected_lang
             from scored
+        """,
+        "pack_docs": """
+            with recursive base as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                          % 8 as int) as bucket
+              from documents
+            ),
+            t as (
+              select *, row_number() over (partition by bucket order by doc_id) as rn
+              from base
+            ),
+            p as (
+              select doc_id, n_tokens, bucket, rn,
+                     n_tokens as fill,
+                     cast(0 as bigint) as seq, cast(0 as bigint) as pack_offset
+              from t where rn = 1
+              union all
+              select t.doc_id, t.n_tokens, t.bucket, t.rn,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.fill + t.n_tokens else t.n_tokens end,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.seq else p.seq + 1 end,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.fill else cast(0 as bigint) end
+              from p join t on t.bucket = p.bucket and t.rn = p.rn + 1
+            )
+            select doc_id, n_tokens, bucket, seq, pack_offset from p
         """,
         "text_repetition": """
             with d as (
