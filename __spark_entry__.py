@@ -797,6 +797,23 @@ def _orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(d + "/out")
 
 
+def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: same roundtrip contract as JSON (header on, explicit
+    read schema — CSV is untyped text on disk)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-csv-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    ev.write.option("header", True).csv(d + "/out")
+    return (
+        spark.read.option("header", True)
+        .schema("event_id long, user_id long, event_type string, ts_us long")
+        .csv(d + "/out")
+    )
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1197,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "json_source_roundtrip": _json_source_roundtrip,
         "orc_source_roundtrip": _orc_source_roundtrip,
+        "csv_source_roundtrip": _csv_source_roundtrip,
         "rollup_docs": _rollup_docs,
         "cube_docs": _cube_docs,
         "customers_without_orders": _customers_without_orders,
@@ -2018,6 +2036,11 @@ def oracle_sql() -> dict[str, str]:
                   % 100 < 50
         """,
         "json_source_roundtrip": """
+            select event_id, user_id, event_type,
+                   cast(epoch_us(ts) as bigint) as ts_us
+            from events
+        """,
+        "csv_source_roundtrip": """
             select event_id, user_id, event_type,
                    cast(epoch_us(ts) as bigint) as ts_us
             from events
