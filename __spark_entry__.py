@@ -653,6 +653,40 @@ def _pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
 
 
+def _pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side consumer of pack_docs: concatenate each packed
+    sequence's text in pack_offset order (md5 of the result keeps rows
+    compact)."""
+    from kafka_custom_transforms_spark.functions.texthash import tokens
+    from kafka_custom_transforms_spark.operators.packing import (
+        pack_sequences,
+        packed_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    assignment = pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
+    out = packed_text(docs, assignment)
+    return out.select(
+        "bucket", "seq", F.md5("packed_text").alias("packed_md5"), "n_docs", "n_tokens"
+    )
+
+
+def _mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: keep 30% of sources src0-src9, all of the
+    rest — functions/sampling.py:mixture_sample (exact per-mille
+    thresholds, engine-portable md5 key hash)."""
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {f"src{i}": 300 for i in range(10)}
+    return mixture_sample(docs, "doc_id", "source", rates).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (dup-line / dup-line-char / top-bigram
     fractions, per-mille ints) — operators/text.py:repetition_stats."""
@@ -1194,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
         "pack_docs": _pack_docs,
+        "pack_texts": _pack_texts,
+        "mixture_sample_docs": _mixture_sample_docs,
         "text_fingerprint": _text_fingerprint,
         "text_pii_scan": _text_pii_scan,
         "text_pii_redact": _text_pii_redact,
@@ -1289,6 +1325,37 @@ where len(a.s) > 0 and len(b.s) > 0
   and len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
 """
 )
+
+# Greedy first-fit packing recomputed per bucket with a recursive CTE —
+# identical semantics to operators/packing.pack_sequences(bucket_hash="md5").
+_PACK_CTE = """
+            with recursive base as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                          % 8 as int) as bucket
+              from documents
+            ),
+            t as (
+              select *, row_number() over (partition by bucket order by doc_id) as rn
+              from base
+            ),
+            p as (
+              select doc_id, n_tokens, bucket, rn,
+                     n_tokens as fill,
+                     cast(0 as bigint) as seq, cast(0 as bigint) as pack_offset
+              from t where rn = 1
+              union all
+              select t.doc_id, t.n_tokens, t.bucket, t.rn,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.fill + t.n_tokens else t.n_tokens end,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.seq else p.seq + 1 end,
+                     case when p.fill + t.n_tokens <= 256
+                          then p.fill else cast(0 as bigint) end
+              from p join t on t.bucket = p.bucket and t.rn = p.rn + 1
+            )
+"""
 
 # Transitive closure of the exact-Jaccard dup-pair graph: component label =
 # min reachable doc_id, the same deterministic definition the Spark
@@ -1661,34 +1728,26 @@ def oracle_sql() -> dict[str, str]:
               end as detected_lang
             from scored
         """,
-        "pack_docs": """
-            with recursive base as (
-              select doc_id,
-                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
-                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
-                          % 8 as int) as bucket
-              from documents
-            ),
-            t as (
-              select *, row_number() over (partition by bucket order by doc_id) as rn
-              from base
-            ),
-            p as (
-              select doc_id, n_tokens, bucket, rn,
-                     n_tokens as fill,
-                     cast(0 as bigint) as seq, cast(0 as bigint) as pack_offset
-              from t where rn = 1
-              union all
-              select t.doc_id, t.n_tokens, t.bucket, t.rn,
-                     case when p.fill + t.n_tokens <= 256
-                          then p.fill + t.n_tokens else t.n_tokens end,
-                     case when p.fill + t.n_tokens <= 256
-                          then p.seq else p.seq + 1 end,
-                     case when p.fill + t.n_tokens <= 256
-                          then p.fill else cast(0 as bigint) end
-              from p join t on t.bucket = p.bucket and t.rn = p.rn + 1
+        "pack_docs": _PACK_CTE
+        + "select doc_id, n_tokens, bucket, seq, pack_offset from p",
+        "pack_texts": _PACK_CTE
+        + """,
+            j as (
+              select p.bucket, p.seq, p.pack_offset, d.text, p.n_tokens
+              from p join documents d using (doc_id)
             )
-            select doc_id, n_tokens, bucket, seq, pack_offset from p
+            select bucket, seq,
+                   md5(string_agg(text, chr(10) order by pack_offset)) as packed_md5,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_tokens) as bigint) as n_tokens
+            from j group by bucket, seq
+        """,
+        "mixture_sample_docs": """
+            select doc_id, source, lang from documents
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT % 1000
+                  < case when source in ('src0','src1','src2','src3','src4',
+                                         'src5','src6','src7','src8','src9')
+                         then 300 else 1000 end
         """,
         "text_repetition": """
             with d as (

@@ -32,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "packed_text"]
 
 
 def pack_sequences(
@@ -98,3 +98,39 @@ def pack_sequences(
         bucket.cast("int").alias("bucket"),
     )
     return with_bucket.groupBy("bucket").applyInPandas(_pack, out_schema)
+
+
+def packed_text(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize each packed sequence's text: join docs to their
+    ``pack_sequences`` slots and concatenate per ``(bucket, seq)`` in
+    pack_offset order.
+
+    This is the loader-side consumer of the packing decision, expressed as
+    one equi-join plus one groupBy — both shuffles on uniform hash keys
+    (bucket cardinality is the parallelism floor, so pick n_buckets >=
+    target parallelism upstream). Ordering inside a window is total
+    because pack_offset is strictly increasing within a sequence.
+    """
+    joined = docs.select(id_col, text_col).join(assignment, id_col)
+    return (
+        joined.groupBy("bucket", "seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pack_offset", F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                sep,
+            ).alias("packed_text"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

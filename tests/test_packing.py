@@ -61,3 +61,21 @@ def test_bad_args(spark):
         pack_sequences(df, context_len=0)
     with pytest.raises(ValueError, match="bucket_hash"):
         pack_sequences(df, bucket_hash="fnv")
+
+
+def test_packed_text_concatenates_in_offset_order(spark):
+    from kafka_custom_transforms_spark.operators.packing import (
+        pack_sequences,
+        packed_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one", 100), (2, "two", 100), (3, "three", 100)],
+        "doc_id long, text string, n_tokens long",
+    )
+    assignment = pack_sequences(docs.select("doc_id", "n_tokens"), context_len=256, n_buckets=1)
+    out = packed_text(docs, assignment, sep=" ").collect()
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[0].packed_text == "one two"  # ids 1,2 fill 200 of 256
+    assert by_seq[0].n_docs == 2 and by_seq[0].n_tokens == 200
+    assert by_seq[1].packed_text == "three"

@@ -54,3 +54,37 @@ def test_bad_args_raise(docs):
         hash_bucket(F.col("doc_id"), 0)
     with pytest.raises(ValueError, match="num"):
         hash_sample(docs, "doc_id", 101, 100)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, s string"
+    )
+    out = mixture_sample(df, "k", "s", {"a": 250}, default_pm=1000)
+    rows = out.collect()
+    a = [r.k for r in rows if r.s == "a"]
+    b = [r.k for r in rows if r.s == "b"]
+    assert len(b) == 1000  # default keeps everything
+    assert 0.15 < len(a) / 1000 < 0.35  # ~25% of stratum a
+    # deterministic: second run selects the identical rows
+    again = mixture_sample(df, "k", "s", {"a": 250}).collect()
+    assert sorted(r.k for r in again) == sorted(r.k for r in rows)
+    # nests inside hash_sample slices built from the same key
+    from kafka_custom_transforms_spark.functions.sampling import hash_sample
+
+    sampled_keys = {r.k for r in hash_sample(df, "k", 250, 1000).collect() if r.s == "a"}
+    assert set(a) == sampled_keys  # 250pm mixture == 250/1000 hash slice
+
+
+def test_mixture_sample_validation(spark):
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    import pytest
+
+    with pytest.raises(ValueError, match="rates_pm"):
+        mixture_sample(df, "k", "s", {"a": 1500})
+    with pytest.raises(ValueError, match="default_pm"):
+        mixture_sample(df, "k", "s", {}, default_pm=-1)
