@@ -47,6 +47,8 @@ BENCH_QUERIES = (
     "text_token_stats",
     "text_fingerprint",
     "text_rollup",
+    "text_repetition",
+    "pack_docs",
     "multimodal_stats",
 )
 
