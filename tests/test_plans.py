@@ -165,3 +165,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # correctness: the bucketed join equals the plain join
     plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).count()
     assert j.count() == plain
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    """Gopher repetition filters are pure per-row expressions: the plan
+    must contain no Exchange and stay in whole-stage codegen territory."""
+    from kafka_custom_transforms_spark.operators.text import repetition_stats
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    out = repetition_stats(load_table(spark, sf_dir, "documents"))
+    plan = plan_str(out)
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_is_shuffle_free_filter(spark, sf_dir):
+    """Mixture reweighting is a map-side filter fused into the scan: no
+    Exchange, no aggregation, rates dict folded to a plan-time literal."""
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "doc_id", "source", {"src0": 300, "src1": 500})
+    plan = plan_str(out)
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing shuffles ONCE (hash by bucket) then packs map-side: exactly
+    one Exchange node feeding the applyInPandas stage."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.functions.texthash import tokens
+    from kafka_custom_transforms_spark.operators.packing import pack_sequences
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    plan = plan_str(pack_sequences(sized, context_len=256, n_buckets=8), "simple")
+    assert plan.count("Exchange") == 1
