@@ -848,6 +848,24 @@ def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    partitionBy(event_type), read back filtered to ONE partition value.
+    Catalyst prunes at plan time (PartitionFilters on the scan — pinned by
+    a plan test), so the other partitions' files are never opened: the
+    disk-layout pattern that makes selective scans cheap on 100 TB
+    tables."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-part-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    ev.write.partitionBy("event_type").parquet(d + "/out")
+    back = spark.read.parquet(d + "/out").filter(F.col("event_type") == "purchase")
+    return back.select("event_id", "user_id", "event_type", "ts_us")
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1251,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_source_roundtrip": _json_source_roundtrip,
         "orc_source_roundtrip": _orc_source_roundtrip,
         "csv_source_roundtrip": _csv_source_roundtrip,
+        "partitioned_source_prune": _partitioned_source_prune,
         "rollup_docs": _rollup_docs,
         "cube_docs": _cube_docs,
         "customers_without_orders": _customers_without_orders,
@@ -2103,6 +2122,11 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id, event_type,
                    cast(epoch_us(ts) as bigint) as ts_us
             from events
+        """,
+        "partitioned_source_prune": """
+            select event_id, user_id, event_type,
+                   cast(epoch_us(ts) as bigint) as ts_us
+            from events where event_type = 'purchase'
         """,
         "orc_source_roundtrip": """
             select event_id, user_id, event_type,

@@ -206,3 +206,17 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     )
     plan = plan_str(pack_sequences(sized, context_len=256, n_buckets=8), "simple")
     assert plan.count("Exchange") == 1
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """partitionBy layout + equality filter: the scan must carry the
+    predicate as a PartitionFilter (pruned at planning, files never
+    listed), not as a post-scan row filter."""
+    import __spark_entry__ as em
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    out = em.queries()["partitioned_source_prune"](spark, sf_dir)
+    plan = plan_str(out)
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("purchase" in l for l in pf_lines)
