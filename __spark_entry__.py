@@ -848,6 +848,67 @@ def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles (p25/p50/p75/p90 of doc length per
+    language) via row_number + integer ceil-rank selection — no float
+    interpolation, so the result is engine-exact. One shuffle (window by
+    lang), then the rank probe rides the same partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    def at(num: int, den: int):  # value at rank ceil(num*n/den)
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {num} + {den - 1}) div {den}"),
+                   F.col("n_chars"))
+        ).cast("long")
+    return ranked.groupBy("lang").agg(
+        at(1, 4).alias("p25"),
+        at(1, 2).alias("p50"),
+        at(3, 4).alias("p75"),
+        at(9, 10).alias("p90"),
+    )
+
+
+def _pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user cohort, one count column per event type (explicit
+    value list, so the plan is a single hash aggregate — no distinct-value
+    discovery pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("cohort")
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        ev.select(cohort, "event_type")
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def _orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-average filter without a float average: an order is
+    'above its customer's average' iff price * n > sum(prices) — exact
+    decimal arithmetic, one window shuffle, no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey")
+    out = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        price.alias("p"),
+        F.sum(price).over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    return out.filter(F.col("p") * F.col("n") > F.col("s")).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 def _partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned layout + partition pruning: events written
     partitionBy(event_type), read back filtered to ONE partition value.
@@ -1270,6 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source_roundtrip": _orc_source_roundtrip,
         "csv_source_roundtrip": _csv_source_roundtrip,
         "partitioned_source_prune": _partitioned_source_prune,
+        "doc_length_quantiles": _doc_length_quantiles,
+        "pivot_event_counts": _pivot_event_counts,
+        "orders_above_cust_avg": _orders_above_cust_avg,
         "rollup_docs": _rollup_docs,
         "cube_docs": _cube_docs,
         "customers_without_orders": _customers_without_orders,
@@ -2127,6 +2191,40 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id, event_type,
                    cast(epoch_us(ts) as bigint) as ts_us
             from events where event_type = 'purchase'
+        """,
+        "doc_length_quantiles": """
+            with ranked as (
+              select lang, n_chars,
+                     row_number() over (partition by lang order by n_chars, doc_id) as rn,
+                     count(*) over (partition by lang) as n
+              from documents
+            )
+            select lang,
+                   cast(max(case when rn = (n * 1 + 3) // 4 then n_chars end) as bigint) as p25,
+                   cast(max(case when rn = (n * 1 + 1) // 2 then n_chars end) as bigint) as p50,
+                   cast(max(case when rn = (n * 3 + 3) // 4 then n_chars end) as bigint) as p75,
+                   cast(max(case when rn = (n * 9 + 9) // 10 then n_chars end) as bigint) as p90
+            from ranked group by lang
+        """,
+        "pivot_event_counts": """
+            select cast(user_id % 10 as bigint) as cohort,
+                   cast(count(*) filter (event_type = 'view') as bigint) as view,
+                   cast(count(*) filter (event_type = 'click') as bigint) as click,
+                   cast(count(*) filter (event_type = 'purchase') as bigint) as purchase,
+                   cast(count(*) filter (event_type = 'signup') as bigint) as signup,
+                   cast(count(*) filter (event_type = 'error') as bigint) as error
+            from events group by 1
+        """,
+        "orders_above_cust_avg": """
+            with w as (
+              select o_orderkey, o_custkey,
+                     cast(o_totalprice as decimal(18,2)) as p,
+                     sum(cast(o_totalprice as decimal(18,2)))
+                       over (partition by o_custkey) as s,
+                     count(*) over (partition by o_custkey) as n
+              from orders
+            )
+            select o_orderkey, o_custkey from w where p * n > s
         """,
         "orc_source_roundtrip": """
             select event_id, user_id, event_type,
