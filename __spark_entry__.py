@@ -353,6 +353,14 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(emb, threshold=0.45, dim=64)
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dup_pairs): deterministic
+    quantizer + exact within-cluster cosine pairs; oracle re-runs seeds,
+    assignment, and pair scoring bit-exactly in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dup_pairs(emb, threshold=0.45)
+
+
 def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
@@ -1296,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _dedup_survivors,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_semantic": _dedup_semantic,
         "decontaminate_docs": _decontaminate_docs,
         "similarity_topk": _similarity_topk,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -1529,6 +1538,33 @@ from scored
 qualify rank <= 5
 """
 
+# SemDeDup re-run end to end: same deterministic seeds/assignment as the
+# IVF oracle, then exact within-cluster cosine pairs.
+_SEMANTIC_ORACLE_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from e),
+seeds as (
+  select cid, cv from (
+    select vec_id as cid, v as cv,
+           row_number() over (order by md5(cast(vec_id as varchar)), vec_id) as rn
+    from e)
+  where rn <= (select nc from params)
+),
+assign as (
+  select id, v, cid from (
+    select e.vec_id as id, e.v, s.cid,
+           row_number() over (partition by e.vec_id
+                              order by {cos_es} desc, s.cid) as rn
+    from e, seeds s)
+  where rn = 1
+),
+pairs as (
+  select a.id as a_id, b.id as b_id, a.cid as cid, {cos_ab} as c
+  from assign a join assign b on a.cid = b.cid and a.id < b.id
+)
+select a_id, b_id, cid from pairs where c >= 0.45
+"""
+
 _IVF_ORACLE_SQL = """
 with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
 params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from e),
@@ -1759,6 +1795,10 @@ def oracle_sql() -> dict[str, str]:
             cos_es=_COSINE_EXPR.format(a="e.v", b="s.cv"),
             cos_qs=_COSINE_EXPR.format(a="q.qv", b="s.cv"),
             cos_qb=_COSINE_EXPR.format(a="q.qv", b="b.v"),
+        ),
+        "dedup_semantic": _SEMANTIC_ORACLE_SQL.format(
+            cos_es=_COSINE_EXPR.format(a="e.v", b="s.cv"),
+            cos_ab=_COSINE_EXPR.format(a="a.v", b="b.v"),
         ),
         "multimodal_frame_sample": """
             with m as (

@@ -772,3 +772,51 @@ def embedding_dup_pairs(
     # 0.7s, 32 parts 16.8s on the same data).
     n_parts = min(8, max(vecs.sparkSession.sparkContext.defaultParallelism // 2, 1))
     return vecs.repartition(n_parts).mapInPandas(_score, schema=pair_schema)
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition embedding space with a deterministic quantizer, then find
+    EXACT cosine dup pairs within each cluster only.
+
+    Returns ``(a_id, b_id, cid)`` — pairs with cosine >= threshold that
+    share a cluster, plus the cluster id. Cross-cluster near-dups are
+    missed by design: that is the paper's accepted approximation, and the
+    recall/cost knob is ``n_clusters`` (fewer clusters -> higher recall,
+    more within-cluster pairs to score).
+
+    Scale (100 TB): the quantizer is the IVF machinery (deterministic
+    md5-ordered seeds, broadcast centroids, map-side max_by assignment —
+    ONE row per vector shuffled); the pair stage is an equi-join on
+    cluster id, so total cosine work is sum of cluster sizes squared —
+    ~n*sqrt(n) at the default sqrt(n) sizing instead of the n^2 of
+    all-pairs. Every stage is deterministic, so a DuckDB oracle re-runs
+    the entire pipeline (seeds, assignment, pairs) bit-exactly.
+    """
+    from kafka_custom_transforms_spark.functions.vector import as_double, cosine
+    from kafka_custom_transforms_spark.operators.similarity import (
+        _assign_cells,
+        _seed_centroids,
+        ivf_params,
+    )
+
+    vecs = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    if n_clusters is None:
+        n_clusters, _ = ivf_params(vecs.count())
+    centroids = _seed_centroids(vecs, n_clusters)
+    assigned = _assign_cells(vecs, centroids, None)
+    a = assigned.select("cid", F.col("id").alias("a_id"), F.col("v").alias("av"))
+    b = assigned.select("cid", F.col("id").alias("b_id"), F.col("v").alias("bv"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("av"), F.col("bv"), None))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a_id", "b_id", "cid")
+    )

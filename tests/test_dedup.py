@@ -265,3 +265,45 @@ def test_shingle_udf_matches_expression(spark, sf_dir):
         _shingle_udf(3)(F.col("text")).alias("udf_sh"),
     )
     assert both.filter(F.col("expr_sh") != F.col("udf_sh")).count() == 0
+
+
+def test_semantic_dup_pairs_subset_of_exact(spark, sf_dir):
+    """SemDeDup never invents pairs: its output is the within-cluster
+    subset of the exact all-pairs result (precision 1, recall traded for
+    the n*sqrt(n) cost)."""
+    from kafka_custom_transforms_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semantic_dup_pairs,
+    )
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in embedding_dup_pairs(emb, threshold=0.45, dim=64).collect()
+    }
+    sem = {(r.a_id, r.b_id) for r in semantic_dup_pairs(emb, threshold=0.45).collect()}
+    assert sem <= exact
+    assert len(sem) > 0  # the corpus has co-clustered planted dups
+
+
+def test_semantic_dup_pairs_single_cluster_is_exact(spark, sf_dir):
+    """With one cluster the quantizer is a no-op and SemDeDup must equal
+    the exact all-pairs set — pins that only the partitioning, never the
+    scoring, is approximate."""
+    from kafka_custom_transforms_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semantic_dup_pairs,
+    )
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in embedding_dup_pairs(emb, threshold=0.45, dim=64).collect()
+    }
+    sem = {
+        (r.a_id, r.b_id)
+        for r in semantic_dup_pairs(emb, threshold=0.45, n_clusters=1).collect()
+    }
+    assert sem == exact
