@@ -856,6 +856,23 @@ def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture to SCD Type 2: each user's event stream becomes
+    validity intervals (valid_from, valid_to) via lead() over the
+    per-user time-ordered window — ONE shuffle, the standard
+    warehouse-history construction. Open intervals (current state) have
+    null valid_to."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
 def _doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistic quantiles (p25/p50/p75/p90 of doc length per
     language) via row_number + integer ceil-rank selection — no float
@@ -1341,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_roundtrip": _csv_source_roundtrip,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
+        "scd2_user_states": _scd2_user_states,
         "pivot_event_counts": _pivot_event_counts,
         "orders_above_cust_avg": _orders_above_cust_avg,
         "rollup_docs": _rollup_docs,
@@ -2231,6 +2249,13 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id, event_type,
                    cast(epoch_us(ts) as bigint) as ts_us
             from events where event_type = 'purchase'
+        """,
+        "scd2_user_states": """
+            select user_id, event_id, event_type as state,
+                   cast(epoch_us(ts) as bigint) as valid_from_us,
+                   cast(lead(epoch_us(ts)) over (partition by user_id
+                        order by ts, event_id) as bigint) as valid_to_us
+            from events
         """,
         "doc_length_quantiles": """
             with ranked as (
