@@ -50,6 +50,7 @@ def connected_components(
     b_col: str = "b_id",
     max_rounds: int = 25,
     checkpoint: str = "local",
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Resolve dup pairs into components: returns ``(id, component)``.
 
@@ -58,14 +59,28 @@ def connected_components(
     cluster's canonical survivor iff ``id == component``).  Works for any
     orderable id type — ids are never cast.
 
+    ``algorithm="propagate"`` (default): min-label propagation, one
+    shuffle per round, rounds = graph diameter — right for near-dup
+    graphs (near-cliques, diameter <= 3).  ``algorithm="star"``:
+    alternating large-star/small-star (Kiveris et al., SoCC'14), two
+    shuffles per round but O(log^2 n) rounds regardless of diameter —
+    right for long-chain / adversarial graphs.  Both produce identical
+    labels (test-pinned).
+
     Raises ``RuntimeError`` if the graph has not converged after
-    ``max_rounds`` rounds (diameter > max_rounds); near-dup graphs
-    converge in a handful of rounds, see module docstring.
+    ``max_rounds`` rounds; near-dup graphs converge in a handful of
+    rounds either way, see module docstring.
     """
     half = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # Undirected: propagate labels both ways along every edge.
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = _materialize(edges, checkpoint)
+    if algorithm == "star":
+        return _star_components(edges, max_rounds, checkpoint)
+    if algorithm != "propagate":
+        raise ValueError(
+            f"algorithm must be propagate|star, got {algorithm!r}"
+        )
 
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "component", F.col("id")
@@ -94,6 +109,92 @@ def connected_components(
         f"connected_components: no fixpoint after {max_rounds} rounds "
         "(graph diameter exceeds max_rounds); raise max_rounds or switch "
         "to large-star/small-star for long-chain graphs"
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """(count, hash-sum) of the canonical undirected edge set — a
+    collision-resistant (~2^-64) convergence check that costs one
+    aggregate instead of a full set-difference join per round."""
+    canon = edges.select(
+        F.least(F.col("u"), F.col("v")).alias("lo"),
+        F.greatest(F.col("u"), F.col("v")).alias("hi"),
+    ).distinct()
+    row = canon.agg(
+        F.count("*").alias("n"),
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a hash SUM of 64-bit values throws ARITHMETIC_OVERFLOW)
+        F.bit_xor(
+            F.xxhash64(F.col("lo").cast("string"), F.col("hi").cast("string"))
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _star_components(edges: DataFrame, max_rounds: int, checkpoint: str) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges to star
+    graphs centered on each component's minimum in O(log^2 n) rounds
+    regardless of diameter.  ``edges`` must be the symmetric closure.
+
+    Per round: large-star connects every neighbor larger than u to
+    m(u) = min(Gamma(u) ∪ {u}); small-star (on min-oriented edges)
+    connects every smaller neighbor and u itself to m(u).  Each is a
+    groupBy-join on uniform node keys — two shuffles per round.
+    """
+    nodes = edges.select(F.col("u").alias("id")).distinct()
+    nodes = _materialize(nodes, checkpoint)
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        # large-star over the symmetric closure
+        m = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            edges.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # small-star over min-oriented edges (u = larger endpoint)
+        oriented = sym.filter(F.col("v") < F.col("u"))
+        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(m2, "u")
+            .select(
+                F.col("v").alias("n"), F.col("m"), F.col("u").alias("self_u")
+            )
+        )
+        new_half = small.select(F.col("n").alias("u"), F.col("m").alias("v")).union(
+            small.select(F.col("self_u").alias("u"), F.col("m").alias("v"))
+        ).filter(F.col("u") != F.col("v")).distinct()
+        edges = _materialize(
+            new_half.union(
+                new_half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).distinct(),
+            checkpoint,
+        )
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            labels = (
+                edges.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select(F.col("u").alias("id"), F.least("mv", "u").alias("component"))
+            )
+            # nodes whose component collapsed around them may have lost
+            # every edge — they are their own (minimum) label
+            return nodes.join(labels, "id", "left").select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+        fp = new_fp
+    raise RuntimeError(
+        f"connected_components(star): no fixpoint after {max_rounds} rounds"
     )
 
 

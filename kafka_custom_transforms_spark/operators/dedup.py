@@ -143,7 +143,11 @@ def _shingle_udf(k: int):
     churn, while this is one tight loop per Arrow batch. Output is
     bit-identical to :func:`word_shingles` (insertion-ordered distinct —
     both keep first occurrence; tests pin equality), so the SQL oracle is
-    unaffected."""
+    unaffected. Trade-off flag: this puts Python workers in the hot path
+    of the shingle-based dedup operators; on a cluster where Python
+    worker startup/transfer dominates (many small tasks) or a Spark build
+    with faster HOF codegen, swap in the pure-JVM
+    :func:`functions.texthash.word_shingles` route — results identical."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")

@@ -59,3 +59,41 @@ def test_checkpoint_modes_agree(spark):
     assert _comps(spark, pairs, checkpoint="none") == _comps(
         spark, pairs, checkpoint="local"
     )
+
+
+def test_star_matches_propagate_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randint(1, 120), rng.randint(1, 120)) for _ in range(150)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _comps(spark, pairs, algorithm="star") == _comps(spark, pairs)
+
+
+def test_star_converges_fast_on_long_chain(spark):
+    # path of 80 nodes: propagation needs ~79 rounds; star converges in
+    # O(log^2 n) — must finish well within 12 rounds
+    chain = [(i, i + 1) for i in range(1, 80)]
+    got = _comps(spark, chain, algorithm="star", max_rounds=12)
+    assert got == {i: 1 for i in range(1, 81)}
+
+
+def test_star_two_components_and_string_ids(spark):
+    assert _comps(spark, [(5, 6), (1, 2), (2, 3)], algorithm="star") == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+    }
+    df = spark.createDataFrame([("b", "c"), ("a", "b")], "a_id string, b_id string")
+    from kafka_custom_transforms_spark.operators import clusters
+
+    out = clusters.connected_components(df, algorithm="star")
+    assert {r["id"]: r["component"] for r in out.collect()} == {
+        "a": "a", "b": "a", "c": "a",
+    }
+
+
+def test_bad_algorithm_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    from kafka_custom_transforms_spark.operators import clusters
+
+    with pytest.raises(ValueError, match="algorithm"):
+        clusters.connected_components(df, algorithm="bfs")
