@@ -856,6 +856,36 @@ def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly composed end to end: Gopher repetition
+    filter -> near-dup removal via connected-component survivors (minhash
+    pairs -> min-id cluster survivor) -> data-mixture reweighting (keep
+    50% of src0-4) -> greedy packing into 256-token sequences. Every
+    stage is individually oracle-checked elsewhere; this row checks the
+    COMPOSITION against one SQL replaying the full assembly."""
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+    from kafka_custom_transforms_spark.functions.texthash import tokens
+    from kafka_custom_transforms_spark.operators import clusters
+    from kafka_custom_transforms_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    nonrep = (
+        text.repetition_stats(docs).filter(~F.col("repetitive")).select("doc_id")
+    )
+    kept = docs.join(nonrep, "doc_id")
+    pairs = dedup.minhash_lsh_pairs(
+        kept, shingle_k=3, num_perm=128, bands=32, threshold=0.5
+    )
+    surv = clusters.resolve_survivors(kept, pairs, id_col="doc_id")
+    mixed = mixture_sample(
+        surv, "doc_id", "source", {f"src{i}": 500 for i in range(5)}
+    )
+    sized = mixed.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
+
+
 def _scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture to SCD Type 2: each user's event stream becomes
     validity intervals (valid_from, valid_to) via lead() over the
@@ -1359,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
+        "pipeline_training_batches": _pipeline_training_batches,
         "pivot_event_counts": _pivot_event_counts,
         "orders_above_cust_avg": _orders_above_cust_avg,
         "rollup_docs": _rollup_docs,
@@ -1466,6 +1497,54 @@ _PACK_CTE = """
               from p join t on t.bucket = p.bucket and t.rn = p.rn + 1
             )
 """
+
+# Gopher repetition signals over an arbitrary doc relation {src}
+_REPETITION_SQL = """
+            with d as (
+              select doc_id,
+                     string_split(text, chr(10)) as lines,
+                     string_split(text, ' ') as w
+              from {src}
+            ),
+            b as (
+              select doc_id, lines,
+                     case when len(w) >= 2
+                       then [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                       else [] end as bg
+              from d
+            ),
+            m as (
+              select doc_id,
+                len(lines) as n_lines,
+                len(list_distinct(lines)) as n_dist,
+                coalesce(list_sum(list_transform(lines, x -> length(x))), 0) as total_chars,
+                coalesce(list_sum(list_transform(list_distinct(lines),
+                    l -> case when len(list_filter(lines, x -> x = l)) > 1
+                         then len(list_filter(lines, x -> x = l)) * length(l)
+                         else 0 end)), 0) as dup_chars,
+                len(bg) as n_bg,
+                case when len(bg) > 0
+                  then list_max(list_transform(list_distinct(bg),
+                                g -> len(list_filter(bg, x -> x = g))))
+                  else 0 end as top_bg
+              from b
+            ),
+            pm as (
+              select doc_id,
+                cast(n_lines as bigint) as n_lines,
+                cast(((n_lines - n_dist) * 1000) // n_lines as bigint) as dup_line_pm,
+                cast(case when total_chars > 0
+                     then (dup_chars * 1000) // total_chars else 0 end as bigint)
+                  as dup_line_char_pm,
+                cast(case when n_bg > 0
+                     then (top_bg * 1000) // n_bg else 0 end as bigint) as top_bigram_pm
+              from m
+            )
+            select doc_id, n_lines, dup_line_pm, dup_line_char_pm, top_bigram_pm,
+                   (dup_line_pm > 300 or dup_line_char_pm > 200 or top_bigram_pm > 180)
+                     as repetitive
+            from pm
+        """
 
 # Transitive closure of the exact-Jaccard dup-pair graph: component label =
 # min reachable doc_id, the same deterministic definition the Spark
@@ -1624,6 +1703,70 @@ select query_id, neighbor_id,
 from scored
 qualify rank <= 5
 """
+
+
+# Training-batch assembly replayed as ONE SQL: repetition filter ->
+# exact-Jaccard pair closure -> cluster survivors -> mixture -> packing.
+# "materialized" hints matter: without them DuckDB re-evaluates the
+# shingle self-join chain on every iteration of the recursive packing CTE
+# (measured: timeout vs 13s).
+_TRAINING_PIPE_SQL = (
+    "with recursive nonrep as materialized (select doc_id from ("
+    + _REPETITION_SQL.format(src="documents")
+    + ") where not repetitive),\n"
+    "keep as materialized (select d.* from documents d join nonrep using (doc_id)),"
+    + _SHINGLES_CTE.replace("from documents", "from keep")
+    .replace("toks as (", "toks as materialized (")
+    .replace("sh as (", "sh as materialized (")
+    + """,
+p as materialized (
+  select a.doc_id as a_id, b.doc_id as b_id
+  from sh a join sh b on a.doc_id < b.doc_id
+  where len(a.s) > 0 and len(b.s) > 0
+    and len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+),
+e as materialized (select a_id as u, b_id as v from p union select b_id as u, a_id as v from p),
+reach(id, x) as (
+  select u, u from e
+  union
+  select e2.u, r.x from e e2 join reach r on r.id = e2.v
+),
+comp as materialized (select id, min(x) as m from reach group by id),
+surv as materialized (
+  select k.* from keep k left join comp on comp.id = k.doc_id
+  where comp.id is null or comp.id = comp.m
+),
+mixed as materialized (
+  select * from surv
+  where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT % 1000
+        < case when source in ('src0','src1','src2','src3','src4')
+               then 500 else 1000 end
+),
+base as materialized (
+  select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+              % 8 as int) as bucket
+  from mixed
+),
+t as materialized (
+  select *, row_number() over (partition by bucket order by doc_id) as rn from base
+),
+pk as (
+  select doc_id, n_tokens, bucket, rn, n_tokens as fill,
+         cast(0 as bigint) as seq, cast(0 as bigint) as pack_offset
+  from t where rn = 1
+  union all
+  select t.doc_id, t.n_tokens, t.bucket, t.rn,
+         case when pk.fill + t.n_tokens <= 256
+              then pk.fill + t.n_tokens else t.n_tokens end,
+         case when pk.fill + t.n_tokens <= 256 then pk.seq else pk.seq + 1 end,
+         case when pk.fill + t.n_tokens <= 256
+              then pk.fill else cast(0 as bigint) end
+  from pk join t on t.bucket = pk.bucket and t.rn = pk.rn + 1
+)
+select doc_id, n_tokens, bucket, seq, pack_offset from pk
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1890,52 +2033,7 @@ def oracle_sql() -> dict[str, str]:
                                          'src5','src6','src7','src8','src9')
                          then 300 else 1000 end
         """,
-        "text_repetition": """
-            with d as (
-              select doc_id,
-                     string_split(text, chr(10)) as lines,
-                     string_split(text, ' ') as w
-              from documents
-            ),
-            b as (
-              select doc_id, lines,
-                     case when len(w) >= 2
-                       then [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
-                       else [] end as bg
-              from d
-            ),
-            m as (
-              select doc_id,
-                len(lines) as n_lines,
-                len(list_distinct(lines)) as n_dist,
-                coalesce(list_sum(list_transform(lines, x -> length(x))), 0) as total_chars,
-                coalesce(list_sum(list_transform(list_distinct(lines),
-                    l -> case when len(list_filter(lines, x -> x = l)) > 1
-                         then len(list_filter(lines, x -> x = l)) * length(l)
-                         else 0 end)), 0) as dup_chars,
-                len(bg) as n_bg,
-                case when len(bg) > 0
-                  then list_max(list_transform(list_distinct(bg),
-                                g -> len(list_filter(bg, x -> x = g))))
-                  else 0 end as top_bg
-              from b
-            ),
-            pm as (
-              select doc_id,
-                cast(n_lines as bigint) as n_lines,
-                cast(((n_lines - n_dist) * 1000) // n_lines as bigint) as dup_line_pm,
-                cast(case when total_chars > 0
-                     then (dup_chars * 1000) // total_chars else 0 end as bigint)
-                  as dup_line_char_pm,
-                cast(case when n_bg > 0
-                     then (top_bg * 1000) // n_bg else 0 end as bigint) as top_bigram_pm
-              from m
-            )
-            select doc_id, n_lines, dup_line_pm, dup_line_char_pm, top_bigram_pm,
-                   (dup_line_pm > 300 or dup_line_char_pm > 200 or top_bigram_pm > 180)
-                     as repetitive
-            from pm
-        """,
+        "text_repetition": _REPETITION_SQL.format(src="documents"),
         "text_quality": """
             with t as (
               select doc_id, lang,
@@ -2250,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(epoch_us(ts) as bigint) as ts_us
             from events where event_type = 'purchase'
         """,
+        "pipeline_training_batches": _TRAINING_PIPE_SQL,
         "scd2_user_states": """
             select user_id, event_id, event_type as state,
                    cast(epoch_us(ts) as bigint) as valid_from_us,
