@@ -220,3 +220,16 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("purchase" in l for l in pf_lines)
+
+
+def test_resolve_survivors_is_anti_join(spark, sf_dir):
+    """Survivor resolution must end in a left-anti join of the corpus
+    against the (small) loser set — never a full-table join or cartesian."""
+    from kafka_custom_transforms_spark.operators import clusters
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    plan = plan_str(clusters.resolve_survivors(docs, pairs), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

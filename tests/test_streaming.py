@@ -184,3 +184,28 @@ def test_windowed_counts_stream_matches_batch(spark, staged_events):
         for r in spark.sql(f"select * from {name}").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mixture_sample_is_stream_legal(spark, staged_events):
+    """mixture_sample is a stateless map-side filter, so it must run
+    unchanged on a stream and select exactly the rows the batch run
+    selects (same md5 key hash, no per-partition randomness)."""
+    import uuid as _uuid
+
+    from kafka_custom_transforms_spark.functions.sampling import mixture_sample
+
+    rates = {"purchase": 300, "view": 500}
+    batch = mixture_sample(
+        spark.read.parquet(staged_events), "event_id", "event_type", rates
+    )
+    stream = mixture_sample(
+        spark.readStream.schema(batch.schema).parquet(staged_events),
+        "event_id",
+        "event_type",
+        rates,
+    )
+    name = "s" + _uuid.uuid4().hex[:8]
+    _run_stream(stream, name)
+    got = {r.event_id for r in spark.sql(f"select event_id from {name}").collect()}
+    want = {r.event_id for r in batch.collect()}
+    assert got == want and 0 < len(got) < 200
