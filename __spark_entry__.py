@@ -886,6 +886,32 @@ def _pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
 
 
+def _events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: per-day / ISO-weekday event counts + distinct
+    users — date-function surface over the (NTZ-repaired) ts column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.weekday("ts") + 1).cast("long").alias("isodow"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def _props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction: pull props.$.k out of the schemaless JSON
+    column and aggregate it per event type (integer-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).cast("long").alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def _scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture to SCD Type 2: each user's event stream becomes
     validity intervals (valid_from, valid_to) via lead() over the
@@ -1390,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
         "pipeline_training_batches": _pipeline_training_batches,
+        "events_calendar": _events_calendar,
+        "props_k_stats": _props_k_stats,
         "pivot_event_counts": _pivot_event_counts,
         "orders_above_cust_avg": _orders_above_cust_avg,
         "rollup_docs": _rollup_docs,
@@ -2349,6 +2377,21 @@ def oracle_sql() -> dict[str, str]:
             from events where event_type = 'purchase'
         """,
         "pipeline_training_batches": _TRAINING_PIPE_SQL,
+        "events_calendar": """
+            select strftime(ts, '%Y-%m-%d') as day,
+                   cast(isodow(ts) as bigint) as isodow,
+                   cast(count(*) as bigint) as n,
+                   cast(count(distinct user_id) as bigint) as n_users
+            from events group by 1, 2
+        """,
+        "props_k_stats": """
+            select event_type,
+                   cast(count(json_extract_string(props, '$.k')) as bigint) as n_with_k,
+                   cast(sum(json_extract_string(props, '$.k')::BIGINT) as bigint) as sum_k,
+                   cast(min(json_extract_string(props, '$.k')::BIGINT) as bigint) as min_k,
+                   cast(max(json_extract_string(props, '$.k')::BIGINT) as bigint) as max_k
+            from events group by event_type
+        """,
         "scd2_user_states": """
             select user_id, event_id, event_type as state,
                    cast(epoch_us(ts) as bigint) as valid_from_us,
