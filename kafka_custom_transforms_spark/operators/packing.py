@@ -32,7 +32,31 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pack_sequences", "packed_text"]
+__all__ = ["greedy_pack", "pack_sequences", "packed_text"]
+
+
+def greedy_pack(
+    pdf: pd.DataFrame, id_col: str, tokens_col: str, ctx: int
+) -> pd.DataFrame:
+    """Pure single-bucket greedy first-fit (id-ordered). Factored out of
+    the Arrow UDF so property tests can hammer the packing invariants
+    without a Spark job per example."""
+    pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    seqs, offs = [], []
+    seq, fill = -1, 0
+    for n in pdf[tokens_col]:
+        n = int(n)
+        if seq >= 0 and fill + n <= ctx:
+            offs.append(fill)
+            fill += n
+        else:
+            seq += 1
+            offs.append(0)
+            fill = n
+        seqs.append(seq)
+    pdf["seq"] = pd.Series(seqs, dtype="int64")
+    pdf["pack_offset"] = pd.Series(offs, dtype="int64")
+    return pdf[[id_col, tokens_col, "bucket", "seq", "pack_offset"]]
 
 
 def pack_sequences(
@@ -75,22 +99,7 @@ def pack_sequences(
     ctx = int(context_len)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        seqs, offs = [], []
-        seq, fill = -1, 0
-        for n in pdf[tokens_col]:
-            n = int(n)
-            if seq >= 0 and fill + n <= ctx:
-                offs.append(fill)
-                fill += n
-            else:
-                seq += 1
-                offs.append(0)
-                fill = n
-            seqs.append(seq)
-        pdf["seq"] = pd.Series(seqs, dtype="int64")
-        pdf["pack_offset"] = pd.Series(offs, dtype="int64")
-        return pdf[[id_col, tokens_col, "bucket", "seq", "pack_offset"]]
+        return greedy_pack(pdf, id_col, tokens_col, ctx)
 
     with_bucket = df.select(
         F.col(id_col),

@@ -79,3 +79,45 @@ def test_packed_text_concatenates_in_offset_order(spark):
     assert by_seq[0].packed_text == "one two"  # ids 1,2 fill 200 of 256
     assert by_seq[0].n_docs == 2 and by_seq[0].n_tokens == 200
     assert by_seq[1].packed_text == "three"
+
+
+# ---- property tests over the pure greedy core (no Spark job per example) --
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=300),
+)
+def test_greedy_pack_invariants(token_counts, ctx):
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.packing import greedy_pack
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(token_counts)),
+            "n_tokens": token_counts,
+            "bucket": 0,
+        }
+    )
+    out = greedy_pack(pdf.copy(), "doc_id", "n_tokens", ctx)
+    # every doc assigned exactly once, order preserved by id
+    assert sorted(out["doc_id"]) == list(range(len(token_counts)))
+    by_id = out.sort_values("doc_id").reset_index(drop=True)
+    # offsets are the running fill inside each sequence, fills respect ctx
+    fills: dict[int, int] = {}
+    for r in by_id.itertuples():
+        assert r.pack_offset == fills.get(r.seq, 0)
+        fills[r.seq] = r.pack_offset + r.n_tokens
+    for s, fill in fills.items():
+        docs_in_s = by_id[by_id["seq"] == s]
+        assert fill <= ctx or len(docs_in_s) == 1  # only oversize docs overflow
+    # greedy tightness: the first doc of seq s+1 did NOT fit in seq s
+    seq_ids = sorted(fills)
+    for prev_s, next_s in zip(seq_ids, seq_ids[1:]):
+        assert next_s == prev_s + 1  # sequence ids are dense
+        first_next = int(by_id[by_id["seq"] == next_s].iloc[0]["n_tokens"])
+        assert fills[prev_s] + first_next > ctx
