@@ -268,6 +268,41 @@ def _stream_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(d + "/sink")
 
 
+def _stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a REAL streaming job via foreachBatch: the
+    corpus arrives as a file stream; each micro-batch runs the batch
+    contamination plan (broadcast benchmark grams) and appends to a
+    parquet sink. Per-doc flags are independent of batching, so
+    micro-batch boundaries cannot change the result — the standard
+    deployment shape for batch-only operators inside a stream
+    (filter-on-ingest). Same oracle as the batch row."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcts-decon-")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.parquet(d + "/staged")
+    stream_docs = spark.readStream.schema(docs.schema).parquet(d + "/staged")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+
+    def _apply(bdf: DataFrame, _batch_id: int) -> None:
+        contamination_flags(bdf, bench, ngram=8).write.mode("append").parquet(
+            d + "/sink"
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     op = dedup.dedup_exact(
@@ -359,6 +394,34 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, and pair scoring bit-exactly in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_dup_pairs(emb, threshold=0.45)
+
+
+def _knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification on the verified exact top-k: majority label
+    among each query's 5 nearest neighbors (ties: higher count first,
+    then smaller label). Composition of topk_neighbors + a broadcast
+    label join + one per-query vote aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    nn = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
 
 
 def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,7 +1442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_docs": _decontaminate_docs,
+        "stream_decontaminate": _stream_decontaminate,
         "similarity_topk": _similarity_topk,
+        "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
         "similarity_topk_ivf": _similarity_topk_ivf,
         "multimodal_frame_sample": _multimodal_frame_sample,
@@ -1797,6 +1862,28 @@ select doc_id, n_tokens, bucket, seq, pack_offset from pk
 )
 
 
+_DECON_SQL = """
+            with toks as (select doc_id, string_split(text, ' ') as w from documents),
+            sh8 as (
+              select doc_id, case when len(w) >= 8
+                then list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 6)])
+                else [] end as s
+              from toks
+            ),
+            bench as (select distinct unnest(s) as g from sh8 where doc_id % 31 = 0),
+            dg as (select doc_id, unnest(s) as g from sh8),
+            hits as (
+              select dg.doc_id, count(*) as n_bench_grams
+              from dg join bench using (g)
+              group by dg.doc_id
+            )
+            select t.doc_id,
+                   cast(coalesce(h.n_bench_grams, 0) as bigint) as n_bench_grams
+            from documents t left join hits h using (doc_id)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = _COSINE_EXPR.format(a="a.v", b="b.v")
     qcos = _COSINE_EXPR.format(a="q.v", b="e.v")
@@ -1883,26 +1970,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": _SESSIONIZE_SQL,
         "events_sessionize_stream": _SESSIONIZE_SQL,
-        "decontaminate_docs": """
-            with toks as (select doc_id, string_split(text, ' ') as w from documents),
-            sh8 as (
-              select doc_id, case when len(w) >= 8
-                then list_distinct([array_to_string(w[i:i+7], ' ')
-                                    for i in range(1, len(w) - 6)])
-                else [] end as s
-              from toks
-            ),
-            bench as (select distinct unnest(s) as g from sh8 where doc_id % 31 = 0),
-            dg as (select doc_id, unnest(s) as g from sh8),
-            hits as (
-              select dg.doc_id, count(*) as n_bench_grams
-              from dg join bench using (g)
-              group by dg.doc_id
-            )
-            select t.doc_id,
-                   cast(coalesce(h.n_bench_grams, 0) as bigint) as n_bench_grams
-            from documents t left join hits h using (doc_id)
-        """,
+        "decontaminate_docs": _DECON_SQL,
+        "stream_decontaminate": _DECON_SQL,
         "events_asof_attrib": """
             with p as (select event_id, user_id, ts from events
                        where event_type = 'purchase'),
@@ -1976,6 +2045,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by query_id order by c desc, neighbor_id) as bigint) as rank
             from s
             qualify rank <= 5
+        """,
+        "knn_label_vote": f"""
+            with e as (select vec_id, embedding::DOUBLE[] as v, label from embeddings),
+            q as (select * from e where vec_id % 50 = 0),
+            s as (select q.vec_id as query_id, e.vec_id as neighbor_id,
+                         e.label, {qcos} as c
+                  from q join e on e.vec_id != q.vec_id),
+            nn as (
+              select query_id, neighbor_id, label,
+                     row_number() over (partition by query_id
+                                        order by c desc, neighbor_id) as rank
+              from s qualify rank <= 5
+            ),
+            votes as (
+              select query_id, label, count(*) as votes
+              from nn group by query_id, label
+            )
+            select query_id,
+                   cast(label as bigint) as predicted_label,
+                   cast(votes as bigint) as votes
+            from (
+              select *, row_number() over (partition by query_id
+                        order by votes desc, label asc) as rn
+              from votes
+            ) where rn = 1
         """,
         "similarity_topk_lsh": _LSH_ORACLE_SQL.format(
             cos_qb=_COSINE_EXPR.format(a="q.v", b="b.v")
