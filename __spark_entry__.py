@@ -656,6 +656,127 @@ def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, ngram=8)
 
 
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the constant-size-broadcast scale path
+    (filter is m_bits regardless of benchmark size). Deterministic md5
+    bit positions, so the oracle recomputes the whole filter — including
+    its false positives — bit-exactly in SQL."""
+    from kafka_custom_transforms_spark.operators.decontaminate import (
+        bloom_contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    return bloom_contamination_flags(docs, bench, ngram=8, m_bits=8192, k_hashes=3)
+
+
+def _dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line dedup (operators/text.py:line_dedup):
+    every distinct line keeps only its first corpus-wide occurrence. Lines
+    here are fixed 12-token chunks (the synthetic corpus is single-line);
+    the operator takes any array column, so the segmentation policy is the
+    caller's."""
+    from kafka_custom_transforms_spark.functions.texthash import tokens
+    from kafka_custom_transforms_spark.operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lines = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(12)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 12)),
+    )
+    return line_dedup(docs.select("doc_id", lines.alias("lines")), lines_col="lines")
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + aggregate — the canonical
+    pushdown showcase (both date bounds, the discount band, and the
+    quantity cap reach the parquet scan as PushedFilters; only 4 columns
+    are read). Revenue summed in decimal for cross-engine exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles: decimal-exact per-customer totals, then
+    ntile(4) over a deterministic (spend desc, custkey) order — window
+    function breadth (ntile) plus the standard \"segment users by value\"
+    analytics shape. Single agg shuffle; the ntile window is one global
+    sort of the (small) aggregate, not of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        F.col("spend_dec").cast("double").alias("spend"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def _global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: md5-hash order, sharded.
+    The per-epoch document shuffle every training pipeline needs, with no
+    global sort: shard = hash % 8 (uniform), position = rank within shard
+    by (hash, doc_id) — each shard's window sorts independently in
+    parallel, and the (shard, pos) pairs define a reproducible global
+    order. Oracle recomputes the identical hash in SQL."""
+    from kafka_custom_transforms_spark.functions.texthash import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), (h % 8).alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+
+
+def _kmv_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per source: the 32
+    smallest md5 hashes of the source's distinct tokens. The classic
+    mergeable sketch for distinct estimation (estimate = (k-1)*2^60 /
+    kth_min — computed by the consumer; hashes stay integers here so the
+    oracle is bit-exact). Plan: explode -> distinct (one shuffle, partial
+    map-side) -> per-source top-k window over vocabulary-sized input."""
+    from kafka_custom_transforms_spark.functions.texthash import md5_hash60, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    hashed = toks.select("source", "tok", md5_hash60(F.col("tok")).alias("h"))
+    # tok tie-break: distinct tokens hash distinctly in practice, but the
+    # window order must be total for determinism even under a collision.
+    w = Window.partitionBy("source").orderBy("h", "tok")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 32)
+        .select("source", F.col("rnk").cast("long").alias("rnk"), "h")
+    )
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) top-k — FULLY oracle-checked: the pipeline is
     deterministic (md5-derived hyperplanes, sequential-fold dots bit-equal
@@ -1442,7 +1563,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_docs": _decontaminate_docs,
+        "decontaminate_bloom": _decontaminate_bloom,
         "stream_decontaminate": _stream_decontaminate,
+        "dedup_lines_global": _dedup_lines_global,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "ntile_customer_quartiles": _ntile_customer_quartiles,
+        "global_shuffle_shards": _global_shuffle_shards,
+        "kmv_sketch_tokens": _kmv_sketch_tokens,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -1972,6 +2099,110 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_stream": _SESSIONIZE_SQL,
         "decontaminate_docs": _DECON_SQL,
         "stream_decontaminate": _DECON_SQL,
+        "decontaminate_bloom": """
+            with toks as (select doc_id, string_split(text, ' ') as w from documents),
+            sh8 as (
+              select doc_id, case when len(w) >= 8
+                then list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 6)])
+                else [] end as s
+              from toks
+            ),
+            bench as (select distinct unnest(s) as g from sh8 where doc_id % 31 = 0),
+            bbits as (
+              select distinct
+                     ('0x' || substr(md5(cast(i as varchar) || ':' || g), 1, 15))::BIGINT
+                       % 8192 as bit
+              from bench, unnest([1, 2, 3]) as t(i)
+            ),
+            dg as (select doc_id, unnest(s) as g from sh8),
+            probes as (
+              select doc_id, g,
+                     ('0x' || substr(md5(cast(i as varchar) || ':' || g), 1, 15))::BIGINT
+                       % 8192 as bit
+              from dg, unnest([1, 2, 3]) as t(i)
+            ),
+            passed as (
+              select doc_id, g from probes join bbits using (bit)
+              group by doc_id, g having count(*) = 3
+            ),
+            hits as (select doc_id, count(*) as n_bloom_grams from passed group by doc_id)
+            select t.doc_id,
+                   cast(coalesce(h.n_bloom_grams, 0) as bigint) as n_bloom_grams
+            from documents t left join hits h using (doc_id)
+        """,
+        "dedup_lines_global": """
+            with toks as (select doc_id, string_split(text, ' ') as w from documents),
+            lns as (
+              select doc_id,
+                     [array_to_string(w[i:i+11], ' ')
+                      for i in range(1, greatest(len(w), 1) + 1, 12)] as ls
+              from toks
+            ),
+            ex as (
+              select doc_id, t.pos as pos, ls[t.pos] as line
+              from lns, unnest(range(1, len(ls) + 1)) as t(pos)
+            ),
+            kept as (
+              select doc_id, pos, line,
+                     row_number() over (partition by line order by doc_id, pos) as rnk
+              from ex qualify rnk = 1
+            ),
+            agg as (
+              select doc_id, string_agg(line, ' ' order by pos) as text_dedup
+              from kept group by doc_id
+            )
+            select d.doc_id, coalesce(a.text_dedup, '') as text_dedup
+            from documents d left join agg a using (doc_id)
+        """,
+        "q6_forecast_revenue": """
+            select cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * cast(l_discount as decimal(18,2))) as double) as revenue,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01 00:00:00'
+              and l_shipdate < timestamp '1997-01-01 00:00:00'
+              and l_discount >= 0.05 and l_discount <= 0.07
+              and l_quantity < 24
+        """,
+        "ntile_customer_quartiles": """
+            with spend as (
+              select o_custkey,
+                     sum(cast(o_totalprice as decimal(18,2))) as spend_dec
+              from orders group by o_custkey
+            )
+            select o_custkey, cast(spend_dec as double) as spend,
+                   cast(ntile(4) over (order by spend_dec desc, o_custkey asc)
+                        as bigint) as quartile
+            from spend
+        """,
+        "global_shuffle_shards": """
+            with h as (
+              select doc_id,
+                     ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT as h
+              from documents
+            )
+            select doc_id, cast(h % 8 as bigint) as shard,
+                   cast(row_number() over (partition by h % 8 order by h, doc_id)
+                        as bigint) as pos
+            from h
+        """,
+        "kmv_sketch_tokens": """
+            with toks as (
+              select distinct source, unnest(string_split(text, ' ')) as tok
+              from documents
+            ),
+            hashed as (
+              select source, tok,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT as h
+              from toks
+            )
+            select source, cast(rnk as bigint) as rnk, h from (
+              select source, h,
+                     row_number() over (partition by source order by h, tok) as rnk
+              from hashed
+            ) where rnk <= 32
+        """,
         "events_asof_attrib": """
             with p as (select event_id, user_id, ts from events
                        where event_type = 'purchase'),

@@ -23,7 +23,100 @@ from pyspark.sql import DataFrame, functions as F
 
 from kafka_custom_transforms_spark.operators.dedup import shingle_sets
 
-__all__ = ["contamination_flags"]
+__all__ = ["contamination_flags", "bloom_contamination_flags"]
+
+
+def _bloom_bits(g, k_hashes: int, m_bits: int):
+    """The ``k_hashes`` bit positions of gram ``g`` in an ``m_bits`` Bloom
+    filter. md5-derived (the cross-engine hash family: Spark
+    ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``), so an oracle can recompute
+    every bit — including the false positives — deterministically."""
+    from kafka_custom_transforms_spark.functions.texthash import md5_hash60
+
+    return [
+        md5_hash60(F.concat(F.lit(f"{i}:"), g)) % m_bits
+        for i in range(1, k_hashes + 1)
+    ]
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram: int = 8,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    count_alias: str = "n_bloom_grams",
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_flags`: (id, count of the
+    doc's distinct grams whose ``k_hashes`` bits are ALL set in an
+    ``m_bits`` Bloom filter built from the benchmark's grams).
+
+    This is the constant-size-broadcast scale path: the filter is at most
+    ``m_bits`` bits no matter how large the benchmark grows (vs the raw /
+    hashed gram set, which grows linearly). Bloom membership can only
+    OVER-flag (false-positive rate ~(set_fraction)^k per clean gram), never
+    under-flag — every truly contaminated gram is counted, so
+    ``n_bloom_grams >= n_bench_grams`` row-wise (test-pinned). The correct
+    failure direction for a hygiene filter; callers needing exactness
+    re-check flagged docs with the raw-gram join (two-pass, both sides tiny
+    after the Bloom prune).
+
+    Plan shape: the set-bit table (<= m_bits rows of one long) is built with
+    one distinct over the (small) benchmark gram fan-out and broadcast; the
+    corpus side explodes each gram into its k bit probes map-side, joins the
+    broadcast bits, and a gram is a hit iff all k probes matched. Shuffles:
+    the per-(id, gram) probe count and the per-id hit count — both keyed on
+    uniformly-hashed ids. The corpus text is never shuffled.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        shingle_sets(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text).alias("_btext")),
+            "_bid",
+            "_btext",
+            ngram,
+        )
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    set_bits = (
+        bench_grams.select(
+            F.explode(F.array(*_bloom_bits(F.col("g"), k_hashes, m_bits))).alias("bit")
+        )
+        .distinct()
+    )
+    doc_probes = (
+        shingle_sets(docs, id_col, text_col, ngram)
+        .select("id", F.explode("sh").alias("g"))
+        .select(
+            "id",
+            "g",
+            F.explode(F.array(*_bloom_bits(F.col("g"), k_hashes, m_bits))).alias("bit"),
+        )
+    )
+    # A gram passes the Bloom filter iff every one of its k probes (counted
+    # with multiplicity — duplicate positions join twice, keeping the
+    # all-probes-set semantics exact) found a set bit.
+    hits = (
+        doc_probes.join(F.broadcast(set_bits), "bit")
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+        .filter(F.col("_n_set") == k_hashes)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(count_alias), F.lit(0)).cast("long").alias(count_alias),
+        )
+    )
 
 
 def contamination_flags(

@@ -8,7 +8,7 @@ row path, zero shuffles except where a rollup explicitly aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_custom_transforms_spark.functions.texthash import tokens, word_shingles
 
@@ -187,6 +187,59 @@ def repetition_stats(
         (
             (dup_line_pm > 300) | (dup_char_pm > 200) | (top_bg_pm > 180)
         ).alias("repetitive"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    out_col: str = "text_dedup",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-global line-level deduplication (the C4 / RefinedWeb hygiene
+    pass: C4, arXiv:1910.10683 §2.2, deduplicates three-sentence spans
+    corpus-wide; RefinedWeb, arXiv:2306.01116, drops repeated lines): every
+    distinct line keeps exactly its FIRST occurrence across the whole corpus
+    (ordered by (id, position)); later occurrences are removed from their
+    documents. Documents are reassembled in original line order; a document
+    whose every line was seen earlier comes back as ''.
+
+    Input is an exploded-ready array column (``lines_col``) so the caller
+    owns the segmentation policy (newlines, sentences, fixed token chunks).
+
+    Plan shape (scale): posexplode -> ONE shuffle hash-partitioned on the
+    line text -> row_number window picks the survivor occurrence ->
+    groupBy(id) reassembly (second shuffle, uniform on ids) with an
+    order-preserving array_sort on (pos, line) structs — no global sort, no
+    driver materialization. Skew caveat: a pathologically common line (empty
+    string, boilerplate header) concentrates one partition; AQE skew-join
+    handles moderate cases, and pre-filtering trivial lines (length <
+    threshold) is the standard mitigation — both sides of that policy stay
+    caller-owned here.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("id", "pos")
+    kept = ex.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
     )
 
 

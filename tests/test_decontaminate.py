@@ -59,6 +59,38 @@ def test_hashed_grams_match_raw(corpus, bench_docs):
     assert hashed == raw == {1: 2, 2: 1, 3: 0, 4: 0}
 
 
+def test_bloom_superset_of_raw(corpus, bench_docs):
+    """Bloom membership can only OVER-flag: every truly contaminated gram
+    passes the filter, so per-doc bloom counts dominate raw counts; with a
+    roomy filter (few benchmark grams, 8192 bits) they are equal here."""
+    from kafka_custom_transforms_spark.operators.decontaminate import (
+        bloom_contamination_flags,
+    )
+
+    raw = {r.doc_id: r.n_bench_grams
+           for r in contamination_flags(corpus, bench_docs, ngram=8).collect()}
+    bloom = {r.doc_id: r.n_bloom_grams
+             for r in bloom_contamination_flags(corpus, bench_docs, ngram=8).collect()}
+    assert set(bloom) == set(raw)
+    assert all(bloom[d] >= raw[d] for d in raw)
+    assert bloom == raw  # 2 bench grams in 8192 bits: no false positives
+
+
+def test_bloom_tiny_filter_overflags(corpus, bench_docs):
+    """With m_bits=1 every probe hits a set bit, so every doc long enough to
+    shingle is flagged for ALL its grams — pins the false-positive
+    direction (over-flag, never under-flag)."""
+    from kafka_custom_transforms_spark.operators.decontaminate import (
+        bloom_contamination_flags,
+    )
+
+    out = {r.doc_id: r.n_bloom_grams
+           for r in bloom_contamination_flags(
+               corpus, bench_docs, ngram=8, m_bits=1, k_hashes=3).collect()}
+    # doc1: 10 words -> 3 distinct grams; doc2: 10 words -> 3; doc3: 10 -> 3
+    assert out == {1: 3, 2: 3, 3: 3, 4: 0}
+
+
 def test_plan_broadcasts_benchmark_grams(corpus, bench_docs):
     plan = (
         contamination_flags(corpus, bench_docs, ngram=8)

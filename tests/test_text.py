@@ -23,6 +23,31 @@ def test_token_stats(spark):
     assert (r.n_tokens, r.n_uniq_tokens, r.n_chars, r.max_token_len) == (4, 3, 10, 3)
 
 
+def test_line_dedup_keeps_first_occurrence_corpus_wide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "alpha"]),     # intra-doc repeat
+            (2, ["beta", "gamma"]),              # cross-doc repeat of beta
+            (3, ["beta"]),                       # fully duplicated doc
+            (4, []),                             # empty doc
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r.text_dedup for r in text.line_dedup(df).collect()}
+    # alpha survives at (1,0); beta at (1,1); gamma at (2,1)
+    assert out == {1: "alpha beta", 2: "gamma", 3: "", 4: ""}
+
+
+def test_line_dedup_preserves_order_and_all_ids(spark):
+    df = spark.createDataFrame(
+        [(10, ["z", "a", "z", "m"]), (2, ["q"])],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r.text_dedup for r in text.line_dedup(df).collect()}
+    # survivors keep original document order (z a m), not sorted order
+    assert out == {10: "z a m", 2: "q"}
+
+
 def test_language_id_markers_and_tiebreak(spark):
     out = text.language_id(
         _docs(
