@@ -208,39 +208,38 @@ def line_dedup(
     Input is an exploded-ready array column (``lines_col``) so the caller
     owns the segmentation policy (newlines, sentences, fixed token chunks).
 
-    Plan shape (scale): posexplode -> ONE shuffle hash-partitioned on the
-    line text -> row_number window picks the survivor occurrence ->
-    groupBy(id) reassembly (second shuffle, uniform on ids) with an
-    order-preserving array_sort on (pos, line) structs — no global sort, no
-    driver materialization. Skew caveat: a pathologically common line (empty
-    string, boilerplate header) concentrates one partition; AQE skew-join
-    handles moderate cases, and pre-filtering trivial lines (length <
-    threshold) is the standard mitigation — both sides of that policy stay
-    caller-owned here.
+    Plan shape (scale): posexplode_outer -> ONE shuffle hash-partitioned on
+    the line text -> row_number window picks the survivor occurrence ->
+    groupBy(id) reassembly (second shuffle, uniform on ids). EXACTLY two
+    shuffles, no join: instead of filtering survivors and joining back to
+    recover fully-deduplicated documents, the reassembly aggregates over
+    ALL exploded rows and drops losers inside the agg
+    (``collect_list(when(rnk = 1, ...))`` skips nulls), so every id —
+    including empty documents, via the _outer explode — survives to the
+    output with ''. Skew caveat: a pathologically common line (empty
+    string, boilerplate header) concentrates one window partition;
+    pre-filtering trivial lines (length < threshold) is the standard
+    mitigation and stays caller-owned.
     """
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+        F.posexplode_outer(F.col(lines_col)).alias("pos", "line"),
     )
     w = Window.partitionBy("line").orderBy("id", "pos")
-    kept = ex.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
-    reassembled = kept.groupBy("id").agg(
+    ranked = ex.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("id").agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rnk") == 1, F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
         ).alias(out_col)
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(reassembled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-        )
-    )
+    ).select(F.col("id").alias(id_col), F.col(out_col))
 
 
 def token_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -222,6 +222,50 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert any("purchase" in l for l in pf_lines)
 
 
+def test_q6_pushes_all_filters_and_prunes(spark, sf_dir):
+    """TPC-H Q6 shape: both shipdate bounds, the discount band, and the
+    quantity cap must ALL reach the parquet scan as PushedFilters, and the
+    scan must read exactly the 4 referenced columns."""
+    q = entry_mod.queries()["q6_forecast_revenue"](spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(q, col), col
+    assert set(scan_read_schema(q)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_line_dedup_exactly_two_shuffles(spark, sf_dir):
+    """Global line dedup must cost exactly two shuffles (window on line,
+    reassembly on id) — no join-back, no global sort."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["dedup_lines_global"](spark, sf_dir)
+    # simple mode: one line per operator (formatted repeats each Exchange
+    # in the details section)
+    assert plan_str(q, "simple").count("Exchange") == 2
+
+
+def test_bloom_decontaminate_broadcasts_filter(spark, sf_dir):
+    """Both Bloom probes (set-bit build is tiny, <= m_bits rows) must join
+    as broadcasts; the corpus side must never enter a cartesian."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["decontaminate_bloom"](spark, sf_dir)
+    plan = plan_str(q, "simple")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_shards_no_global_sort(spark, sf_dir):
+    """The deterministic training shuffle must sort per shard (window
+    partitioned by shard), never globally: no rangepartitioning exchange."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["global_shuffle_shards"](spark, sf_dir)
+    assert "rangepartitioning" not in plan_str(q, "simple").lower()
+
+
 def test_resolve_survivors_is_anti_join(spark, sf_dir):
     """Survivor resolution must end in a left-anti join of the corpus
     against the (small) loser set — never a full-table join or cartesian."""
