@@ -777,6 +777,33 @@ def _kmv_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 max-abs embedding quantization (operators/embeddings.py) —
+    elementwise, zero-shuffle; floor arithmetic keeps the oracle
+    bit-exact."""
+    from kafka_custom_transforms_spark.operators.embeddings import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point per-label centroids (operators/embeddings.py): integer
+    sums are order-independent, so the operator is deterministic across
+    partitionings — a float groupBy().sum() is not."""
+    from kafka_custom_transforms_spark.operators.embeddings import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of orders (operators/profile.py):
+    long-form null/distinct/min/max per column via one aggregate + an
+    explode-unpivot."""
+    from kafka_custom_transforms_spark.operators.profile import column_profile
+
+    return column_profile(load_table(spark, sf_dir, "orders"))
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) top-k — FULLY oracle-checked: the pipeline is
     deterministic (md5-derived hyperplanes, sequential-fold dots bit-equal
@@ -1570,6 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_customer_quartiles": _ntile_customer_quartiles,
         "global_shuffle_shards": _global_shuffle_shards,
         "kmv_sketch_tokens": _kmv_sketch_tokens,
+        "quantize_embeddings": _quantize_embeddings,
+        "label_centroids": _label_centroids,
+        "profile_orders": _profile_orders,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2186,6 +2216,73 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by h % 8 order by h, doc_id)
                         as bigint) as pos
             from h
+        """,
+        "quantize_embeddings": """
+            with q as (
+              select vec_id, embedding as e,
+                     list_max(list_transform(embedding,
+                                             x -> abs(cast(x as double)))) as am
+              from embeddings
+            )
+            select vec_id,
+                   cast(floor(am * 1000000) as bigint) as scale_ppm,
+                   case when am > 0
+                     then array_to_string(list_transform(e,
+                            x -> cast(cast(floor(cast(x as double) * 127.0 / am)
+                                           as bigint) as varchar)), ',')
+                     else array_to_string(list_transform(e, x -> '0'), ',')
+                   end as q
+            from q
+        """,
+        "label_centroids": """
+            with ex as (
+              select label, t.d as d1,
+                     cast(floor(cast(embedding[t.d] as double) * 1000000)
+                          as bigint) as v_fp
+              from embeddings, unnest(range(1, 65)) as t(d)
+            )
+            select label, cast(d1 - 1 as bigint) as dim,
+                   cast(floor(sum(v_fp) / count(*)) as bigint) as centroid_ppm,
+                   cast(count(*) as bigint) as n
+            from ex group by label, d1
+        """,
+        "profile_orders": """
+            select 'o_orderkey' as col_name, cast(count(*) as bigint) as n_rows,
+                   cast(sum(case when o_orderkey is null then 1 else 0 end) as bigint) as n_null,
+                   cast(count(distinct o_orderkey) as bigint) as n_distinct,
+                   cast(min(o_orderkey) as varchar) as min_str,
+                   cast(max(o_orderkey) as varchar) as max_str
+            from orders
+            union all
+            select 'o_custkey', cast(count(*) as bigint),
+                   cast(sum(case when o_custkey is null then 1 else 0 end) as bigint),
+                   cast(count(distinct o_custkey) as bigint),
+                   cast(min(o_custkey) as varchar), cast(max(o_custkey) as varchar)
+            from orders
+            union all
+            select 'o_orderstatus', cast(count(*) as bigint),
+                   cast(sum(case when o_orderstatus is null then 1 else 0 end) as bigint),
+                   cast(count(distinct o_orderstatus) as bigint),
+                   cast(min(o_orderstatus) as varchar), cast(max(o_orderstatus) as varchar)
+            from orders
+            union all
+            select 'o_totalprice', cast(count(*) as bigint),
+                   cast(sum(case when o_totalprice is null then 1 else 0 end) as bigint),
+                   cast(count(distinct o_totalprice) as bigint),
+                   cast(min(o_totalprice) as varchar), cast(max(o_totalprice) as varchar)
+            from orders
+            union all
+            select 'o_orderdate', cast(count(*) as bigint),
+                   cast(sum(case when o_orderdate is null then 1 else 0 end) as bigint),
+                   cast(count(distinct o_orderdate) as bigint),
+                   cast(min(o_orderdate) as varchar), cast(max(o_orderdate) as varchar)
+            from orders
+            union all
+            select 'o_orderpriority', cast(count(*) as bigint),
+                   cast(sum(case when o_orderpriority is null then 1 else 0 end) as bigint),
+                   cast(count(distinct o_orderpriority) as bigint),
+                   cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar)
+            from orders
         """,
         "kmv_sketch_tokens": """
             with toks as (

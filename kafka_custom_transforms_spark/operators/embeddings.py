@@ -1,0 +1,107 @@
+"""Embedding-column utilities for training-data pipelines: int8
+quantization and fixed-point centroid aggregation.
+
+No reference counterpart (the reference is an SMT library, SURVEY.md §2.4);
+driver-mandated LLM-data-pipeline extension operators.
+
+Determinism contract (shared with operators/similarity.py): no
+order-dependent float accumulation ever reaches an output. Quantization is
+elementwise (IEEE double ops are bit-identical across engines), and
+centroids aggregate FIXED-POINT integers (floor(v * scale)), whose sums are
+exact and order-independent — so a DuckDB oracle hash-matches, and more
+importantly the operator is deterministic across cluster topologies,
+retries, and AQE re-plans (a float sum is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["quantize_embeddings", "label_centroids"]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric max-abs quantization to ``bits``-bit signed
+    integers — the standard storage/bandwidth reduction before ANN indexing
+    (4x for float32 -> int8). Output per row:
+
+      - ``scale_ppm``: floor(max|v| * 1e6) as bigint (the dequantization
+        scale, fixed-point so it hash-compares exactly),
+      - ``q``: comma-joined quantized values floor(v * qmax / max|v|),
+        each in [-qmax-1, qmax] for qmax = 2^(bits-1) - 1.
+
+    Zero vectors quantize to all-zeros with scale 0. Pure elementwise
+    Catalyst expressions — zero shuffle, fully parallel; floor(double) is
+    bit-identical in the DuckDB oracle (no rounding-mode divergence, unlike
+    round's half-up vs half-even).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        absmax > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * F.lit(float(qmax)) / absmax).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col),
+        F.floor(absmax * 1_000_000).cast("long").alias("scale_ppm"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid in fixed-point: one output row per (label, dim)
+    with the mean component as floor-scaled ppm. The building block for
+    class-balanced sampling, cluster pruning (SemDeDup uses exactly these
+    means), and drift monitoring.
+
+    Why fixed-point: a float sum's value depends on accumulation order, so
+    a groupBy().sum() over doubles is NOT deterministic across partitionings
+    — unacceptable for an operator whose output feeds dedup decisions. Each
+    component is floored to an integer (floor(v * scale), elementwise,
+    deterministic) and the INTEGER sums are exact and order-independent;
+    ``centroid_ppm = floor_div(sum, n)`` stays integer. Quantization error
+    is <= 1/scale per element — 1e-6 at the default, far below any
+    embedding-space noise floor.
+
+    Plan shape: posexplode(dim rows per vector) -> ONE shuffle on
+    (label, dim) with map-side partial sums. At 100 TB the explode
+    multiplies rows by dim but the shuffle carries only
+    (label, dim, partial_sum, partial_n) per map task — cardinality
+    #labels * dim, tiny.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                F.slice(F.col(vec_col), 1, dim),
+                lambda x: F.floor(x.cast("double") * scale).cast("long"),
+            )
+        ).alias("dim", "v_fp"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("v_fp").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.floor(F.col("s") / F.col("n")).cast("long").alias("centroid_ppm"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Embedding quantization / centroid / profile operator tests (hand-pinned
+values; corpus-level parity covered by the oracle suite)."""
+
+from __future__ import annotations
+
+from kafka_custom_transforms_spark.operators.embeddings import (
+    label_centroids,
+    quantize_embeddings,
+)
+from kafka_custom_transforms_spark.operators.profile import column_profile
+
+
+def test_quantize_maxabs_int8(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.scale_ppm, r.q) for r in quantize_embeddings(df).collect()}
+    # floor(-0.5 * 127 / 1.0) = floor(-63.5) = -64
+    assert out[1] == (1_000_000, "127,-64,0")
+    assert out[2] == (0, "0,0,0")  # zero vector guard
+
+
+def test_label_centroids_fixed_point(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [2.0, 3.0], 0), (3, [10.0, -1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r.label, r.dim): (r.centroid_ppm, r.n)
+        for r in label_centroids(df, dim=2).collect()
+    }
+    assert out == {
+        (0, 0): (1_500_000, 2),
+        (0, 1): (2_500_000, 2),
+        (1, 0): (10_000_000, 1),
+        (1, 1): (-1_000_000, 1),
+    }
+
+
+def test_column_profile_long_form(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    out = {r.col_name: r for r in column_profile(df).collect()}
+    assert set(out) == {"k", "s"}
+    k, s = out["k"], out["s"]
+    assert (k.n_rows, k.n_null, k.n_distinct, k.min_str, k.max_str) == (3, 0, 2, "1", "2")
+    assert (s.n_rows, s.n_null, s.n_distinct, s.min_str, s.max_str) == (3, 1, 2, "a", "b")
+
+
+def test_column_profile_single_scan(spark):
+    """The profile must be ONE pass: exactly one parquet/file scan in the
+    plan, never a per-column union of scans."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plan = plan_str(column_profile(orders), "simple")
+    assert plan.count("FileScan") == 1, plan
