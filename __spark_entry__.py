@@ -804,6 +804,61 @@ def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(load_table(spark, sf_dir, "orders"))
 
 
+def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (user_id, event-hour): the file-clustering
+    expression that lets parquet min/max stats prune on BOTH dimensions
+    (functions/layout.py). Outputs the Morton value and the target file
+    bucket (z >> 22 — contiguous z-ranges = one file's key range)."""
+    from kafka_custom_transforms_spark.functions.layout import z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    # integer `div` (not floor(double /)): epoch_us near 2^50 would round in
+    # a double quotient; DuckDB's // is integer division, so must ours be
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    # mask both dims to 16 bits: user_id < 65536 naturally; hours mod 65536
+    z = z_value(F.col("user_id"), F.pmod(hour, F.lit(65536)), bits=16)
+    return ev.select(
+        "event_id",
+        z.alias("z"),
+        F.shiftright(z, 22).cast("long").alias("file_bucket"),
+    )
+
+
+def _trailing_counts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event count via a RANGE window frame
+    (value-based, not row-based — peers with equal timestamps are included
+    both sides, so the result is deterministic under ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+    )
+
+
+def _props_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless props via Spark 4 VariantType: parse_json once, typed
+    variant_get extraction, then aggregate — the open-schema path that
+    needs no plan-time JSON schema (vs from_json). Integer sums keep the
+    DuckDB (json_extract) oracle exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k >= 50, 1)).alias("n_high"),
+            F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+        )
+    )
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH) top-k — FULLY oracle-checked: the pipeline is
     deterministic (md5-derived hyperplanes, sequential-fold dots bit-equal
@@ -1600,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _quantize_embeddings,
         "label_centroids": _label_centroids,
         "profile_orders": _profile_orders,
+        "zorder_events": _zorder_events,
+        "trailing_counts_range": _trailing_counts_range,
+        "props_variant_agg": _props_variant_agg,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2283,6 +2341,43 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct o_orderpriority) as bigint),
                    cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar)
             from orders
+        """,
+        "zorder_events": """
+            with h as (
+              select event_id, user_id,
+                     (epoch_us(ts) // 3600000000) % 65536 as hh
+              from events
+            ),
+            z as (
+              select event_id,
+                     {zsum} as z
+              from h
+            )
+            select event_id, z, cast(z >> 22 as bigint) as file_bucket from z
+        """.format(
+            zsum=" + ".join(
+                f"(((user_id >> {i}) & 1) << {2 * i}) + (((hh >> {i}) & 1) << {2 * i + 1})"
+                for i in range(16)
+            )
+        ),
+        "trailing_counts_range": """
+            select event_id, user_id,
+                   cast(count(*) over (
+                     partition by user_id order by epoch_us(ts)
+                     range between 3600000000 preceding and current row
+                   ) as bigint) as trailing_n
+            from events
+        """,
+        "props_variant_agg": """
+            select event_type,
+                   cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                        as bigint) as sum_k,
+                   cast(count(case when cast(json_extract_string(props, '$.k') as bigint)
+                                        >= 50 then 1 end) as bigint) as n_high,
+                   cast(count(case when json_extract_string(props, '$.k') is null
+                              then 1 end) as bigint) as n_null_k
+            from events
+            group by event_type
         """,
         "kmv_sketch_tokens": """
             with toks as (
