@@ -804,6 +804,42 @@ def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(load_table(spark, sf_dir, "orders"))
 
 
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact filter -> three joins (two broadcastable dims)
+    -> grouped decimal revenue -> two-phase top-20. Join-breadth showcase:
+    customer and nation broadcast; only the orders join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _orders_bulk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join breadth: orders having at least one bulk line
+    (quantity > 45), counted by priority — existence check without
+    duplicating or projecting the right side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    bulk = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(bulk, orders["o_orderkey"] == bulk["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (user_id, event-hour): the file-clustering
     expression that lets parquet min/max stats prune on BOTH dimensions
@@ -1658,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _zorder_events,
         "trailing_counts_range": _trailing_counts_range,
         "props_variant_agg": _props_variant_agg,
+        "q10_returned_items": _q10_returned_items,
+        "orders_bulk_semi": _orders_bulk_semi,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2341,6 +2379,27 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct o_orderpriority) as bigint),
                    cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar)
             from orders
+        """,
+        "q10_returned_items": """
+            select c_custkey, c_name, n_name,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            where l_returnflag = 'R'
+            group by c_custkey, c_name, n_name
+            order by revenue desc, c_custkey asc
+            limit 20
+        """,
+        "orders_bulk_semi": """
+            select o_orderpriority, cast(count(*) as bigint) as n_orders
+            from orders o
+            where exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey and l.l_quantity > 45)
+            group by o_orderpriority
         """,
         "zorder_events": """
             with h as (

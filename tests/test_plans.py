@@ -266,6 +266,23 @@ def test_shuffle_shards_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan_str(q, "simple").lower()
 
 
+def test_q10_broadcasts_dims_and_two_phase_topk(spark, sf_dir):
+    """Q10: customer and nation must broadcast (only the orders join
+    shuffles) and the top-20 must compile to TakeOrderedAndProject."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["q10_returned_items"](spark, sf_dir)
+    assert broadcast_join_count(q) >= 2
+    assert "TakeOrderedAndProject" in plan_str(q)
+
+
+def test_orders_bulk_semi_is_semi_join(spark, sf_dir):
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["orders_bulk_semi"](spark, sf_dir)
+    assert "LeftSemi" in plan_str(q, "simple")
+
+
 def test_resolve_survivors_is_anti_join(spark, sf_dir):
     """Survivor resolution must end in a left-anti join of the corpus
     against the (small) loser set — never a full-table join or cartesian."""
