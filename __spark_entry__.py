@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under future-annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kafka_custom_transforms_spark import (
@@ -838,6 +839,23 @@ def _orders_bulk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def _udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: an Arrow-batched GROUPED_AGG pandas_udf
+    computing the discrete (lower-middle) median — deterministic integer
+    order statistic, so the DuckDB quantile_disc oracle matches exactly.
+    Partial-agg does NOT apply to arbitrary pandas UDAFs: each group's
+    values stream to one executor — fine for bounded groups (here:
+    per-source), the documented caveat vs built-in percentile_approx."""
+
+    @F.pandas_udf("long")
+    def p50_disc(v: pd.Series) -> int:
+        s = v.sort_values().to_numpy()
+        return int(s[(len(s) - 1) // 2])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(p50_disc(F.col("n_chars")).alias("p50_chars"))
 
 
 def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_variant_agg": _props_variant_agg,
         "q10_returned_items": _q10_returned_items,
         "orders_bulk_semi": _orders_bulk_semi,
+        "udaf_median_chars": _udaf_median_chars,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2379,6 +2398,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct o_orderpriority) as bigint),
                    cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar)
             from orders
+        """,
+        "udaf_median_chars": """
+            select source,
+                   cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
+            from documents group by source
         """,
         "q10_returned_items": """
             select c_custkey, c_name, n_name,
