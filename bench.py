@@ -50,6 +50,10 @@ BENCH_QUERIES = (
     "text_repetition",
     "pack_docs",
     "multimodal_stats",
+    "dedup_lines_global",
+    "decontaminate_bloom",
+    "label_centroids",
+    "q10_returned_items",
 )
 
 
