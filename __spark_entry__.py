@@ -719,15 +719,27 @@ def _ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     function breadth (ntile) plus the standard \"segment users by value\"
     analytics shape. Single agg shuffle; the ntile window is one global
     sort of the (small) aggregate, not of the fact table."""
+    from kafka_custom_transforms_spark.functions.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec")
     )
-    w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey").asc())
-    return spend.select(
+    # NOT ntile() OVER (ORDER BY ...): an unpartitioned window funnels the
+    # whole table through one task. global_rank range-partitions + offsets
+    # (functions/rank.py); ntile_from_rank reproduces exact NTILE semantics
+    # map-side from the rank (equality with the window ntile test-pinned).
+    n_rows = spend.count()
+    ranked = global_rank(
+        spend, [F.col("spend_dec").desc(), F.col("o_custkey").asc()]
+    )
+    return ranked.select(
         "o_custkey",
         F.col("spend_dec").cast("double").alias("spend"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        ntile_from_rank(F.col("rank"), n_rows, 4).alias("quartile"),
     )
 
 
