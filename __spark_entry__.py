@@ -853,6 +853,46 @@ def _orders_bulk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the deployment shape where each
+    new data drop is checked against the fingerprint store of everything
+    already ingested: anti-join of the new batch's content hashes against
+    the seen-set. The seen side carries ONLY hashes (16 bytes/doc at any
+    corpus size); the join is an equi anti-join on a uniform key. Here the
+    'seen' snapshot is doc_id % 3 == 0 and the batch is the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(F.md5("text").alias("h"))
+    batch = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return (
+        batch.join(seen, "h", "left_anti")
+        .select("doc_id")
+    )
+
+
+def _split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: md5 keyspace slices
+    per document (train < 900 per-mille, val < 950, else test) — stable
+    under repartitioning/reruns because membership is a pure function of
+    the id, and composable with every upstream filter. Aggregated per
+    (lang, split) so the oracle checks the exact assignment counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 14), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    split = (
+        F.when(pm < 900, "train").when(pm < 950, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface: an Arrow-batched GROUPED_AGG pandas_udf
     computing the discrete (lower-middle) median — deterministic integer
@@ -1727,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "orders_bulk_semi": _orders_bulk_semi,
         "udaf_median_chars": _udaf_median_chars,
+        "dedup_incremental": _dedup_incremental,
+        "split_train_holdout": _split_train_holdout,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2415,6 +2457,28 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "dedup_incremental": """
+            select d.doc_id
+            from documents d
+            where d.doc_id % 3 != 0
+              and not exists (
+                select 1 from documents s
+                where s.doc_id % 3 = 0 and md5(s.text) = md5(d.text)
+              )
+        """,
+        "split_train_holdout": """
+            with s as (
+              select lang,
+                     case
+                       when ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 14))::BIGINT % 1000 < 900 then 'train'
+                       when ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 14))::BIGINT % 1000 < 950 then 'val'
+                       else 'test'
+                     end as split
+              from documents
+            )
+            select lang, split, cast(count(*) as bigint) as n_docs
+            from s group by lang, split
         """,
         "q10_returned_items": """
             select c_custkey, c_name, n_name,
