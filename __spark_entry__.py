@@ -893,6 +893,36 @@ def _split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across data drops: an old snapshot written without
+    a column and a new snapshot with it, read together via
+    ``mergeSchema`` — the added column is NULL for old files (no rewrite
+    of historical data). At 100 TB this is THE way schemas grow: parquet
+    footer merge at planning, never a backfill. Aggregates per source so
+    the oracle pins exactly which rows carry the new column."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-evolve-")
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.col("n_chars").alias("quality_len")
+    )
+    old.write.parquet(d + "/drop=0")
+    new.write.parquet(d + "/drop=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        d + "/drop=0", d + "/drop=1"
+    )
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality_len").alias("n_with_quality"),
+            F.sum("quality_len").alias("sum_quality_len"),
+        )
+    )
+
+
 def _udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface: an Arrow-batched GROUPED_AGG pandas_udf
     computing the discrete (lower-middle) median — deterministic integer
@@ -1769,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_median_chars": _udaf_median_chars,
         "dedup_incremental": _dedup_incremental,
         "split_train_holdout": _split_train_holdout,
+        "schema_evolution_read": _schema_evolution_read,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2457,6 +2488,19 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "schema_evolution_read": """
+            with merged as (
+              select doc_id, source, null::BIGINT as quality_len
+              from documents where doc_id % 2 = 0
+              union all
+              select doc_id, source, n_chars as quality_len
+              from documents where doc_id % 2 = 1
+            )
+            select source, cast(count(*) as bigint) as n_docs,
+                   cast(count(quality_len) as bigint) as n_with_quality,
+                   cast(sum(quality_len) as bigint) as sum_quality_len
+            from merged group by source
         """,
         "dedup_incremental": """
             select d.doc_id
