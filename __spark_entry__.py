@@ -923,6 +923,35 @@ def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a table function exploding each doc
+    into fixed 32-token chunks, consumed via SQL LATERAL — the
+    user-extensible row-generator API (registered like the reference's
+    pluggable-transform surface, SURVEY.md §3). Python UDTFs are the slow
+    path (per-row python; the codegen equivalent of this exact chunking is
+    dedup_lines_global's slice/transform expression) — demonstrated here
+    for the API, sized for metadata-light output."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, n_toks int, first_tok string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield i // 32, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kcts_docs_udtf")
+    return spark.sql(
+        """
+        select d.doc_id, c.pos, c.n_toks, c.first_tok
+        from kcts_docs_udtf d, lateral chunk_doc(d.text) c
+        """
+    )
+
+
 def _udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface: an Arrow-batched GROUPED_AGG pandas_udf
     computing the discrete (lower-middle) median — deterministic integer
@@ -1800,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "split_train_holdout": _split_train_holdout,
         "schema_evolution_read": _schema_evolution_read,
+        "udtf_chunk_docs": _udtf_chunk_docs,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2488,6 +2518,14 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "udtf_chunk_docs": """
+            with toks as (select doc_id, string_split(text, ' ') as w from documents)
+            select doc_id,
+                   cast((t.i - 1) // 32 as int) as pos,
+                   cast(least(32, len(w) - t.i + 1) as int) as n_toks,
+                   w[t.i] as first_tok
+            from toks, unnest(range(1, len(w) + 1, 32)) as t(i)
         """,
         "schema_evolution_read": """
             with merged as (
