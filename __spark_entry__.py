@@ -952,6 +952,33 @@ def _udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join breadth: per-day event volume vs order volume —
+    days present on either side survive with zeros on the missing side
+    (the reconciliation/gap-detection join). Both sides pre-aggregate to
+    day granularity before joining, so the join inputs are tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ev_d = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    or_d = (
+        orders.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        ev_d.join(or_d, "day", "full_outer")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
 def _udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface: an Arrow-batched GROUPED_AGG pandas_udf
     computing the discrete (lower-middle) median — deterministic integer
@@ -1830,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_holdout": _split_train_holdout,
         "schema_evolution_read": _schema_evolution_read,
         "udtf_chunk_docs": _udtf_chunk_docs,
+        "daily_activity_full_outer": _daily_activity_full_outer,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2518,6 +2546,22 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "daily_activity_full_outer": """
+            with e as (
+              select cast(cast(ts as date) as varchar) as day,
+                     cast(count(*) as bigint) as n_events
+              from events group by 1
+            ),
+            o as (
+              select cast(cast(o_orderdate as date) as varchar) as day,
+                     cast(count(*) as bigint) as n_orders
+              from orders group by 1
+            )
+            select coalesce(e.day, o.day) as day,
+                   cast(coalesce(n_events, 0) as bigint) as n_events,
+                   cast(coalesce(n_orders, 0) as bigint) as n_orders
+            from e full outer join o using (day)
         """,
         "udtf_chunk_docs": """
             with toks as (select doc_id, string_split(text, ' ') as w from documents)
