@@ -952,6 +952,26 @@ def _udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dense_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware per-group top-k: dense_rank keeps ALL orders sharing a
+    top-3 price per customer (row_number would drop ties arbitrarily —
+    the wrong semantics when ranking by a non-unique measure). Decimal
+    cast makes the rank key engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        orders.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def _daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join breadth: per-day event volume vs order volume —
     days present on either side survive with zeros on the missing side
@@ -1858,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": _schema_evolution_read,
         "udtf_chunk_docs": _udtf_chunk_docs,
         "daily_activity_full_outer": _daily_activity_full_outer,
+        "dense_topk_orders": _dense_topk_orders,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2546,6 +2567,14 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "dense_topk_orders": """
+            select o_custkey, o_orderkey, cast(rnk as bigint) as rnk from (
+              select o_custkey, o_orderkey,
+                     dense_rank() over (partition by o_custkey
+                       order by cast(o_totalprice as decimal(18,2)) desc) as rnk
+              from orders
+            ) where rnk <= 3
         """,
         "daily_activity_full_outer": """
             with e as (

@@ -40,6 +40,47 @@ def test_z_value_rejects_wide_bits(spark):
         z_value(F.lit(1), F.lit(1), bits=32)
 
 
+def test_zorder_layout_concentrates_matches_in_fewer_files(spark):
+    """The point of the layout key, measured: write the same table (a) in
+    arbitrary order and (b) range-partitioned+sorted by z — under a
+    two-dimensional range predicate, the z-ordered layout puts every
+    matching row in strictly fewer files, which is exactly what file-level
+    min/max skipping prunes at scale."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", F.expr("event_id % 128").alias("hb")
+    )
+    z = z_value(F.col("user_id"), F.col("hb"), bits=8)
+    d = tempfile.mkdtemp(prefix="kcts-zorder-")
+    n_files = 16
+    ev.repartition(n_files).write.parquet(d + "/plain")
+    (
+        ev.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(d + "/zord")
+    )
+    pred = (F.col("user_id") < 30) & (F.col("hb") < 32)
+
+    def files_with_matches(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    plain, zord = files_with_matches(d + "/plain"), files_with_matches(d + "/zord")
+    # round-robin scatters matches across ~every file; z-order confines them
+    assert zord < plain, (zord, plain)
+    assert zord <= n_files // 2, (zord, plain)
+
+
 def test_z_value_stays_in_codegen(spark):
     from kafka_custom_transforms_spark.plans.explain import plan_str
     from kafka_custom_transforms_spark.sources.tables import load_table
