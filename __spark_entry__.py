@@ -952,6 +952,30 @@ def _udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linear_score_weights() -> list[float]:
+    """Deterministic md5-derived weights in [-0.5, 0.5), computed in Python
+    and embedded as identical double literals in BOTH engines."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"w:{j}".encode()).hexdigest()[:14], 16) % 1_000_000)
+        / 1_000_000
+        - 0.5
+        for j in range(64)
+    ]
+
+
+def _linear_score_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference as pure expressions (operators/embeddings.py
+    linear_scores): unrolled sequential-fold dot product, fixed-point
+    margin — zero Python in the row path, oracle recomputes the identical
+    fold."""
+    from kafka_custom_transforms_spark.operators.embeddings import linear_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linear_scores(emb, _linear_score_weights(), bias=0.05)
+
+
 def _dense_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-aware per-group top-k: dense_rank keeps ALL orders sharing a
     top-3 price per customer (row_number would drop ties arbitrarily —
@@ -1879,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunk_docs": _udtf_chunk_docs,
         "daily_activity_full_outer": _daily_activity_full_outer,
         "dense_topk_orders": _dense_topk_orders,
+        "linear_score_embeddings": _linear_score_embeddings,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2323,7 +2348,19 @@ _DECON_SQL = """
 def oracle_sql() -> dict[str, str]:
     cos = _COSINE_EXPR.format(a="a.v", b="b.v")
     qcos = _COSINE_EXPR.format(a="q.v", b="e.v")
+    # linear scorer: same double literals, same left-to-right fold order as
+    # the Spark expression (0.05 + t0) + t1 + ... — bit-identical margins
+    _lw = _linear_score_weights()
+    _lin_margin = "0.05 + " + " + ".join(
+        f"cast(embedding[{j + 1}] as double) * ({w!r})" for j, w in enumerate(_lw)
+    )
     return {
+        "linear_score_embeddings": f"""
+            select vec_id,
+                   cast(floor(({_lin_margin}) * 1000000) as bigint) as margin_ppm,
+                   ({_lin_margin}) > 0 as pos
+            from embeddings
+        """,
         "smt_drop_struct": """
             select l_orderkey, l_linenumber,
                    to_json(struct_pack(k1 := l_orderkey,

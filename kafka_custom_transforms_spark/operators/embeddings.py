@@ -17,7 +17,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["quantize_embeddings", "label_centroids"]
+__all__ = ["quantize_embeddings", "label_centroids", "linear_scores"]
+
+
+def linear_scores(
+    df: DataFrame,
+    weights: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Batch inference with a linear model as a pure Catalyst expression:
+    margin = w . x + b, emitted fixed-point (floor(margin * 1e6)) plus the
+    sign — the cheapest useful classifier shape (fastText-style quality
+    gates, routing, filtering) run at full scan speed with ZERO Python in
+    the row path.
+
+    Determinism: the dot product is an UNROLLED left-to-right sum
+    (x0*w0 + x1*w1 + ...), i.e. a sequential fold — bit-identical to a
+    DuckDB expression written in the same order, and independent of Spark
+    partitioning (it is per-row). Weights are plan-time double literals.
+    Models with thousands of dims should switch to a vectorized Pandas UDF
+    (see similarity.UNROLL_MIN_ROWS for the same trade measured); at
+    embedding dims (<= few hundred) the flat expression stays inside
+    whole-stage codegen and wins.
+    """
+    v = F.col(vec_col)
+    margin = F.lit(float(bias)).cast("double")
+    for j, w in enumerate(weights):
+        margin = margin + v[j].cast("double") * F.lit(float(w))
+    return df.select(
+        F.col(id_col),
+        F.floor(margin * 1_000_000).cast("long").alias("margin_ppm"),
+        (margin > 0).alias("pos"),
+    )
 
 
 def quantize_embeddings(

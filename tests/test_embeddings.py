@@ -38,6 +38,30 @@ def test_label_centroids_fixed_point(spark):
     }
 
 
+def test_linear_scores_hand_values(spark):
+    from kafka_custom_transforms_spark.operators.embeddings import linear_scores
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [-1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: (r.margin_ppm, r.pos)
+           for r in linear_scores(df, [0.5, -0.25], bias=0.1).collect()}
+    # 0.1 + 0.5 - 0.5 = 0.1 ; 0.1 - 0.5 = -0.4
+    assert out[1] == (100_000, True)
+    assert out[2] == (-400_000, False)
+
+
+def test_linear_scores_stay_in_codegen(spark):
+    from kafka_custom_transforms_spark.operators.embeddings import linear_scores
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = plan_str(linear_scores(emb, [0.1] * 64))
+    assert "* Project" in plan
+    assert "Exchange" not in plan
+
+
 def test_column_profile_long_form(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (2, "b")], "k long, s string"
