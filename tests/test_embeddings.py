@@ -42,13 +42,15 @@ def test_linear_scores_hand_values(spark):
     from kafka_custom_transforms_spark.operators.embeddings import linear_scores
 
     df = spark.createDataFrame(
-        [(1, [1.0, 2.0]), (2, [-1.0, 0.0])], "vec_id long, embedding array<float>"
+        [(1, [2.0, 4.0]), (2, [-2.0, 0.0])], "vec_id long, embedding array<float>"
     )
+    # binary-exact values (powers of two) so the expectation needs no ulp
+    # reasoning; cross-engine bit-exactness is separately oracle-pinned
     out = {r.vec_id: (r.margin_ppm, r.pos)
-           for r in linear_scores(df, [0.5, -0.25], bias=0.1).collect()}
-    # 0.1 + 0.5 - 0.5 = 0.1 ; 0.1 - 0.5 = -0.4
-    assert out[1] == (100_000, True)
-    assert out[2] == (-400_000, False)
+           for r in linear_scores(df, [0.5, 0.25], bias=0.0).collect()}
+    # 1.0 + 1.0 = 2.0 ; -1.0
+    assert out[1] == (2_000_000, True)
+    assert out[2] == (-1_000_000, False)
 
 
 def test_linear_scores_stay_in_codegen(spark):
