@@ -976,6 +976,42 @@ def _linear_score_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_scores(emb, _linear_score_weights(), bias=0.05)
 
 
+def _python_source_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (sources/python_source.py): a partitioned
+    deterministic envelope generator read through the Spark 4 DataSource
+    API, then run through the reference SMT chain (drop k -> hoist) and
+    aggregated — the pluggable-source contract the reference delegates to
+    its Connect worker, demonstrated engine-side. The oracle regenerates
+    the identical records with generate_series."""
+    from kafka_custom_transforms_spark.sources.python_source import (
+        register_envelope_source,
+    )
+
+    register_envelope_source(spark)
+    env = (
+        spark.read.format("kcts_envelope")
+        .option("partitions", 4)
+        .option("rows_per_partition", 250)
+        .load()
+    )
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    out = chain(env)
+    return (
+        out.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("first_offset"),
+            F.count_distinct("partition").alias("n_parts"),
+            # pins the chain output: every record's k dropped, all hoisted
+            # to the same normalized '{"payload":{}}'
+            F.count_distinct("value").alias("n_values"),
+        )
+    )
+
+
 def _dense_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-aware per-group top-k: dense_rank keeps ALL orders sharing a
     top-3 price per customer (row_number would drop ties arbitrarily —
@@ -1904,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_full_outer": _daily_activity_full_outer,
         "dense_topk_orders": _dense_topk_orders,
         "linear_score_embeddings": _linear_score_embeddings,
+        "python_source_envelope": _python_source_envelope,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2604,6 +2641,19 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    cast(quantile_disc(n_chars, 0.5) as bigint) as p50_chars
             from documents group by source
+        """,
+        "python_source_envelope": """
+            with g as (
+              select i as off, cast(i // 250 as int) as part,
+                     'user' || cast(i % 50 as varchar) as key,
+                     '{"payload":{}}' as value
+              from generate_series(0, 999) as t(i)
+            )
+            select key, cast(count(*) as bigint) as n,
+                   cast(min(off) as bigint) as first_offset,
+                   cast(count(distinct part) as bigint) as n_parts,
+                   cast(count(distinct value) as bigint) as n_values
+            from g group by key
         """,
         "dense_topk_orders": """
             select o_custkey, o_orderkey, cast(rnk as bigint) as rnk from (

@@ -1,0 +1,71 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API): a
+deterministic Kafka-envelope-shaped record generator.
+
+Why it exists: the reference library runs inside a Kafka Connect worker
+whose *source connectors* feed it records (SURVEY.md §0 — the worker owns
+all I/O). Spark's Python DataSource API is the engine-side analog of that
+pluggable-source contract: schema declaration, partition planning, and a
+per-partition reader — demonstrated here end to end, broker-free.
+
+The generator is fully deterministic (row content is a pure function of
+the offset), so a DuckDB ``generate_series`` oracle reproduces the exact
+table — the source can sit under any oracle-checked query.
+
+Scale: ``partitions`` is the parallelism contract — each partition's
+reader runs in its own task, exactly like one Kafka partition per task;
+nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["EnvelopeGenSource", "register_envelope_source"]
+
+
+class _EnvelopePartition(InputPartition):
+    def __init__(self, pid: int, start: int, rows: int):
+        self.pid = pid
+        self.start = start
+        self.rows = rows
+
+
+class _EnvelopeReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("partitions", 4))
+        self.rows_per_part = int(options.get("rows_per_partition", 250))
+
+    def partitions(self):
+        return [
+            _EnvelopePartition(p, p * self.rows_per_part, self.rows_per_part)
+            for p in range(self.n_parts)
+        ]
+
+    def read(self, partition: _EnvelopePartition):
+        # pure function of the offset -> deterministic, oracle-reproducible
+        for i in range(partition.rows):
+            offset = partition.start + i
+            yield (
+                offset,
+                partition.pid,
+                f"user{offset % 50}",
+                '{"k": %d}' % (offset % 100),
+            )
+
+
+class EnvelopeGenSource(DataSource):
+    """``spark.read.format("kcts_envelope")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kcts_envelope"
+
+    def schema(self) -> str:
+        return "offset bigint, partition int, key string, value string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _EnvelopeReader(self.options)
+
+
+def register_envelope_source(spark) -> None:
+    spark.dataSource.register(EnvelopeGenSource)
