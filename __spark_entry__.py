@@ -1012,6 +1012,53 @@ def _python_source_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python source consumed as a STREAM: micro-batch offset
+    checkpointing driven to completion by repeated availableNow restarts —
+    each run resumes from the committed offset (the Kafka-consumer recovery
+    contract: no duplicates, no loss, pinned by the exact-offsets oracle).
+    The SMT chain rides inside the stream, as in stream_chain_envelope."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.sources.python_source import (
+        register_envelope_source,
+    )
+
+    register_envelope_source(spark)
+    d = tempfile.mkdtemp(prefix="kcts-pystream-")
+    env = (
+        spark.readStream.format("kcts_envelope")
+        .option("rows_per_batch", 400)
+        .option("max_offset", 1000)
+        .load()
+    )
+    chain = transform_chain(
+        drop_fields(["k"], json_schema="k int"),
+        hoist_field("payload"),
+    )
+    out = chain(env).select("offset", "key", "value")
+    prev = -1
+    for _ in range(10):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", d + "/sink")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(d + "/sink").count()
+        if n == prev:
+            break
+        prev = n
+    sink = spark.read.parquet(d + "/sink")
+    return sink.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("offset").alias("first_offset"),
+        F.count_distinct("value").alias("n_values"),
+    )
+
+
 def _dense_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-aware per-group top-k: dense_rank keeps ALL orders sharing a
     top-3 price per customer (row_number would drop ties arbitrarily —
@@ -1941,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_topk_orders": _dense_topk_orders,
         "linear_score_embeddings": _linear_score_embeddings,
         "python_source_envelope": _python_source_envelope,
+        "stream_python_source": _stream_python_source,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2652,6 +2700,18 @@ def oracle_sql() -> dict[str, str]:
             select key, cast(count(*) as bigint) as n,
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct part) as bigint) as n_parts,
+                   cast(count(distinct value) as bigint) as n_values
+            from g group by key
+        """,
+        "stream_python_source": """
+            with g as (
+              select i as off,
+                     'user' || cast(i % 50 as varchar) as key,
+                     '{"payload":{}}' as value
+              from generate_series(0, 999) as t(i)
+            )
+            select key, cast(count(*) as bigint) as n,
+                   cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
         """,

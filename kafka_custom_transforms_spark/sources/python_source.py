@@ -18,9 +18,20 @@ nothing is materialized on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["EnvelopeGenSource", "register_envelope_source"]
+
+
+def _gen_row(offset: int, pid: int):
+    # THE row function: batch reader, stream reader, and replay all call
+    # this, so batch/stream/recovery outputs are identical by construction
+    return (offset, pid, f"user{offset % 50}", '{"k": %d}' % (offset % 100))
 
 
 class _EnvelopePartition(InputPartition):
@@ -45,12 +56,30 @@ class _EnvelopeReader(DataSourceReader):
         # pure function of the offset -> deterministic, oracle-reproducible
         for i in range(partition.rows):
             offset = partition.start + i
-            yield (
-                offset,
-                partition.pid,
-                f"user{offset % 50}",
-                '{"k": %d}' % (offset % 100),
-            )
+            yield _gen_row(offset, partition.pid)
+
+
+class _EnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch offsets over the same deterministic generator — the
+    Kafka-consumer shape: an offset checkpoint, a read from the last
+    committed offset, and deterministic replay between offsets (exactly
+    what the engine needs for end-to-end exactly-once on recovery).
+    ``max_offset`` bounds the stream so availableNow runs terminate."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_offset = int(options.get("max_offset", 1000))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        s = int(start["offset"])
+        e = min(s + self.rows_per_batch, self.max_offset)
+        return iter([_gen_row(o, 0) for o in range(s, e)]), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_gen_row(o, 0) for o in range(int(start["offset"]), int(end["offset"]))])
 
 
 class EnvelopeGenSource(DataSource):
@@ -65,6 +94,9 @@ class EnvelopeGenSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _EnvelopeReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _EnvelopeStreamReader(self.options)
 
 
 def register_envelope_source(spark) -> None:

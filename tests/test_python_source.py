@@ -40,3 +40,40 @@ def test_partition_planning_gives_one_task_per_partition(spark):
     df = _read(spark, parts=5, rows=4)
     pids = df.select(F.spark_partition_id().alias("p")).distinct().count()
     assert pids == 5
+
+
+def test_stream_reader_resumes_from_checkpoint_exactly_once(spark):
+    """Kill-and-restart recovery: repeated availableNow runs against one
+    checkpoint must drain the bounded stream with every offset delivered
+    exactly once (the committed-offset contract)."""
+    import tempfile
+
+    register_envelope_source(spark)
+    d = tempfile.mkdtemp(prefix="kcts-pystream-test-")
+    env = (
+        spark.readStream.format("kcts_envelope")
+        .option("rows_per_batch", 37)
+        .option("max_offset", 100)
+        .load()
+    )
+
+    def run_once():
+        q = (
+            env.writeStream.format("parquet")
+            .option("path", d + "/sink")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(d + "/sink")
+
+    counts = []
+    for _ in range(8):
+        counts.append(run_once().count())
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            break
+    sink = spark.read.parquet(d + "/sink")
+    assert sink.count() == 100
+    assert sink.select("offset").distinct().count() == 100  # exactly once
+    assert counts[0] < 100  # genuinely resumed across restarts
