@@ -1059,6 +1059,41 @@ def _stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cte_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first surface: the engine is equally drivable through
+    spark.sql — temp views + multi-CTE + window, one statement, same
+    Catalyst plan as the DataFrame API. Revenue rank of each market
+    segment within its top nation by customer count."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("kcts_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("kcts_ord")
+    return spark.sql(
+        """
+        with seg as (
+          select c_mktsegment, c_nationkey, count(*) as n_cust
+          from kcts_cust group by c_mktsegment, c_nationkey
+        ),
+        top_nation as (
+          select c_mktsegment, c_nationkey, n_cust,
+                 row_number() over (partition by c_mktsegment
+                                    order by n_cust desc, c_nationkey) as rn
+          from seg
+        ),
+        spend as (
+          select c.c_mktsegment,
+                 sum(cast(o.o_totalprice as decimal(18,2))) as seg_spend
+          from kcts_ord o join kcts_cust c on o.o_custkey = c.c_custkey
+          group by c.c_mktsegment
+        )
+        select t.c_mktsegment,
+               cast(t.c_nationkey as bigint) as top_nationkey,
+               cast(t.n_cust as bigint) as n_cust,
+               cast(s.seg_spend as double) as seg_spend
+        from top_nation t join spend s using (c_mktsegment)
+        where t.rn = 1
+        """
+    )
+
+
 def _dense_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-aware per-group top-k: dense_rank keeps ALL orders sharing a
     top-3 price per customer (row_number would drop ties arbitrarily —
@@ -1989,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score_embeddings": _linear_score_embeddings,
         "python_source_envelope": _python_source_envelope,
         "stream_python_source": _stream_python_source,
+        "sql_cte_summary": _sql_cte_summary,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2714,6 +2750,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "sql_cte_summary": """
+            with seg as (
+              select c_mktsegment, c_nationkey, count(*) as n_cust
+              from customer group by c_mktsegment, c_nationkey
+            ),
+            top_nation as (
+              select c_mktsegment, c_nationkey, n_cust,
+                     row_number() over (partition by c_mktsegment
+                                        order by n_cust desc, c_nationkey) as rn
+              from seg
+            ),
+            spend as (
+              select c.c_mktsegment,
+                     sum(cast(o.o_totalprice as decimal(18,2))) as seg_spend
+              from orders o join customer c on o.o_custkey = c.c_custkey
+              group by c.c_mktsegment
+            )
+            select t.c_mktsegment,
+                   cast(t.c_nationkey as bigint) as top_nationkey,
+                   cast(t.n_cust as bigint) as n_cust,
+                   cast(s.seg_spend as double) as seg_spend
+            from top_nation t join spend s using (c_mktsegment)
+            where t.rn = 1
         """,
         "dense_topk_orders": """
             select o_custkey, o_orderkey, cast(rnk as bigint) as rnk from (
