@@ -1059,6 +1059,36 @@ def _stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert sink (streaming/sinks.py:upsert_parquet_sink): events
+    streamed file-by-file, each micro-batch merged into a keyed parquet
+    table (latest event per user, atomic pointer flip). The read-back
+    table must equal the batch latest-per-key reduction — the CDC
+    materialization contract."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import (
+        read_upsert_table,
+        upsert_parquet_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcts-upsertq-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(4).write.parquet(d + "/staged")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d + "/staged")
+    )
+    q = upsert_parquet_sink(
+        stream, d + "/table", d + "/ckpt", keys=["user_id"], order_col="event_id"
+    )
+    q.awaitTermination()
+    return read_upsert_table(spark, d + "/table")
+
+
 def _sql_cte_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-first surface: the engine is equally drivable through
     spark.sql — temp views + multi-CTE + window, one statement, same
@@ -2025,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_source_envelope": _python_source_envelope,
         "stream_python_source": _stream_python_source,
         "sql_cte_summary": _sql_cte_summary,
+        "stream_upsert_users": _stream_upsert_users,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2750,6 +2781,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "stream_upsert_users": """
+            select event_id, user_id, event_type from (
+              select event_id, user_id, event_type,
+                     row_number() over (partition by user_id
+                                        order by event_id desc) as rn
+              from events
+            ) where rn = 1
         """,
         "sql_cte_summary": """
             with seg as (

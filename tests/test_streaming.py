@@ -209,3 +209,49 @@ def test_mixture_sample_is_stream_legal(spark, staged_events):
     got = {r.event_id for r in spark.sql(f"select event_id from {name}").collect()}
     want = {r.event_id for r in batch.collect()}
     assert got == want and 0 < len(got) < 200
+
+
+def test_upsert_parquet_sink_latest_per_key(spark):
+    """MERGE-into-parquet via foreachBatch: stage user events as a file
+    stream, upsert by user_id with event_id as the version — the final
+    table holds exactly one row per user (the max-event_id row), and the
+    pointer read never sees a partial write."""
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from kafka_custom_transforms_spark.sources.tables import load_table
+    from kafka_custom_transforms_spark.streaming.sinks import (
+        read_upsert_table,
+        upsert_parquet_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcts-upsert-")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # stage as several files so availableNow runs multiple merge batches
+    ev.repartition(4).write.parquet(d + "/staged")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/staged")
+    )
+    q = upsert_parquet_sink(
+        stream, d + "/table", d + "/ckpt", keys=["user_id"], order_col="event_id"
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in read_upsert_table(spark, d + "/table").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == ev.select("user_id").distinct().count()
