@@ -1059,6 +1059,39 @@ def _stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/fuzzy.py): a dirty snapshot of every
+    10th customer (one char deleted mid-name) re-linked to the master list
+    by levenshtein <= 1 under LOSSLESS length blocking — candidates only
+    within reachable length buckets, never a cartesian product."""
+    from kafka_custom_transforms_spark.operators.fuzzy import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 2), F.substring("c_name", 4, 10_000)
+        ).alias("dirty_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    out = fuzzy_join(dirty, clean, "dirty_name", "c_name", max_dist=1)
+    return out.select("dirty_key", "c_custkey", "dist")
+
+
+def _histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: integer bins (floor of the
+    IEEE double quotient — bit-identical cross-engine), one agg shuffle of
+    #bins partials. The distribution snapshot every profiling/drift check
+    starts from."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / F.lit(20_000.0)).cast("long")
+    return (
+        orders.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.col("bin") * 20_000).alias("bin_lo"), "n")
+    )
+
+
 def _stream_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert sink (streaming/sinks.py:upsert_parquet_sink): events
     streamed file-by-file, each micro-batch merged into a keyed parquet
@@ -2056,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_python_source": _stream_python_source,
         "sql_cte_summary": _sql_cte_summary,
         "stream_upsert_users": _stream_upsert_users,
+        "fuzzy_match_customers": _fuzzy_match_customers,
+        "histogram_order_values": _histogram_order_values,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2781,6 +2816,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "histogram_order_values": """
+            select cast(floor(o_totalprice / 20000.0) as bigint) * 20000 as bin_lo,
+                   cast(count(*) as bigint) as n
+            from orders group by 1
+        """,
+        "fuzzy_match_customers": """
+            with dirty as (
+              select c_custkey as dirty_key,
+                     substr(c_name, 1, 2) || substr(c_name, 4) as dirty_name
+              from customer where c_custkey % 10 = 0
+            )
+            select d.dirty_key, c.c_custkey,
+                   cast(levenshtein(d.dirty_name, c.c_name) as bigint) as dist
+            from dirty d join customer c
+              on abs(length(d.dirty_name) - length(c.c_name)) <= 1
+             and levenshtein(d.dirty_name, c.c_name) <= 1
         """,
         "stream_upsert_users": """
             select event_id, user_id, event_type from (

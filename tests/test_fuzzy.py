@@ -1,0 +1,56 @@
+"""Fuzzy (edit-distance) join tests: blocking recall properties + plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_custom_transforms_spark.operators.fuzzy import fuzzy_join
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    left = spark.createDataFrame(
+        [(1, "martha"), (2, "jon"), (3, "zzzz")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "marta"), (11, "john"), (12, "aartha")], "rid long, rname string"
+    )
+    return left, right
+
+
+def test_length_blocking_is_lossless(names):
+    left, right = names
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join(left, right, "lname", "rname", max_dist=1).collect()
+    }
+    # martha~marta (del, 1), martha~aartha (sub, 1), jon~john (ins, 1)
+    assert got == {(1, 10, 1), (1, 12, 1), (2, 11, 1)}
+
+
+def test_prefix_blocking_documented_recall_loss(names):
+    left, right = names
+    got = {
+        (r.lid, r.rid)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_dist=1, block="prefix", prefix_len=3
+        ).collect()
+    }
+    # loses martha~aartha (edit inside the prefix) and jon~john
+    # (prefix 'jon' vs 'joh'); keeps martha~marta ('mar' == 'mar')
+    assert got == {(1, 10)}
+
+
+def test_fuzzy_join_has_no_cartesian(spark, names):
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    left, right = names
+    plan = plan_str(fuzzy_join(left, right, "lname", "rname"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unknown_block_family_raises(names):
+    left, right = names
+    with pytest.raises(ValueError, match="block"):
+        fuzzy_join(left, right, "lname", "rname", block="soundex")
