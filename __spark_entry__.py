@@ -1078,6 +1078,25 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: the balanced-eval-set builder. Each
+    lang keeps its k=20 docs with the smallest md5 hash (deterministic,
+    repartition-stable, composable with upstream filters); per-stratum
+    window over hash order, partial TakeOrdered per partition via the
+    rank predicate — never a global sort."""
+    from kafka_custom_transforms_spark.functions.texthash import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def _histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order values: integer bins (floor of the
     IEEE double quotient — bit-identical cross-engine), one agg shuffle of
@@ -2091,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_users": _stream_upsert_users,
         "fuzzy_match_customers": _fuzzy_match_customers,
         "histogram_order_values": _histogram_order_values,
+        "stratified_fixed_n": _stratified_fixed_n,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2816,6 +2836,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "stratified_fixed_n": """
+            select doc_id, lang, cast(rnk as bigint) as rnk from (
+              select doc_id, lang,
+                     row_number() over (partition by lang order by
+                       ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 15))::BIGINT,
+                       doc_id) as rnk
+              from documents
+            ) where rnk <= 20
         """,
         "histogram_order_values": """
             select cast(floor(o_totalprice / 20000.0) as bigint) * 20000 as bin_lo,
