@@ -50,6 +50,36 @@ def test_fuzzy_join_has_no_cartesian(spark, names):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_length_blocking_equals_brute_force_on_random_strings(spark):
+    """Losslessness, verified against the O(n*m) ground truth: over random
+    short strings (small alphabet -> many near-collisions), the blocked
+    join must return EXACTLY the pairs the exhaustive cross join finds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    mk = lambda: "".join(rng.choice("ab") for _ in range(rng.randint(2, 5)))
+    left = spark.createDataFrame(
+        [(i, mk()) for i in range(30)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(i, mk()) for i in range(30)], "rid long, rname string"
+    )
+    blocked = {
+        (r.lid, r.rid)
+        for r in fuzzy_join(left, right, "lname", "rname", max_dist=1).collect()
+    }
+    brute = {
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter(F.levenshtein("lname", "rname") <= 1)
+        .collect()
+    }
+    assert blocked == brute
+    assert len(brute) > 0  # the fixture actually exercises matches
+
+
 def test_unknown_block_family_raises(names):
     left, right = names
     with pytest.raises(ValueError, match="block"):
