@@ -48,6 +48,20 @@ def test_line_dedup_preserves_order_and_all_ids(spark):
     assert out == {10: "z a m", 2: "q"}
 
 
+def test_line_dedup_planted_hot_line(spark):
+    """Skew case: one boilerplate line present in EVERY document (the
+    pathological window partition) — results stay exact: the hot line
+    survives only at its first occurrence, every doc keeps its unique
+    lines."""
+    df = spark.createDataFrame(
+        [(i, ["BOILERPLATE", f"unique-{i}"]) for i in range(200)],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r.text_dedup for r in text.line_dedup(df).collect()}
+    assert out[0] == "BOILERPLATE unique-0"
+    assert all(out[i] == f"unique-{i}" for i in range(1, 200))
+
+
 def test_language_id_markers_and_tiebreak(spark):
     out = text.language_id(
         _docs(
