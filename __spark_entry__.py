@@ -1078,6 +1078,21 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (functions/privacy.py): user ids replaced by
+    salted-hash tokens that PRESERVE joinability — the per-user event
+    counts over tokens must equal the counts over raw ids, with the raw id
+    absent from the output. Zero-shuffle map-side transform + one agg."""
+    from kafka_custom_transforms_spark.functions.privacy import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    tok = pseudonymize(ev, ["user_id"], salt="r3")
+    return tok.groupBy("user_id_pseudo").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def _stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum sampling: the balanced-eval-set builder. Each
     lang keeps its k=20 docs with the smallest md5 hash (deterministic,
@@ -2111,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_customers": _fuzzy_match_customers,
         "histogram_order_values": _histogram_order_values,
         "stratified_fixed_n": _stratified_fixed_n,
+        "pseudonymize_events": _pseudonymize_events,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2836,6 +2852,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "pseudonymize_events": """
+            select substr(md5('r3:' || cast(user_id as varchar)), 1, 15)
+                     as user_id_pseudo,
+                   cast(count(*) as bigint) as n_events,
+                   cast(min(event_id) as bigint) as first_event
+            from events group by 1
         """,
         "stratified_fixed_n": """
             select doc_id, lang, cast(rnk as bigint) as rnk from (
