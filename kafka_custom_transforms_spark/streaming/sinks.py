@@ -86,7 +86,11 @@ def upsert_parquet_sink(
     plain-parquet trade. At 100 TB you partition ``path`` by a key prefix
     and rewrite only partitions present in the batch
     (sources/maintenance.overwrite_partitions), or move to a format with
-    row-level merge; the per-batch logic here is unchanged.
+    row-level merge; the per-batch logic here is unchanged. The pointer
+    file uses POSIX rename atomicity — on object stores swap it for any
+    atomic single-key put (S3 PUT of the pointer object) or a metastore
+    table-location update; the versioned-directory layout is what makes
+    the swap a one-key operation.
     """
     import os
 
