@@ -255,3 +255,78 @@ def test_upsert_parquet_sink_latest_per_key(spark):
     }
     assert got == want
     assert len(got) == ev.select("user_id").distinct().count()
+
+
+def test_watermark_drops_late_rows_in_windowed_counts(spark):
+    """Late-data semantics pinned end to end: a record behind the
+    CHECKPOINTED watermark is dropped from the streamed windowed
+    aggregation, and on-time windows emit exactly the batch counts.
+    Run 1 aggregates the on-time data (watermark advances to max(ts) -
+    delay and persists in the checkpoint); run 2 delivers a late record
+    (behind that watermark -> dropped) plus a closer record that pushes
+    the watermark past the on-time window end so it finally emits."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.streaming.windows import windowed_counts
+
+    d = tempfile.mkdtemp(prefix="kcts-late-")
+
+    def _stage(rows, sub):
+        spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(d + "/staged/" + sub)
+
+    def _run():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(d + "/staged/*")
+        )
+        q = (
+            windowed_counts(stream, watermark_delay="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", d + "/sink")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(d + "/sink")
+        except Exception:
+            return None
+
+    on_time = [(i, "2026-01-01 12:%02d:00" % (i % 60)) for i in range(20)]
+    _stage(on_time, "a")
+    _run()  # watermark now 12:59 - 10min = 12:49, persisted in ckpt
+
+    # late: hours behind the committed watermark; closer: advances the
+    # watermark past the on-time window end (13:00) so it can emit
+    _stage([(999, "2026-01-01 08:00:00")], "b")
+    _stage([(1000, "2026-01-01 14:00:00")], "c")
+    got = set()
+    for _ in range(4):  # emit may need one extra (no-new-data) batch
+        sink = _run()
+        got = (
+            set()
+            if sink is None
+            else {(r.window_start_us, r.n) for r in sink.collect()}
+        )
+        if got:
+            break
+
+    on_time_batch = spark.createDataFrame(
+        on_time, "event_id long, ts_s string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    want = {
+        (r.window_start_us, r.n) for r in windowed_counts(on_time_batch).collect()
+    }
+    assert got == want  # on-time window emitted with the full batch count
+    # the late record influenced nothing: its window never appears
+    late_start = int(
+        spark.sql(
+            "select unix_micros(timestamp'2026-01-01 08:00:00') as u"
+        ).collect()[0].u
+    )
+    assert late_start not in {w for w, _ in got}
