@@ -1078,6 +1078,49 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-static enrichment: a streamed fact (events) joined per
+    micro-batch against a static dimension (per-user segment derived from
+    user_id) — the broadcast lookup every ingest pipeline does. The static
+    side needs no watermark; the join is stateless, so the whole pipeline
+    stays append-legal."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-enrich-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.write.parquet(d + "/staged")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .parquet(d + "/staged")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    q = (
+        enriched.select("event_id", "user_id", "tier")
+        .writeStream.format("parquet")
+        .option("path", d + "/sink")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(d + "/sink")
+    return sink.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 def _pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization (functions/privacy.py): user ids replaced by
     salted-hash tokens that PRESERVE joinability — the per-user event
@@ -2127,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_values": _histogram_order_values,
         "stratified_fixed_n": _stratified_fixed_n,
         "pseudonymize_events": _pseudonymize_events,
+        "stream_static_enrich": _stream_static_enrich,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2852,6 +2896,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "stream_static_enrich": """
+            select case when user_id % 3 = 0 then 'gold'
+                        when user_id % 3 = 1 then 'silver'
+                        else 'bronze' end as tier,
+                   cast(count(*) as bigint) as n_events,
+                   cast(count(distinct user_id) as bigint) as n_users
+            from events group by 1
         """,
         "pseudonymize_events": """
             select substr(md5('r3:' || cast(user_id as varchar)), 1, 15)
