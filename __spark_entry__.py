@@ -1078,6 +1078,26 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _user_type_counts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document export: per-user event-type counts assembled into a
+    sorted array-of-structs and serialized to ONE JSON column — the
+    feature-document shape fed to downstream ML/serving systems. Key order
+    is made deterministic by sorting the struct array (map key order is
+    not); Spark to_json and DuckDB to_json agree byte-for-byte on this
+    output (probed, then oracle-pinned)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("user_id").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_type").alias("t"), F.col("n").alias("n"))
+                )
+            )
+        ).alias("type_counts")
+    )
+
+
 def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-to-static enrichment: a streamed fact (events) joined per
     micro-batch against a static dimension (per-user segment derived from
@@ -2171,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_n": _stratified_fixed_n,
         "pseudonymize_events": _pseudonymize_events,
         "stream_static_enrich": _stream_static_enrich,
+        "user_type_counts_json": _user_type_counts_json,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2896,6 +2917,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "user_type_counts_json": """
+            with c as (
+              select user_id, event_type, count(*) as n
+              from events group by 1, 2
+            )
+            select user_id,
+                   to_json(list_sort(list(struct_pack(t := event_type, n := n))))
+                     as type_counts
+            from c group by user_id
         """,
         "stream_static_enrich": """
             select case when user_id % 3 = 0 then 'gold'
