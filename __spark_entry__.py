@@ -1078,6 +1078,42 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful running top-k (streaming/leaderboard.py): per event type,
+    the top-5 users by running count, re-emitted per micro-batch with a
+    version; the newest version (the live leaderboard) must equal the
+    batch groupBy().count() top-k exactly. Second applyInPandasWithState
+    shape — running aggregates, no timeouts."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.leaderboard import running_topk
+
+    d = tempfile.mkdtemp(prefix="kcts-lb-")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.parquet(d + "/staged")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d + "/staged")
+    )
+    q = (
+        running_topk(stream)
+        .writeStream.format("parquet")
+        .option("path", d + "/sink")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(d + "/sink")
+    mv = Window.partitionBy("event_type")
+    return (
+        sink.withColumn("_mv", F.max("version").over(mv))
+        .filter(F.col("version") == F.col("_mv"))
+        .select("event_type", "rank", "user_id", "n")
+    )
+
+
 def _user_type_counts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-document export: per-user event-type counts assembled into a
     sorted array-of-structs and serialized to ONE JSON column — the
@@ -2192,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_events": _pseudonymize_events,
         "stream_static_enrich": _stream_static_enrich,
         "user_type_counts_json": _user_type_counts_json,
+        "stream_leaderboard": _stream_leaderboard,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2917,6 +2954,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "stream_leaderboard": """
+            select event_type, cast(rank as bigint) as rank, user_id,
+                   cast(n as bigint) as n
+            from (
+              select event_type, user_id, count(*) as n,
+                     row_number() over (partition by event_type
+                                        order by count(*) desc, user_id) as rank
+              from events group by event_type, user_id
+            ) where rank <= 5
         """,
         "user_type_counts_json": """
             with c as (
