@@ -1078,6 +1078,53 @@ def _fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dirty_key", "c_custkey", "dist")
 
 
+def _corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: a JSON column with planted corruption
+    (every 7th record truncated) parsed PERMISSIVE-style — from_json
+    yields NULL for unparseable rows instead of failing the job; the audit
+    splits valid/corrupt counts and aggregates only the valid values. The
+    ingestion-robustness contract: bad records are quarantined, never
+    crash a 100 TB job."""
+    ev = load_table(spark, sf_dir, "events")
+    # truncation (closing brace gone) is rejected by BOTH engines' parsers;
+    # trailing garbage is not (Spark's Jackson stops at the first value).
+    # PERMISSIVE mode quarantines the raw text in the corrupt-record
+    # column (the struct itself is non-null with null fields).
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        raw,
+        "k int, _corrupt_record string",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("p._corrupt_record").isNotNull(), 1)).alias(
+                "n_corrupt"
+            ),
+            F.count(F.when(F.col("p._corrupt_record").isNull(), 1)).alias("n_valid"),
+            F.sum("p.k").alias("sum_k_valid"),
+        )
+    )
+
+
+def _unpivot_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot (Spark 4 DataFrame.unpivot / ANSI UNPIVOT): wide
+    per-doc token statistics melted to long form — the inverse of pivot,
+    zero shuffle (pure row expansion)."""
+    stats = text.token_stats(load_table(spark, sf_dir, "documents"))
+    return stats.unpivot(
+        ids=["doc_id"],
+        values=["n_tokens", "n_uniq_tokens", "n_chars", "max_token_len"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def _stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful running top-k (streaming/leaderboard.py): per event type,
     the top-5 users by running count, re-emitted per micro-batch with a
@@ -2229,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _stream_static_enrich,
         "user_type_counts_json": _user_type_counts_json,
         "stream_leaderboard": _stream_leaderboard,
+        "corrupt_json_audit": _corrupt_json_audit,
+        "unpivot_token_stats": _unpivot_token_stats,
         "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
         "similarity_topk_lsh": _similarity_topk_lsh,
@@ -2954,6 +3003,44 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(off) as bigint) as first_offset,
                    cast(count(distinct value) as bigint) as n_values
             from g group by key
+        """,
+        "corrupt_json_audit": """
+            with r as (
+              select event_type,
+                     case when event_id % 7 = 0
+                          then substr(props, 1, length(props) - 2)
+                          else props end as raw
+              from events
+            ),
+            p as (
+              select event_type,
+                     case when json_valid(raw)
+                          then cast(json_extract_string(raw, '$.k') as int)
+                     end as k,
+                     json_valid(raw) as ok
+              from r
+            )
+            select event_type,
+                   cast(count(case when not ok then 1 end) as bigint) as n_corrupt,
+                   cast(count(case when ok then 1 end) as bigint) as n_valid,
+                   cast(sum(k) as bigint) as sum_k_valid
+            from p group by event_type
+        """,
+        "unpivot_token_stats": """
+            with s as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                     cast(len(list_distinct(string_split(text, ' '))) as bigint)
+                       as n_uniq_tokens,
+                     cast(length(text) as bigint) as n_chars,
+                     cast(list_max(list_transform(string_split(text, ' '),
+                                                  x -> length(x))) as bigint)
+                       as max_token_len
+              from documents
+            )
+            select doc_id, metric, value
+            from s unpivot (value for metric in
+                            (n_tokens, n_uniq_tokens, n_chars, max_token_len))
         """,
         "stream_leaderboard": """
             select event_type, cast(rank as bigint) as rank, user_id,
