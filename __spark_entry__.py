@@ -839,6 +839,264 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join
+    whose condition mixes the equi key (orderkey) with a cross-table
+    inequality (shipped >60 days after the order date). The quarter filter
+    on orders is pushed to its scan; the semi join never duplicates orders
+    no matter how many late lines an order has. At scale: one shuffle on
+    orderkey for each side, equi-hashed with the inequality evaluated
+    inside the join — no cartesian, no post-join dedup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. The nation
+    dim joins twice under different roles (customer's vs supplier's) via
+    renamed projections — no self-join ambiguity — and both copies
+    broadcast. The disjunctive pair filter applies after both roles
+    resolve, as in the spec. Revenue summed in decimal per (supp_nation,
+    cust_nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of a region's import volume
+    per year — the conditional-aggregate-ratio pattern (one pass computes
+    both the CASE-guarded numerator and the denominator; no second scan,
+    no self-join). Sums are decimal-exact; the single double division at
+    the end is IEEE-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    grouped = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_8", rev))
+            .cast("double")
+            .alias("nation_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias(
+            "mkt_share"
+        ),
+        "nation_rev",
+        "total_rev",
+    )
+
+
+def _q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: one join, conditional counts — critical-priority vs
+    other lines per linestatus for a ship-year. Both counters come out of
+    the same grouped pass (map-side partials; no per-branch scans), and
+    the year filter is pushed to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one month — broadcast
+    part join plus a conditional-aggregate ratio collapsing to a single
+    row. The month filter reaches the lineitem scan; part never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, then the aggregate —
+    not the fact table — drives the join back to orders and customer. The
+    quantity rollup is one shuffle on orderkey; the surviving handful of
+    large orders joins orders on the same key (co-partitioned by AQE) and
+    the result is a two-phase top-100. No window, no second fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive predicate spanning both join sides
+    (brand+size from part, quantity from lineitem) over a broadcast equi
+    join. The OR cannot split into per-table pushdowns wholesale, but
+    Catalyst still extracts the common brand-membership filter for the
+    part scan; the join itself stays a broadcast hash join on partkey —
+    never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join. The global
+    positive-balance average is computed once (decimal sum, one double
+    division) and broadcast as a 1-row literal join — not recomputed per
+    row; rich customers with no recent orders are found by LEFT ANTI
+    against the filtered orders keys. Grouped per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
 def _orders_bulk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join breadth: orders having at least one bulk line
     (quantity > 45), counted by priority — existence check without
@@ -2256,6 +2514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_counts_range": _trailing_counts_range,
         "props_variant_agg": _props_variant_agg,
         "q10_returned_items": _q10_returned_items,
+        "q4_late_orders": _q4_late_orders,
+        "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
+        "q12_priority_lines": _q12_priority_lines,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_idle_balances": _q22_idle_balances,
         "orders_bulk_semi": _orders_bulk_semi,
         "udaf_median_chars": _udaf_median_chars,
         "dedup_incremental": _dedup_incremental,
@@ -3215,6 +3481,133 @@ def oracle_sql() -> dict[str, str]:
             group by c_custkey, c_name, n_name
             order by revenue desc, c_custkey asc
             limit 20
+        """,
+        "q4_late_orders": """
+            select o_orderpriority, cast(count(*) as bigint) as n_late_orders
+            from orders o
+            where o_orderdate >= timestamp '1996-01-01 00:00:00'
+              and o_orderdate < timestamp '1996-04-01 00:00:00'
+              and exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey
+                            and l.l_shipdate > o.o_orderdate + interval 60 day)
+            group by o_orderpriority
+        """,
+        "q7_nation_volume": """
+            select n2.n_name as supp_nation, n1.n_name as cust_nation,
+                   cast(year(l_shipdate) as int) as l_year,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as revenue,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation n1 on c_nationkey = n1.n_nationkey
+            join supplier on l_suppkey = s_suppkey
+            join nation n2 on s_nationkey = n2.n_nationkey
+            where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+               or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+            group by 1, 2, 3
+        """,
+        "q8_market_share": """
+            with g as (
+              select cast(year(o_orderdate) as int) as o_year,
+                     cast(sum(case when n2.n_name = 'NATION_8'
+                              then cast(l_extendedprice as decimal(18,2))
+                                   * (1 - cast(l_discount as decimal(18,2))) end)
+                          as double) as nation_rev,
+                     cast(sum(cast(l_extendedprice as decimal(18,2))
+                              * (1 - cast(l_discount as decimal(18,2)))) as double)
+                       as total_rev
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              join nation n1 on c_nationkey = n1.n_nationkey
+              join region on n1.n_regionkey = r_regionkey
+              join supplier on l_suppkey = s_suppkey
+              join nation n2 on s_nationkey = n2.n_nationkey
+              where r_name = 'ASIA'
+              group by 1
+            )
+            select o_year,
+                   coalesce(nation_rev, 0.0) / total_rev as mkt_share,
+                   nation_rev, total_rev
+            from g
+        """,
+        "q12_priority_lines": """
+            select l_linestatus,
+                   cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end) as bigint) as high_line_count,
+                   cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                            then 0 else 1 end) as bigint) as low_line_count
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            where l_shipdate >= timestamp '1996-01-01 00:00:00'
+              and l_shipdate < timestamp '1997-01-01 00:00:00'
+            group by l_linestatus
+        """,
+        "q14_promo_revenue": """
+            with g as (
+              select cast(sum(case when p_type = 'PROMO'
+                             then cast(l_extendedprice as decimal(18,2))
+                                  * (1 - cast(l_discount as decimal(18,2))) end)
+                          as double) as promo_revenue,
+                     cast(sum(cast(l_extendedprice as decimal(18,2))
+                              * (1 - cast(l_discount as decimal(18,2)))) as double)
+                       as total_revenue
+              from lineitem
+              join part on l_partkey = p_partkey
+              where l_shipdate >= timestamp '1996-09-01 00:00:00'
+                and l_shipdate < timestamp '1996-10-01 00:00:00'
+            )
+            select 100.0 * promo_revenue / total_revenue as promo_pct,
+                   promo_revenue, total_revenue
+            from g
+        """,
+        "q18_large_orders": """
+            with big as (
+              select l_orderkey,
+                     sum(cast(l_quantity as decimal(18,2))) as qty_dec
+              from lineitem
+              group by l_orderkey
+              having sum(cast(l_quantity as decimal(18,2))) > 300
+            )
+            select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   cast(qty_dec as double) as total_qty
+            from big
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            order by o_totalprice desc, o_orderkey asc
+            limit 100
+        """,
+        "q19_disjunctive_revenue": """
+            select cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as revenue,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem
+            join part on l_partkey = p_partkey
+            where (p_brand = 'Brand#1' and p_size between 1 and 10
+                   and l_quantity between 1 and 15)
+               or (p_brand = 'Brand#12' and p_size between 11 and 25
+                   and l_quantity between 10 and 25)
+               or (p_brand = 'Brand#23' and p_size between 26 and 50
+                   and l_quantity between 20 and 40)
+        """,
+        "q22_idle_balances": """
+            select c_nationkey,
+                   cast(count(*) as bigint) as n_cust,
+                   cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+                     as total_bal
+            from customer
+            where c_acctbal > (select cast(sum(cast(c_acctbal as decimal(18,2)))
+                                           as double) / count(*)
+                               from customer where c_acctbal > 0)
+              and not exists (select 1 from orders o
+                              where o.o_custkey = c_custkey
+                                and o.o_orderdate
+                                    >= timestamp '2000-01-01 00:00:00')
+            group by c_nationkey
         """,
         "orders_bulk_semi": """
             select o_orderpriority, cast(count(*) as bigint) as n_orders
