@@ -583,6 +583,77 @@ def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits — with
+    its in-window clicks, or once with NULLs when no click precedes it
+    within 60 s. Outer rows can only be emitted after the watermark proves
+    no matching click can still arrive, so the staged data carries one
+    far-future sentinel per side (filtered from the output) to push the
+    final watermark past all real rows. Bucketization keeps the left side
+    single-bucket (clicks explode to their <=2 covering buckets instead),
+    so an unmatched purchase emits exactly ONE null row — exploding the
+    left side would fabricate a spurious null row per extra bucket copy.
+    State is bounded by watermark + range on both sides."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-ssouter-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    sentinel = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+        F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias("event_type"),
+    )
+    ev.unionByName(sentinel).coalesce(1).write.parquet(d + "/staged")
+    schema = "event_id long, ts timestamp, event_type string"
+    grain = 60_000_000  # us; == window width, so a click covers <= 2 buckets
+    p = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .withColumn("bucket", F.floor(F.unix_micros(F.col("p_ts")) / F.lit(grain)))
+    )
+    c_us = F.unix_micros(F.col("c_ts"))
+    c = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(c_us / F.lit(grain)),
+                    F.floor((c_us + F.lit(grain)) / F.lit(grain)),
+                )
+            ),
+        )
+    )
+    # NOTE: no sentinel-exclusion predicate in the join condition — a
+    # right-side filter in a leftOuter condition is legally pushed BELOW the
+    # click-side EventTimeWatermark node (unmatched right rows drop anyway),
+    # which would hide the sentinel from the watermark and stall outer
+    # emission for the newest purchases (observed: exactly that). The
+    # sentinel click can only ever match the sentinel purchase (6 h gap vs
+    # the 60 s window), and that pair is removed by the p_id filter below.
+    j = p.join(
+        c,
+        (p["bucket"] == c["bucket"])
+        & F.expr("c_ts between p_ts - interval 60 seconds and p_ts"),
+        "leftOuter",
+    )
+    q = write_parquet_stream(j.drop("bucket"), d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink").filter(F.col("p_id") >= 0).select(
+        "p_id",
+        "c_id",
+        F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+        F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+    )
+
+
 def _events_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution: each purchase gets the latest preceding (or
     exactly coincident) click by the same user. Single-shuffle union+window
@@ -1094,6 +1165,109 @@ def _q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_bal"),
         )
+    )
+
+
+def _docs_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): per-depth rollup of the
+    implicit binary tree doc_id -> {2*doc_id, 2*doc_id+1} from root 1 —
+    the iterative-reachability surface (org charts, referral chains,
+    BOM explosions) expressed in one SQL statement instead of a driver
+    loop. Each recursion step is a distributed join against documents;
+    depth is bounded by log2(corpus), so 100 TB adds steps
+    logarithmically, not linearly. Identical SQL runs on DuckDB."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("kcts_docs")
+    return spark.sql(
+        """
+        with recursive tree (doc_id, depth) as (
+          select doc_id, 0 as depth from kcts_docs where doc_id = 1
+          union all
+          select d.doc_id, t.depth + 1
+          from tree t join kcts_docs d
+            on d.doc_id in (t.doc_id * 2, t.doc_id * 2 + 1)
+        )
+        select cast(depth as int) as depth,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(ch.n_chars) as bigint) as total_chars
+        from tree join kcts_docs ch using (doc_id)
+        group by depth
+        """
+    )
+
+
+def _lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.lateralJoin (Spark 4): per-customer correlated top-2
+    orders — the LATERAL subquery surface. Catalyst decorrelates the
+    outer reference into a ranked window over the join, so this is NOT a
+    per-row re-execution: one shuffle on custkey, same physical shape as
+    the window formulation, but written as the correlated query users
+    actually think in. Deterministic via the (price desc, orderkey)
+    tie-break."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sub = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(
+            F.col("o_totalprice").cast("decimal(18,2)").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(sub, how="inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def _sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches surface (Spark 4 hll_sketch_agg / theta_*):
+    distinct clickers, purchasers, and their overlap — exact counts
+    alongside sketch estimates pinned within 10%. Sketches are THE 100 TB
+    distinct-count answer: constant-size state, map-side partials,
+    mergeable across partitions/days (theta additionally supports set
+    intersection, which exact distinct cannot do without a re-shuffle).
+    The output carries the exact values plus within-tolerance booleans,
+    so the oracle (exact SQL + literal trues) pins both engines AND the
+    sketch error envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    click_uid = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purch_uid = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_p"),
+    )
+    exact = per_user.agg(
+        F.sum("has_c").cast("bigint").alias("n_click"),
+        F.sum("has_p").cast("bigint").alias("n_purchase"),
+        F.sum(F.col("has_c") * F.col("has_p")).cast("bigint").alias("n_overlap"),
+    )
+    sk = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(click_uid, F.lit(12))).alias("hc"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(purch_uid, F.lit(12))).alias("hp"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(
+                F.theta_sketch_agg(click_uid), F.theta_sketch_agg(purch_uid)
+            )
+        ).alias("to"),
+    )
+    ok = lambda est, ex: (
+        F.abs(F.col(est) - F.col(ex)) <= F.lit(0.1) * F.col(ex)
+    ).alias(f"{est}_ok")
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .select(
+            "n_click",
+            "n_purchase",
+            "n_overlap",
+            ok("hc", "n_click"),
+            ok("hp", "n_purchase"),
+            ok("to", "n_overlap"),
+        )
+        .withColumnRenamed("hc_ok", "hll_click_ok")
+        .withColumnRenamed("hp_ok", "hll_purchase_ok")
+        .withColumnRenamed("to_ok", "theta_overlap_ok")
     )
 
 
@@ -2522,6 +2696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_balances": _q22_idle_balances,
+        "docs_tree_rollup": _docs_tree_rollup,
+        "lateral_top_orders": _lateral_top_orders,
+        "sketch_distinct_users": _sketch_distinct_users,
+        "stream_outer_interval": _stream_outer_interval,
         "orders_bulk_semi": _orders_bulk_semi,
         "udaf_median_chars": _udaf_median_chars,
         "dedup_incremental": _dedup_incremental,
@@ -3593,6 +3771,55 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 10 and 25)
                or (p_brand = 'Brand#23' and p_size between 26 and 50
                    and l_quantity between 20 and 40)
+        """,
+        "docs_tree_rollup": """
+            with recursive tree (doc_id, depth) as (
+              select doc_id, 0 as depth from documents where doc_id = 1
+              union all
+              select d.doc_id, t.depth + 1
+              from tree t join documents d
+                on d.doc_id in (t.doc_id * 2, t.doc_id * 2 + 1)
+            )
+            select cast(depth as int) as depth,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(ch.n_chars) as bigint) as total_chars
+            from tree join documents ch using (doc_id)
+            group by depth
+        """,
+        "lateral_top_orders": """
+            with bc as (select c_custkey, c_name from customer
+                        where c_mktsegment = 'BUILDING')
+            select c_custkey, c_name, o_orderkey, o_totalprice
+            from bc, lateral (
+              select o_orderkey, o_totalprice from orders
+              where o_custkey = c_custkey
+              order by cast(o_totalprice as decimal(18,2)) desc, o_orderkey asc
+              limit 2
+            )
+        """,
+        "sketch_distinct_users": """
+            with pu as (
+              select user_id,
+                     max(case when event_type = 'click' then 1 else 0 end)
+                       as has_c,
+                     max(case when event_type = 'purchase' then 1 else 0 end)
+                       as has_p
+              from events group by user_id
+            )
+            select cast(sum(has_c) as bigint) as n_click,
+                   cast(sum(has_p) as bigint) as n_purchase,
+                   cast(sum(has_c * has_p) as bigint) as n_overlap,
+                   true as hll_click_ok,
+                   true as hll_purchase_ok,
+                   true as theta_overlap_ok
+            from pu
+        """,
+        "stream_outer_interval": """
+            select p.event_id as p_id, c.event_id as c_id,
+                   epoch_us(p.ts) as p_ts_us, epoch_us(c.ts) as c_ts_us
+            from (select * from events where event_type = 'purchase') p
+            left join (select * from events where event_type = 'click') c
+              on c.ts between p.ts - interval 60 second and p.ts
         """,
         "q22_idle_balances": """
             select c_nationkey,
