@@ -294,3 +294,98 @@ def test_resolve_survivors_is_anti_join(spark, sf_dir):
     plan = plan_str(clusters.resolve_survivors(docs, pairs), "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_pushes_quarter_filter(spark, sf_dir):
+    """Q4: EXISTS compiles to a LeftSemi join (orders never duplicated by
+    late-line multiplicity) and the quarter filter reaches the orders scan."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["q4_late_orders"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "LeftSemi" in p
+    assert has_pushed_filter(q, "o_orderdate")
+
+
+def test_q7_q8_broadcast_all_dims(spark, sf_dir):
+    """Q7/Q8: both nation roles, supplier, and region broadcast — only the
+    orders/customer joins may shuffle; never a cartesian despite the
+    disjunctive nation-pair filter."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q7 = entry_mod.queries()["q7_nation_volume"](spark, sf_dir)
+    assert broadcast_join_count(q7) >= 3
+    assert "CartesianProduct" not in plan_str(q7, "simple")
+    q8 = entry_mod.queries()["q8_market_share"](spark, sf_dir)
+    assert broadcast_join_count(q8) >= 4
+    assert "CartesianProduct" not in plan_str(q8, "simple")
+
+
+def test_q14_q19_broadcast_part_and_push_dates(spark, sf_dir):
+    """Q14/Q19: part broadcasts (never shuffles the fact table on partkey)
+    and Q14's month bounds reach the lineitem scan."""
+    q14 = entry_mod.queries()["q14_promo_revenue"](spark, sf_dir)
+    assert broadcast_join_count(q14) >= 1
+    assert has_pushed_filter(q14, "l_shipdate")
+    q19 = entry_mod.queries()["q19_disjunctive_revenue"](spark, sf_dir)
+    assert broadcast_join_count(q19) >= 1
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    assert "CartesianProduct" not in plan_str(q19, "simple")
+
+
+def test_q18_two_phase_top100_no_window(spark, sf_dir):
+    """Q18: the top-100 must be TakeOrderedAndProject (partial per-partition
+    top-k, no global sort) and no window function over the fact table."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["q18_large_orders"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_q22_anti_join_no_cartesian_fact(spark, sf_dir):
+    """Q22: the scalar threshold joins as a broadcast 1-row nested loop
+    (legal); the orders exclusion must be a LeftAnti equi join and the plan
+    must contain no CartesianProduct."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["q22_idle_balances"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """lateralJoin's correlated LIMIT subquery must decorrelate into a
+    single ranked window over one shuffle — NOT a per-outer-row re-scan
+    (the plan would show a nested loop over orders otherwise)."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["lateral_top_orders"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_recursive_cte_compiles_to_union_loop(spark, sf_dir):
+    """WITH RECURSIVE compiles to Spark's native UnionLoop execution (each
+    step a distributed join), not a driver-side collect loop."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["docs_tree_rollup"](spark, sf_dir)
+    assert "UnionLoop" in plan_str(q, "simple")
+
+
+def test_sketch_aggs_have_map_side_partials(spark, sf_dir):
+    """Sketch aggregation must show partial (map-side) aggregation — the
+    whole point of sketches at 100 TB is constant-size mergeable partials
+    crossing the shuffle, not raw rows."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["sketch_distinct_users"](spark, sf_dir)
+    p = plan_str(q, "formatted")
+    assert "partial_hll_sketch_agg" in p or "partial hll_sketch_agg" in p or (
+        "hll_sketch_agg" in p and "Partial" in p
+    )
