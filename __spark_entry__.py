@@ -2151,6 +2151,126 @@ def _csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (native in Spark 4 — no external package): write a typed
+    row-tag document per partition, read it back with an explicit schema.
+    Fourth text format after JSON/CSV/ORC; same roundtrip contract. XML
+    is the interchange format the Connect ecosystem still meets in
+    legacy enterprise feeds; keep columns integral/string — XML is
+    untyped text on disk, exactly like CSV."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-xml-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    ev.write.format("xml").option("rowTag", "event").save(d + "/out")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, user_id long, event_type string, ts_us long")
+        .load(d + "/out")
+    )
+
+
+def _param_sql_nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 4): the
+    injection-safe templating surface — parameters bind as typed
+    literals in the plan (constant-folded, pushdown-eligible), not
+    string-spliced. Spend per nation for one market segment above a
+    balance floor."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("kcts_cust_p")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("kcts_ord_p")
+    return spark.sql(
+        """
+        select c_nationkey,
+               cast(count(distinct c_custkey) as bigint) as n_cust,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                 as total_spend
+        from kcts_ord_p join kcts_cust_p on o_custkey = c_custkey
+        where c_mktsegment = :segment and c_acctbal > :min_bal
+        group by c_nationkey
+        """,
+        args={"segment": "MACHINERY", "min_bal": 1000.0},
+    )
+
+
+def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (CREATE FUNCTION ... RETURNS <expr>, Spark 4): a reusable
+    scalar function defined IN SQL — unlike Python UDFs it inlines into
+    the plan at analysis time, stays in whole-stage codegen, and costs
+    nothing at 100 TB. Score = length and punctuation weights, floored
+    to milli-units so the per-language sum is order-independent."""
+    spark.sql(
+        """
+        create or replace temporary function kcts_doc_quality(
+            n_chars bigint, n_bangs int)
+        returns bigint
+        return cast(floor((n_chars * 0.1 + n_bangs * 2.0) * 1000) as bigint)
+        """
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("kcts_docs_q")
+    return spark.sql(
+        """
+        select lang,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(kcts_doc_quality(
+                        n_chars,
+                        cast(length(text) - length(replace(text, '!', ''))
+                             as int))) as bigint) as quality_milli
+        from kcts_docs_q
+        group by lang
+        """
+    )
+
+
+def _statestore_read_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Store data source (Spark 4): read a streaming checkpoint's
+    live state as a batch DataFrame — the ops/debugging surface for
+    stateful pipelines (inspect what a 1000-executor job is actually
+    holding, without stopping it). A per-type streaming aggregation runs
+    to completion, then the checkpoint is opened with
+    ``spark.read.format("statestore")`` and the (key, aggregation buffer)
+    pairs are flattened. The oracle recomputes the same aggregate in
+    batch SQL — state content IS the aggregate, which is the invariant
+    this query pins. The foreachBatch sink is a named function: a lambda
+    would fail closure pickling."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kcts-ssread-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.coalesce(1).write.parquet(d + "/staged")
+    src = spark.readStream.schema("event_id long, event_type string").parquet(
+        d + "/staged"
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_ids")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_consume_batch)
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("statestore")
+        .load(d + "/ckpt")
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+            F.col("value.sum").alias("sum_ids"),
+        )
+    )
+
+
+def _consume_batch(df: DataFrame, batch_id: int) -> None:
+    """Module-level foreachBatch no-op (materialize only): closures must
+    pickle, so this cannot be a lambda inside the query function."""
+    df.count()
+
+
 def _pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly composed end to end: Gopher repetition
     filter -> near-dup removal via connected-component survivors (minhash
@@ -2756,6 +2876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_source_roundtrip": _json_source_roundtrip,
         "orc_source_roundtrip": _orc_source_roundtrip,
         "csv_source_roundtrip": _csv_source_roundtrip,
+        "xml_source_roundtrip": _xml_source_roundtrip,
+        "param_sql_nation_spend": _param_sql_nation_spend,
+        "sql_udf_doc_quality": _sql_udf_doc_quality,
+        "statestore_read_counts": _statestore_read_counts,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4388,6 +4512,37 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id, event_type,
                    cast(epoch_us(ts) as bigint) as ts_us
             from events
+        """,
+        "xml_source_roundtrip": """
+            select event_id, user_id, event_type,
+                   cast(epoch_us(ts) as bigint) as ts_us
+            from events
+        """,
+        "param_sql_nation_spend": """
+            select c_nationkey,
+                   cast(count(distinct c_custkey) as bigint) as n_cust,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                     as total_spend
+            from orders join customer on o_custkey = c_custkey
+            where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
+            group by c_nationkey
+        """,
+        "statestore_read_counts": """
+            select event_type,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(event_id) as bigint) as sum_ids
+            from events
+            group by event_type
+        """,
+        "sql_udf_doc_quality": """
+            select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(cast(floor((n_chars * 0.1
+                            + (length(text) - length(replace(text, '!', '')))
+                              * 2.0) * 1000) as bigint)) as bigint)
+                     as quality_milli
+            from documents
+            group by lang
         """,
         "partitioned_source_prune": """
             select event_id, user_id, event_type,
