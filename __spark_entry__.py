@@ -2224,6 +2224,19 @@ def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _importance_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (operators/importance.py): documents
+    weighted by how much their hashed-bigram distribution resembles the
+    English subset — the content-based data-targeting step of an LLM
+    pipeline (mixture_sample targets by SOURCE; this targets by
+    CONTENT). Integer per-mille likelihood ratios: order-independent,
+    bit-exact in DuckDB (md5 buckets, integer floor division)."""
+    from kafka_custom_transforms_spark.operators.importance import importance_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_scores(docs, F.col("lang") == "en")
+
+
 def _statestore_read_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State Store data source (Spark 4): read a streaming checkpoint's
     live state as a batch DataFrame — the ops/debugging surface for
@@ -2880,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_sql_nation_spend": _param_sql_nation_spend,
         "sql_udf_doc_quality": _sql_udf_doc_quality,
         "statestore_read_counts": _statestore_read_counts,
+        "importance_score_docs": _importance_score_docs,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4526,6 +4540,45 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "importance_score_docs": """
+            with toks as (
+              select doc_id, lang, string_split(text, ' ') as w from documents
+            ),
+            gr as (
+              select doc_id, lang,
+                     unnest(case when len(w) >= 2
+                       then list_distinct([array_to_string(w[i:i+1], ' ')
+                                           for i in range(1, len(w))])
+                       else [] end) as g
+              from toks
+            ),
+            b as (
+              select doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 15))::bigint % 4096 as bucket
+              from gr
+            ),
+            counts as (
+              select bucket, count(*) as cr,
+                     sum(case when lang = 'en' then 1 else 0 end) as ct
+              from b group by bucket
+            ),
+            tot as (select sum(cr) as nr, sum(ct) as nt from counts),
+            ratios as (
+              select bucket, (ct * 1000 * nr) // (cr * nt) as ratio_milli
+              from counts, tot
+            ),
+            perdoc as (
+              select doc_id, count(*) as n_grams,
+                     sum(ratio_milli) as score_milli
+              from b join ratios using (bucket) group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(n_grams, 0) as bigint) as n_grams,
+                   cast(coalesce(score_milli, 0) as bigint) as score_milli,
+                   (coalesce(score_milli, 0) >= coalesce(n_grams, 0) * 1000
+                    and coalesce(n_grams, 0) > 0) as selected
+            from documents d left join perdoc using (doc_id)
         """,
         "statestore_read_counts": """
             select event_type,

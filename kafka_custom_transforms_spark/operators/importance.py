@@ -1,0 +1,123 @@
+"""DSIR-style importance scoring: content-based data targeting.
+
+Data Selection via Importance Resampling (Xie et al., 2023, public) selects
+pretraining documents whose hashed n-gram feature distribution looks like a
+target corpus: per-document importance weight ~ prod p_target(f)/p_raw(f)
+over the document's features. This module implements the
+frequency-ratio form with EXACT integer arithmetic so the score is
+order-independent and cross-engine reproducible (no float log sums, whose
+value depends on reduction order):
+
+    bucket(g)     = md5_60(g) mod n_buckets      (engine-exact hash)
+    ratio_milli(b) = (ct[b] * scale * Nr) div (cr[b] * Nt)
+    score_milli(d) = sum over d's distinct grams of ratio_milli(bucket)
+
+ct/cr are bucket occurrence counts over the target/raw gram streams, Nt/Nr
+their totals; ratio_milli is the per-mille likelihood ratio (log-free:
+monotone in the true ratio per bucket, which is what selection needs).
+
+Scale design: one explode+groupBy pass builds the bucket table
+(<= n_buckets rows — CONSTANT in corpus size, like the Bloom filter);
+it broadcasts to the per-doc scoring join, so the corpus shuffles once
+(per-doc sum on doc_id). At 100 TB the integer products need headroom:
+ct*scale*Nr < 2^63 bounds the gram stream to ~3e6 per 1000-scale — beyond
+that move the two products to decimal(38,0) (same floor-division
+semantics); the structure is unchanged.
+
+No reference counterpart (driver-mandated extension class; the reference
+is 3 Kafka SMTs — see SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_custom_transforms_spark.functions.texthash import (
+    md5_hash60,
+    tokens,
+    word_shingles,
+)
+
+
+def _doc_grams(
+    docs: DataFrame, text_col: str, id_col: str, ngram: int, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) per distinct n-gram per document."""
+    g = F.explode(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram")
+    return docs.select(F.col(id_col).alias("_imp_id"), g).select(
+        "_imp_id", F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def bucket_ratio_table(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-bucket integer importance ratios: (bucket, ratio_milli).
+
+    <= ``n_buckets`` rows regardless of corpus size — always
+    broadcastable. ``target_cond`` is a boolean Column marking target
+    documents (they stay part of raw: DSIR's raw distribution is the
+    full corpus)."""
+    grams = docs.select(
+        F.col(id_col).alias("_imp_id"), F.col(text_col), target_cond.alias("_t")
+    )
+    exploded = grams.select(
+        "_t",
+        F.explode(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram"),
+    ).select("_t", F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket"))
+    counts = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(f"ct * {scale} * nr div (cr * nt)").alias("ratio_milli"),
+    )
+
+
+def importance_scores(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-document integer importance: (id_col, n_grams, score_milli,
+    selected). ``selected`` keeps documents whose average per-gram ratio
+    is >= 1 (score >= n_grams * scale) — gram-less documents score 0 and
+    are not selected. Integer sums make the score independent of
+    partitioning and join order."""
+    ratios = bucket_ratio_table(
+        docs, target_cond, text_col, id_col, ngram, n_buckets, scale
+    )
+    grams = _doc_grams(docs, text_col, id_col, ngram, n_buckets)
+    per_doc = (
+        grams.join(F.broadcast(ratios), "bucket")
+        .groupBy("_imp_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("ratio_milli").alias("score_milli"),
+        )
+    )
+    out = docs.select(F.col(id_col)).join(
+        per_doc, F.col(id_col) == F.col("_imp_id"), "left"
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    score = F.coalesce(F.col("score_milli"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        score.alias("score_milli"),
+        ((score >= n_grams * scale) & (n_grams > 0)).alias("selected"),
+    )

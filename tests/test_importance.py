@@ -1,0 +1,59 @@
+"""DSIR-style importance scoring: selection behavior, integrity, and the
+constant-size-broadcast plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators.importance import (
+    bucket_ratio_table,
+    importance_scores,
+)
+from kafka_custom_transforms_spark.plans.explain import plan_str
+from kafka_custom_transforms_spark.sources.tables import load_table
+
+
+def _toy_docs(spark):
+    # target dialect: "alpha beta" bigrams; off-target: "zig zag"
+    rows = [
+        (1, "alpha beta alpha beta alpha", True),
+        (2, "alpha beta gamma alpha beta", True),
+        (3, "alpha beta alpha beta gamma", False),  # target-LIKE, not marked
+        (4, "zig zag zig zag zig", False),
+        (5, "zig zag quux zig zag", False),
+        (6, "solo", False),  # < ngram words: zero grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_selects_target_like_content_regardless_of_label(spark):
+    docs = _toy_docs(spark)
+    out = importance_scores(docs, F.col("is_t"), n_buckets=64).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # docs sharing the target's bigrams select; disjoint-content docs don't
+    assert by_id[1]["selected"] and by_id[2]["selected"]
+    assert by_id[3]["selected"], "unlabeled doc with target-like content"
+    assert not by_id[4]["selected"] and not by_id[5]["selected"]
+    # gram-less doc: zero score, never selected
+    assert by_id[6]["n_grams"] == 0 and by_id[6]["score_milli"] == 0
+    assert not by_id[6]["selected"]
+    # every input doc appears exactly once
+    assert sorted(by_id) == [1, 2, 3, 4, 5, 6]
+
+
+def test_score_is_partitioning_invariant(spark):
+    docs = _toy_docs(spark)
+    a = sorted(map(tuple, importance_scores(docs, F.col("is_t")).collect()))
+    b = sorted(
+        map(tuple, importance_scores(docs.repartition(7), F.col("is_t")).collect())
+    )
+    assert a == b
+
+
+def test_ratio_table_bounded_and_broadcast(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    table = bucket_ratio_table(docs, F.col("lang") == "en", n_buckets=256)
+    assert table.count() <= 256
+    plan = plan_str(importance_scores(docs, F.col("lang") == "en"), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
