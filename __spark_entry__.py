@@ -2224,6 +2224,68 @@ def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> click -> purchase) per user as a pure
+    expression fold: events sort per user inside collect_list, then ONE
+    F.aggregate() lambda walks the sequence as a state machine — first
+    signup, first click strictly after it, first purchase strictly after
+    that. One shuffle (on user_id), no self-joins, no window, no Python.
+    Strict ts inequalities make the result independent of how same-ts
+    events tie-break in the sort, which is what lets an independent
+    3-level min/join SQL oracle reproduce it exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+        # day-one cohort window: without a bound every user of this dense
+        # synthetic stream completes the funnel and the stage distribution
+        # degenerates to a constant
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    ts_t = "timestamp"
+    init = F.struct(
+        F.lit(None).cast(ts_t).alias("s"),
+        F.lit(None).cast(ts_t).alias("c"),
+        F.lit(None).cast(ts_t).alias("p"),
+    )
+    state = F.aggregate(
+        F.col("seq"),
+        init,
+        lambda acc, x: F.struct(
+            F.coalesce(
+                acc["s"], F.when(x["event_type"] == "signup", x["ts"])
+            ).alias("s"),
+            F.coalesce(
+                acc["c"],
+                F.when(
+                    (x["event_type"] == "click") & (x["ts"] > acc["s"]), x["ts"]
+                ),
+            ).alias("c"),
+            F.coalesce(
+                acc["p"],
+                F.when(
+                    (x["event_type"] == "purchase") & (x["ts"] > acc["c"]), x["ts"]
+                ),
+            ).alias("p"),
+        ),
+    ).alias("st")
+    out = per_user.select("user_id", state)
+    stage = (
+        F.when(F.col("st.p").isNotNull(), 3)
+        .when(F.col("st.c").isNotNull(), 2)
+        .when(F.col("st.s").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("st.s")).alias("signup_us"),
+        F.unix_micros(F.col("st.c")).alias("click_us"),
+        F.unix_micros(F.col("st.p")).alias("purchase_us"),
+        stage.cast("int").alias("stage"),
+    )
+
+
 def _importance_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (operators/importance.py): documents
     weighted by how much their hashed-bigram distribution resembles the
@@ -2894,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_doc_quality": _sql_udf_doc_quality,
         "statestore_read_counts": _statestore_read_counts,
         "importance_score_docs": _importance_score_docs,
+        "funnel_stages": _funnel_stages,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4540,6 +4603,36 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "funnel_stages": """
+            with f as (
+              select user_id, event_type, ts from events
+              where event_type in ('signup', 'click', 'purchase')
+                and ts < timestamp '2024-01-02 00:00:00'
+            ),
+            s as (select user_id, min(ts) as st from f
+                  where event_type = 'signup' group by user_id),
+            c as (select f.user_id, min(f.ts) as ct
+                  from f join s using (user_id)
+                  where f.event_type = 'click' and f.ts > s.st
+                  group by f.user_id),
+            p as (select f.user_id, min(f.ts) as pt
+                  from f join c using (user_id)
+                  where f.event_type = 'purchase' and f.ts > c.ct
+                  group by f.user_id),
+            u as (select distinct user_id from f)
+            select u.user_id,
+                   epoch_us(s.st) as signup_us,
+                   epoch_us(c.ct) as click_us,
+                   epoch_us(p.pt) as purchase_us,
+                   cast(case when p.pt is not null then 3
+                             when c.ct is not null then 2
+                             when s.st is not null then 1
+                             else 0 end as int) as stage
+            from u
+            left join s using (user_id)
+            left join c using (user_id)
+            left join p using (user_id)
         """,
         "importance_score_docs": """
             with toks as (

@@ -54,6 +54,9 @@ BENCH_QUERIES = (
     "decontaminate_bloom",
     "label_centroids",
     "q10_returned_items",
+    "q18_large_orders",
+    "sketch_distinct_users",
+    "importance_score_docs",
 )
 
 
