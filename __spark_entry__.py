@@ -2224,6 +2224,28 @@ def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
+    damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
+    where both endpoints exist). Fixed-point per-mille arithmetic makes
+    every rank reproducible bit-for-bit across engines, partitionings,
+    and retries; the oracle unrolls the identical iterations as chained
+    SQL CTEs. Iterative-join shape: per round one edges-by-rank equi-join
+    + one aggregation, lineage truncated per round."""
+    from kafka_custom_transforms_spark.operators.clusters import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    kids = ids.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(F.col("doc_id") * 2 + 1, F.col("doc_id") * 2 + 2)
+        ).alias("dst"),
+    )
+    edges = kids.join(ids.select(F.col("doc_id").alias("dst")), "dst")
+    return pagerank_int(edges, ids, iterations=3, id_col="doc_id")
+
+
 def _funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup -> click -> purchase) per user as a pure
     expression fold: events sort per user inside collect_list, then ONE
@@ -2957,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statestore_read_counts": _statestore_read_counts,
         "importance_score_docs": _importance_score_docs,
         "funnel_stages": _funnel_stages,
+        "pagerank_doc_tree": _pagerank_doc_tree,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4603,6 +4626,44 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "pagerank_doc_tree": """
+            with ids as (select doc_id from documents),
+            edges as (
+              select p.doc_id as src, c.doc_id as dst
+              from ids p join ids c
+                on c.doc_id in (p.doc_id * 2 + 1, p.doc_id * 2 + 2)
+            ),
+            deg as (select src, count(*) as d from edges group by src),
+            pr0 as (select doc_id as id, cast(1000 as bigint) as r from ids),
+            it1 as (
+              select i.doc_id as id,
+                     cast(150 + 850 * coalesce(x.s, 0) // 1000 as bigint) as r
+              from ids i left join (
+                select e.dst, sum(p.r // deg.d) as s
+                from edges e join deg on e.src = deg.src
+                join pr0 p on p.id = e.src
+                group by e.dst) x on x.dst = i.doc_id
+            ),
+            it2 as (
+              select i.doc_id as id,
+                     cast(150 + 850 * coalesce(x.s, 0) // 1000 as bigint) as r
+              from ids i left join (
+                select e.dst, sum(p.r // deg.d) as s
+                from edges e join deg on e.src = deg.src
+                join it1 p on p.id = e.src
+                group by e.dst) x on x.dst = i.doc_id
+            ),
+            it3 as (
+              select i.doc_id as id,
+                     cast(150 + 850 * coalesce(x.s, 0) // 1000 as bigint) as r
+              from ids i left join (
+                select e.dst, sum(p.r // deg.d) as s
+                from edges e join deg on e.src = deg.src
+                join it2 p on p.id = e.src
+                group by e.dst) x on x.dst = i.doc_id
+            )
+            select id as doc_id, r as rank_milli from it3
         """,
         "funnel_stages": """
             with f as (

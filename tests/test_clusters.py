@@ -97,3 +97,38 @@ def test_bad_algorithm_rejected(spark):
 
     with pytest.raises(ValueError, match="algorithm"):
         clusters.connected_components(df, algorithm="bfs")
+
+
+def test_pagerank_int_hand_computed_and_partition_invariant(spark):
+    """3-node chain 1->2->3 (plus 1->3): integer ranks match a hand fold,
+    and repartitioning changes nothing (integer sums are order-free)."""
+    from kafka_custom_transforms_spark.operators.clusters import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    # iteration 1 from all-1000: deg(1)=2, deg(2)=1
+    #   r1 = 150
+    #   r2 = 150 + 850*(1000 div 2) div 1000 = 150 + 425 = 575
+    #   r3 = 150 + 850*(500 + 1000) div 1000 = 150 + 1275 = 1425
+    one = {
+        r["id"]: r["rank_milli"]
+        for r in pagerank_int(edges, nodes, iterations=1).collect()
+    }
+    assert one == {1: 150, 2: 575, 3: 1425}
+    # iteration 2: contrib(1)=150 div 2=75, contrib(2)=575
+    #   r2 = 150 + 850*75 div 1000 = 150 + 63 = 213
+    #   r3 = 150 + 850*(75+575) div 1000 = 150 + 552 = 702
+    two = {
+        r["id"]: r["rank_milli"]
+        for r in pagerank_int(edges, nodes, iterations=2).collect()
+    }
+    assert two == {1: 150, 2: 213, 3: 702}
+    rep = {
+        r["id"]: r["rank_milli"]
+        for r in pagerank_int(
+            edges.repartition(5), nodes.repartition(3), iterations=2
+        ).collect()
+    }
+    assert rep == two
