@@ -78,9 +78,15 @@ def bucket_ratio_table(
     totals = counts.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
+    # nt = 0 (no target documents, or a gram-less target) would be an ANSI
+    # division-by-zero at runtime; an empty target means "nothing is
+    # representative", so every ratio is 0 and nothing selects.
     return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
-        F.expr(f"ct * {scale} * nr div (cr * nt)").alias("ratio_milli"),
+        F.expr(
+            f"case when nt = 0 then 0L "
+            f"else ct * {scale} * nr div (cr * nt) end"
+        ).alias("ratio_milli"),
     )
 
 

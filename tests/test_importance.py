@@ -57,3 +57,12 @@ def test_ratio_table_bounded_and_broadcast(spark, sf_dir):
     plan = plan_str(importance_scores(docs, F.col("lang") == "en"), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_empty_target_scores_zero_not_error(spark):
+    """ANSI mode would throw on the nt=0 division; an empty target must
+    instead score every document 0 (nothing is representative)."""
+    docs = _toy_docs(spark)
+    out = importance_scores(docs, F.lit(False)).collect()
+    assert all(r["score_milli"] == 0 and not r["selected"] for r in out)
+    assert len(out) == 6
