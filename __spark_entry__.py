@@ -2224,6 +2224,84 @@ def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set difference: users active in the first hours of the
+    month but absent from its final days — the churn/retention question.
+    Theta's DIFFERENCE is the operation neither exact count-distinct
+    pipelines (without a re-shuffle) nor HLL (union-only) can give you;
+    sketches from two conditional aggregations combine in a 1-row
+    post-step. Exact counts computed alongside; the tolerance boolean
+    (absolute 2 or 10%, whichever is larger — small-set safe) rides in
+    the row so the oracle pins engines and the error envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    f_cond = F.col("ts") < F.lit("2024-01-01 08:00:00").cast("timestamp")
+    s_cond = F.col("ts") >= F.lit("2024-01-30 00:00:00").cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.max(f_cond.cast("int")).alias("f"), F.max(s_cond.cast("int")).alias("s")
+    )
+    exact = pu.agg(
+        F.sum("f").cast("bigint").alias("n_first"),
+        F.sum("s").cast("bigint").alias("n_second"),
+        F.sum(F.col("f") * (1 - F.col("s"))).cast("bigint").alias("n_churned"),
+    )
+    sk = ev.agg(
+        F.theta_sketch_estimate(
+            F.theta_difference(
+                F.theta_sketch_agg(F.when(f_cond, F.col("user_id"))),
+                F.theta_sketch_agg(F.when(s_cond, F.col("user_id"))),
+            )
+        ).alias("est")
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_first",
+        "n_second",
+        "n_churned",
+        (
+            F.abs(F.col("est") - F.col("n_churned"))
+            <= F.greatest(F.lit(2.0), F.lit(0.1) * F.col("n_churned"))
+        ).alias("theta_churn_ok"),
+    )
+
+
+def _approx_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a RANK-TOLERANCE check: the sketch quantile
+    surface, pinned the only way an approximate answer can be — by its
+    guarantee. The returned value's rank must sit within 1% of the
+    target rank (accuracy=10000 guarantees 0.01%), verified with one
+    rank-counting pass against the broadcast 5-row approx result. Exact
+    integer cents avoid float-comparison ambiguity. Order-book medians
+    themselves are covered exactly by median_order_value; this row pins
+    the approximate machinery."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ap = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("cents", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("cents", 0.9, 10000).alias("p90a"),
+    )
+    joined = o.join(F.broadcast(ap), "o_orderpriority")
+    ranks = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cents") <= F.col("p50a")).cast("int")).alias("le50"),
+        F.sum((F.col("cents") < F.col("p50a")).cast("int")).alias("lt50"),
+        F.sum((F.col("cents") <= F.col("p90a")).cast("int")).alias("le90"),
+        F.sum((F.col("cents") < F.col("p90a")).cast("int")).alias("lt90"),
+    )
+    def ok(le, lt, q):
+        lo = (F.lit(q) - 0.01) * F.col("n")
+        hi = (F.lit(q) + 0.01) * F.col("n")
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+    return ranks.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        ok("le50", "lt50", 0.5).alias("p50_ok"),
+        ok("le90", "lt90", 0.9).alias("p90_ok"),
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -2980,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_score_docs": _importance_score_docs,
         "funnel_stages": _funnel_stages,
         "pagerank_doc_tree": _pagerank_doc_tree,
+        "sketch_user_churn": _sketch_user_churn,
+        "approx_quantile_orders": _approx_quantile_orders,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4626,6 +4706,29 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "sketch_user_churn": """
+            with pu as (
+              select user_id,
+                     max(case when ts < timestamp '2024-01-01 08:00:00'
+                         then 1 else 0 end) as f,
+                     max(case when ts >= timestamp '2024-01-30 00:00:00'
+                         then 1 else 0 end) as s
+              from events group by user_id
+            )
+            select cast(sum(f) as bigint) as n_first,
+                   cast(sum(s) as bigint) as n_second,
+                   cast(sum(f * (1 - s)) as bigint) as n_churned,
+                   true as theta_churn_ok
+            from pu
+        """,
+        "approx_quantile_orders": """
+            select o_orderpriority,
+                   cast(count(*) as bigint) as n,
+                   true as p50_ok,
+                   true as p90_ok
+            from orders
+            group by o_orderpriority
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),
