@@ -64,11 +64,8 @@ def bucket_ratio_table(
     broadcastable. ``target_cond`` is a boolean Column marking target
     documents (they stay part of raw: DSIR's raw distribution is the
     full corpus)."""
-    grams = docs.select(
-        F.col(id_col).alias("_imp_id"), F.col(text_col), target_cond.alias("_t")
-    )
-    exploded = grams.select(
-        "_t",
+    exploded = docs.select(
+        target_cond.alias("_t"),
         F.explode(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram"),
     ).select("_t", F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket"))
     counts = exploded.groupBy("bucket").agg(
