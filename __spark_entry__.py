@@ -954,8 +954,8 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
     pair = (
-        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
-    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
+    ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -3989,8 +3989,8 @@ def oracle_sql() -> dict[str, str]:
             join nation n1 on c_nationkey = n1.n_nationkey
             join supplier on l_suppkey = s_suppkey
             join nation n2 on s_nationkey = n2.n_nationkey
-            where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
-               or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+            where (n1.n_name = 'NATION_19' and n2.n_name = 'NATION_18')
+               or (n1.n_name = 'NATION_18' and n2.n_name = 'NATION_19')
             group by 1, 2, 3
         """,
         "q8_market_share": """

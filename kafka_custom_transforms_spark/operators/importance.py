@@ -53,7 +53,6 @@ def bucket_ratio_table(
     docs: DataFrame,
     target_cond,
     text_col: str = "text",
-    id_col: str = "doc_id",
     ngram: int = 2,
     n_buckets: int = 4096,
     scale: int = 1000,
@@ -101,9 +100,7 @@ def importance_scores(
     is >= 1 (score >= n_grams * scale) — gram-less documents score 0 and
     are not selected. Integer sums make the score independent of
     partitioning and join order."""
-    ratios = bucket_ratio_table(
-        docs, target_cond, text_col, id_col, ngram, n_buckets, scale
-    )
+    ratios = bucket_ratio_table(docs, target_cond, text_col, ngram, n_buckets, scale)
     grams = _doc_grams(docs, text_col, id_col, ngram, n_buckets)
     per_doc = (
         grams.join(F.broadcast(ratios), "bucket")
