@@ -389,3 +389,26 @@ def test_sketch_aggs_have_map_side_partials(spark, sf_dir):
     assert "partial_hll_sketch_agg" in p or "partial hll_sketch_agg" in p or (
         "hll_sketch_agg" in p and "Partial" in p
     )
+
+
+def test_funnel_single_shuffle_no_window(spark, sf_dir):
+    """The funnel fold must be one aggregation pass: no Window, no joins,
+    exactly the per-user shuffle."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["funnel_stages"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert shuffle_count(q) <= 2  # partial/final agg exchange only
+
+
+def test_sketch_churn_broadcasts_one_row_estimate(spark, sf_dir):
+    """Exact side and sketch side combine via a broadcast of the 1-row
+    estimate — never a shuffle of either aggregate."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["sketch_user_churn"](spark, sf_dir)
+    p = plan_str(q, "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
