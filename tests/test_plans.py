@@ -412,3 +412,33 @@ def test_sketch_churn_broadcasts_one_row_estimate(spark, sf_dir):
     p = plan_str(q, "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """When a shuffle join has a selective build side, Spark must inject a
+    runtime Bloom filter on the probe side (bloom_filter_might_contain in
+    the plan) — at 100 TB this prunes most probe rows BEFORE the shuffle.
+    Local-test thresholds are lowered only inside this test; the defaults
+    already inject at cluster scan sizes."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 7)
+        q = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        assert "might_contain" in plan_str(q, "formatted")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
