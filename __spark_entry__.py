@@ -2226,6 +2226,23 @@ def _sql_udf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode with zero media libraries: deterministic 24-bit
+    BMPs are synthesized per document and decode_bmp parses the actual
+    bytes — signature, pixel-array offset, geometry, padded bottom-up
+    BGR rows — into exact integer channel means. The oracle recomputes
+    the means from the generation formula analytically (never parsing),
+    so any header/padding/channel-order misread mismatches. This is the
+    multimodal path the stub stands in for, exercised end to end."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_bmp,
+        synth_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp(synth_bmp(docs))
+
+
 def _sketch_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set difference: users active in the first hours of the
     month but absent from its final days — the churn/retention question.
@@ -3062,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_doc_tree": _pagerank_doc_tree,
         "sketch_user_churn": _sketch_user_churn,
         "approx_quantile_orders": _approx_quantile_orders,
+        "multimodal_bmp_decode": _multimodal_bmp_decode,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4708,6 +4726,32 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "multimodal_bmp_decode": """
+            with ids as (
+              select doc_id,
+                     cast(8 + doc_id % 9 as int) as w,
+                     cast(6 + doc_id % 7 as int) as h
+              from documents
+            ),
+            px as (
+              select i.doc_id, i.w, i.h, x.x, j.j
+              from ids i,
+                   lateral (select unnest(range(0, i.w)) as x) x,
+                   lateral (select unnest(range(0, i.h)) as j) j
+            ),
+            sums as (
+              select doc_id, w, h,
+                     sum((7 * x + 13 * j + doc_id) % 256) as sb,
+                     sum((7 * x + 13 * j + doc_id + 85) % 256) as sg,
+                     sum((7 * x + 13 * j + doc_id + 170) % 256) as sr
+              from px group by doc_id, w, h
+            )
+            select doc_id, w as width, h as height,
+                   cast(sr * 1000 // (w * h) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (w * h) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (w * h) as bigint) as mean_b_milli
+            from sums
         """,
         "sketch_user_churn": """
             with pu as (

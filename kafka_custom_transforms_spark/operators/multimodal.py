@@ -145,3 +145,112 @@ def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
     vids = df.filter(F.col("mime") == "video/mp4")
     idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
     return vids.select("doc_id", F.explode(idxs).alias("frame_idx"))
+
+
+# ---------------------------------------------------------------- real decode
+#
+# The stub above stands in for codec libraries this container lacks; BMP
+# needs none — its 54-byte header + raw BGR rows parse with stdlib struct.
+# decode_bmp is therefore a REAL image decoder: it reads the signature,
+# pixel-array offset, geometry, and every padded pixel row from the actual
+# bytes. synth_bmp writes deterministic 24-bit BMPs whose channel values
+# are a closed-form function of (x, row, id), so an oracle can recompute
+# the exact per-channel means WITHOUT parsing — any mis-read of the
+# header, row padding, or BGR order shows up as a value mismatch.
+
+BMP_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "mean_r_milli bigint, mean_g_milli bigint, mean_b_milli bigint"
+)
+
+
+def _bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Minimal 24-bit bottom-up BMP. File-row j, column x:
+    B=(7x+13j+id)%256, G=+85, R=+170 (BGR byte order on disk)."""
+    import struct
+
+    row_size = (3 * width + 3) & ~3
+    pixel_bytes = row_size * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for j in range(height):
+        for x in range(width):
+            base = 7 * x + 13 * j + doc_id
+            rows += bytes(((base) % 256, (base + 85) % 256, (base + 170) % 256))
+        rows += b"\x00" * (row_size - 3 * width)
+    return header + bytes(rows)
+
+
+def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, data) with a deterministic real BMP per row; geometry
+    8+id%9 x 6+id%7 keeps payloads tiny while exercising every row
+    padding residue (width mod 4 varies)."""
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "data": [
+                        _bmp_bytes(int(i), 8 + int(i) % 9, 6 + int(i) % 7)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_bmp(df: DataFrame) -> DataFrame:
+    """Parse REAL BMP bytes (no media libs): signature check, pixel-array
+    offset from the file header, 24bpp geometry from BITMAPINFOHEADER,
+    padded bottom-up BGR rows. Integer milli means keep the result exact
+    and order-free. Arrow-batched like every decode in this module."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        sig, _, _, _, offset = struct.unpack_from("<2sIHHI", data, 0)
+        if sig != b"BM":
+            raise ValueError("not a BMP payload")
+        _, width, height, _, bpp = struct.unpack_from("<IiiHH", data, 14)
+        if bpp != 24:
+            raise ValueError(f"only 24bpp supported, got {bpp}")
+        row_size = (3 * width + 3) & ~3
+        sr = sg = sb = 0
+        for j in range(abs(height)):
+            base = offset + j * row_size
+            row = data[base : base + 3 * width]
+            sb += sum(row[0::3])
+            sg += sum(row[1::3])
+            sr += sum(row[2::3])
+        npx = width * abs(height)
+        return (
+            width,
+            abs(height),
+            sr * 1000 // npx,
+            sg * 1000 // npx,
+            sb * 1000 // npx,
+        )
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_r_milli": [f[2] for f in feats],
+                    "mean_g_milli": [f[3] for f in feats],
+                    "mean_b_milli": [f[4] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=BMP_DECODED_SCHEMA)

@@ -92,3 +92,36 @@ def test_resize_real_decoder_raises(docs):
     att = multimodal.attach_payload(docs)
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.resize_images(att, real_decoder=True)
+
+
+def test_bmp_decoder_parses_real_bytes(spark):
+    """decode_bmp must read the actual pixel array: flipping ONE pixel byte
+    (same length, same header) changes the decoded mean."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_bmp,
+    )
+
+    good = _bmp_bytes(1, 5, 3)  # width 5 -> 1 pad byte per row
+    corrupt = bytearray(good)
+    corrupt[54] = (corrupt[54] + 7) % 256  # first blue byte
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "data": [good, bytes(corrupt)]})
+    )
+    rows = {r["doc_id"]: r for r in decode_bmp(df).collect()}
+    assert rows[1]["width"] == 5 and rows[1]["height"] == 3
+    assert rows[1]["mean_b_milli"] != rows[2]["mean_b_milli"]
+    assert rows[1]["mean_r_milli"] == rows[2]["mean_r_milli"]
+
+
+def test_bmp_decoder_rejects_non_bmp(spark):
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import decode_bmp
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [b"PNG9999"]}))
+    with pytest.raises(Exception):
+        decode_bmp(df).collect()
