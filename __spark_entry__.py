@@ -2243,6 +2243,20 @@ def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp(synth_bmp(docs))
 
 
+def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, same story as the BMP row: RIFF chunk walking +
+    16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
+    and duration. The oracle recomputes both from the sample-generation
+    formula without ever touching the bytes."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(synth_wav(docs))
+
+
 def _sketch_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set difference: users active in the first hours of the
     month but absent from its final days — the churn/retention question.
@@ -3080,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_user_churn": _sketch_user_churn,
         "approx_quantile_orders": _approx_quantile_orders,
         "multimodal_bmp_decode": _multimodal_bmp_decode,
+        "multimodal_wav_decode": _multimodal_wav_decode,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4726,6 +4741,27 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "multimodal_wav_decode": """
+            with ids as (
+              select doc_id, cast(400 + doc_id % 50 as bigint) as n
+              from documents
+            ),
+            smp as (
+              select i.doc_id, i.n, s.i as si
+              from ids i, lateral (select unnest(range(0, i.n)) as i) s
+            ),
+            sums as (
+              select doc_id, n,
+                     sum(abs(((37 * si + 11 * doc_id) % 4096) - 2048)) as sa
+              from smp group by doc_id, n
+            )
+            select doc_id,
+                   cast(8000 as int) as sample_rate,
+                   n as n_samples,
+                   cast(n * 1000 // 8000 as bigint) as duration_ms,
+                   cast(sa * 1000 // n as bigint) as mean_abs_milli
+            from sums
         """,
         "multimodal_bmp_decode": """
             with ids as (

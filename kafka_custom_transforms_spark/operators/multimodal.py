@@ -2,10 +2,14 @@
 
 The engine treats images/audio/video as ``binary`` columns bundled with a
 metadata struct — the schema, partitioning, Arrow batch shape, and UDF
-signatures here are the real, tested artifact. The *decode* step itself is
-STUBBED: the image/audio libraries are not in this container, so
-``decode_payload`` uses a deterministic fake feature extractor (and raises
-``NotImplementedError`` if a real decoder is requested but unavailable).
+signatures here are the real, tested artifact. Two decoders are REAL
+byte-level parsers needing only the stdlib: ``decode_bmp`` (24-bit BMP —
+signature, pixel offset, padded BGR rows) and ``decode_wav`` (RIFF chunk
+walk + 16-bit PCM), both oracle-verified against analytically recomputed
+features. The generic ``decode_payload`` stays a deterministic stand-in
+for codecs that genuinely need external libraries (PNG/JPEG/MP4): it
+hashes the full payload (features are functions of the bytes, not the
+length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
 ``mapInPandas`` body and nothing else changes.
 
@@ -254,3 +258,94 @@ def decode_bmp(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=BMP_DECODED_SCHEMA)
+
+
+# WAV: the audio counterpart of decode_bmp — RIFF/fmt/data chunk walking
+# and 16-bit PCM decoding need only struct. Deterministic synth + analytic
+# oracle, same verification story.
+
+WAV_DECODED_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "mean_abs_milli bigint"
+)
+
+
+def _wav_bytes(doc_id: int, n_samples: int, rate: int = 8000) -> bytes:
+    """Minimal mono 16-bit PCM WAV. Sample i = ((37*i + 11*id) % 4096) - 2048."""
+    import struct
+
+    frames = b"".join(
+        struct.pack("<h", ((37 * i + 11 * doc_id) % 4096) - 2048)
+        for i in range(n_samples)
+    )
+    data_len = len(frames)
+    hdr = (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_len, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", data_len)
+    )
+    return hdr + frames
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, data) with a deterministic real WAV per row; 400+id%50 samples."""
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "data": [
+                        _wav_bytes(int(i), 400 + int(i) % 50) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """Parse REAL WAV bytes: walk RIFF chunks to fmt (rate, channels,
+    bits) and data (PCM frames); integer mean |amplitude| in milli units.
+    Only mono 16-bit PCM is supported — anything else raises."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, rate, frames = 12, None, None
+        while pos + 8 <= len(data):
+            cid, clen = struct.unpack_from("<4sI", data, pos)
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+                if (fmt, ch, bits) != (1, 1, 16):
+                    raise ValueError("only mono 16-bit PCM supported")
+            elif cid == b"data":
+                frames = data[body : body + clen]
+            pos = body + clen + (clen & 1)
+        if rate is None or frames is None:
+            raise ValueError("missing fmt or data chunk")
+        n = len(frames) // 2
+        samples = struct.unpack(f"<{n}h", frames[: 2 * n])
+        sum_abs = sum(abs(s) for s in samples)
+        return (rate, n, n * 1000 // rate, sum_abs * 1000 // max(n, 1))
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "duration_ms": [f[2] for f in feats],
+                    "mean_abs_milli": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)

@@ -125,3 +125,45 @@ def test_bmp_decoder_rejects_non_bmp(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [b"PNG9999"]}))
     with pytest.raises(Exception):
         decode_bmp(df).collect()
+
+
+def test_wav_decoder_parses_real_bytes(spark):
+    """Chunk walking must find fmt/data wherever they sit and decode real
+    PCM: flipping one sample byte changes the mean; geometry fields come
+    from the actual header."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _wav_bytes,
+        decode_wav,
+    )
+
+    good = _wav_bytes(3, 100)
+    corrupt = bytearray(good)
+    corrupt[44] = (corrupt[44] + 9) % 256  # first PCM byte
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "data": [good, bytes(corrupt)]})
+    )
+    rows = {r["doc_id"]: r for r in decode_wav(df).collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 100
+    assert rows[1]["duration_ms"] == 12
+    assert rows[1]["mean_abs_milli"] != rows[2]["mean_abs_milli"]
+
+
+def test_wav_decoder_rejects_stereo_and_non_wav(spark):
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _wav_bytes,
+        decode_wav,
+    )
+
+    stereo = bytearray(_wav_bytes(1, 10))
+    struct.pack_into("<H", stereo, 22, 2)  # channels = 2
+    for bad in (b"OggS1234", bytes(stereo)):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bad]}))
+        with pytest.raises(Exception):
+            decode_wav(df).collect()
