@@ -2257,6 +2257,20 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _multimodal_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: ISO BMFF box walking (ftyp brand,
+    moov -> mvhd timescale/duration) with stdlib struct — container
+    metadata is parsed from actual bytes; only codec-level frame decode
+    remains stubbed (needs external libraries). Analytic oracle."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_mp4,
+        synth_mp4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp4(synth_mp4(docs))
+
+
 def _sketch_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set difference: users active in the first hours of the
     month but absent from its final days — the churn/retention question.
@@ -3095,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_orders": _approx_quantile_orders,
         "multimodal_bmp_decode": _multimodal_bmp_decode,
         "multimodal_wav_decode": _multimodal_wav_decode,
+        "multimodal_mp4_decode": _multimodal_mp4_decode,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4741,6 +4756,15 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "multimodal_mp4_decode": """
+            select doc_id,
+                   'isom' as brand,
+                   cast(600 + (doc_id % 5) * 100 as bigint) as timescale,
+                   cast((97 * doc_id) % 100000 as bigint) as duration_units,
+                   cast(((97 * doc_id) % 100000) * 1000
+                        // (600 + (doc_id % 5) * 100) as bigint) as duration_ms
+            from documents
         """,
         "multimodal_wav_decode": """
             with ids as (

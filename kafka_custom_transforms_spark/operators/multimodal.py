@@ -5,9 +5,10 @@ metadata struct — the schema, partitioning, Arrow batch shape, and UDF
 signatures here are the real, tested artifact. Two decoders are REAL
 byte-level parsers needing only the stdlib: ``decode_bmp`` (24-bit BMP —
 signature, pixel offset, padded BGR rows) and ``decode_wav`` (RIFF chunk
-walk + 16-bit PCM), both oracle-verified against analytically recomputed
-features. The generic ``decode_payload`` stays a deterministic stand-in
-for codecs that genuinely need external libraries (PNG/JPEG/MP4): it
+walk + 16-bit PCM) and ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd),
+all oracle-verified against analytically recomputed features. The
+generic ``decode_payload`` stays a deterministic stand-in for codecs
+that genuinely need external libraries (PNG/JPEG pixel data, H.264): it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -349,3 +350,101 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)
+
+
+# MP4: the video counterpart — ISO BMFF box walking (ftyp brand, moov ->
+# mvhd timescale/duration) with stdlib struct. Container metadata only:
+# codec frame decode genuinely needs external libraries and stays behind
+# the documented stub.
+
+MP4_DECODED_SCHEMA = (
+    "doc_id bigint, brand string, timescale bigint, duration_units bigint, "
+    "duration_ms bigint"
+)
+
+
+def _mp4_bytes(doc_id: int) -> bytes:
+    """Minimal ISO BMFF file: ftyp(isom) + moov{mvhd v0}. timescale =
+    600 + (id%5)*100; duration units = (97*id) % 100000."""
+    import struct
+
+    ftyp = struct.pack(">I4s4sI4s", 20, b"ftyp", b"isom", 512, b"isom")
+    timescale = 600 + (doc_id % 5) * 100
+    duration = (97 * doc_id) % 100_000
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_id
+    )
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    return ftyp + moov
+
+
+def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_mp4_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_mp4(df: DataFrame) -> DataFrame:
+    """Walk REAL ISO BMFF boxes: top level to ftyp (brand) and moov, then
+    moov's children to mvhd (version 0/1 both handled); duration_ms from
+    the header's timescale."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def _boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", data, pos)
+            if size < 8:
+                raise ValueError("bad box size")
+            yield typ, pos + 8, pos + size
+            pos += size
+
+    def _one(data: bytes) -> tuple:
+        brand, mvhd_span = None, None
+        for typ, body, bend in _boxes(data, 0, len(data)):
+            if typ == b"ftyp":
+                brand = data[body : body + 4].decode("ascii")
+            elif typ == b"moov":
+                for t2, b2, e2 in _boxes(data, body, bend):
+                    if t2 == b"mvhd":
+                        mvhd_span = (b2, e2)
+        if brand is None or mvhd_span is None:
+            raise ValueError("not an MP4: missing ftyp or moov/mvhd")
+        b2 = mvhd_span[0]
+        version = data[b2]
+        if version == 0:
+            _, _, timescale, duration = struct.unpack_from(">IIII", data, b2 + 4)
+        else:
+            _, _, timescale = struct.unpack_from(">QQI", data, b2 + 4)
+            (duration,) = struct.unpack_from(">Q", data, b2 + 24)
+        return (brand, timescale, duration, duration * 1000 // timescale)
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "brand": [f[0] for f in feats],
+                    "timescale": [f[1] for f in feats],
+                    "duration_units": [f[2] for f in feats],
+                    "duration_ms": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=MP4_DECODED_SCHEMA)

@@ -167,3 +167,45 @@ def test_wav_decoder_rejects_stereo_and_non_wav(spark):
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bad]}))
         with pytest.raises(Exception):
             decode_wav(df).collect()
+
+
+def test_mp4_decoder_walks_real_boxes(spark):
+    """Box sizes must come from the file: corrupting moov's declared size
+    (or removing ftyp) fails; a version-1 mvhd parses too."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _mp4_bytes,
+        decode_mp4,
+    )
+
+    good = _mp4_bytes(7)
+    rows = decode_mp4(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [7], "data": [good]}))
+    ).collect()
+    assert rows[0]["brand"] == "isom"
+    assert rows[0]["timescale"] == 600 + (7 % 5) * 100
+    assert rows[0]["duration_units"] == (97 * 7) % 100000
+    # version-1 mvhd (64-bit times) must also parse
+    body = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQI", 0, 0, 1000)
+        + struct.pack(">Q", 4500)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I4s", 8 + len(body), b"mvhd") + body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    v1 = good[:20] + moov
+    r1 = decode_mp4(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [v1]}))
+    ).collect()
+    assert (r1[0]["timescale"], r1[0]["duration_ms"]) == (1000, 4500)
+    bad = bytearray(good)
+    bad[4:8] = b"free"  # hide ftyp
+    with pytest.raises(Exception):
+        decode_mp4(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bytes(bad)]}))
+        ).collect()
