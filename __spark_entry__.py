@@ -2257,6 +2257,18 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (operators/embeddings.py:arrow_vector_norms):
+    zero-copy Arrow->numpy squared norms with a dimension-sequential fold
+    that is bit-identical to the oracle's list_reduce left fold over the
+    same doubles."""
+    from kafka_custom_transforms_spark.operators.embeddings import (
+        arrow_vector_norms,
+    )
+
+    return arrow_vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
 def _multimodal_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode: ISO BMFF box walking (ftyp brand,
     moov -> mvhd timescale/duration) with stdlib struct — container
@@ -3110,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": _multimodal_bmp_decode,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
+        "arrow_vector_norms": _arrow_vector_norms,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4756,6 +4769,17 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "arrow_vector_norms": """
+            select vec_id,
+                   cast(len(embedding) as int) as n_dims,
+                   list_reduce(
+                     list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> cast(embedding[i] as double)
+                            * cast(embedding[i] as double)),
+                     (x, y) -> x + y) as norm_sq
+            from embeddings
         """,
         "multimodal_mp4_decode": """
             select doc_id,

@@ -84,3 +84,24 @@ def test_column_profile_single_scan(spark):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     plan = plan_str(column_profile(orders), "simple")
     assert plan.count("FileScan") == 1, plan
+
+
+def test_arrow_norms_rejects_ragged_and_matches_fold(spark):
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.embeddings import (
+        arrow_vector_norms,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in arrow_vector_norms(ok).collect()}
+    assert rows[1]["norm_sq"] == 25.0 and rows[1]["n_dims"] == 2
+    assert rows[2]["norm_sq"] == 5.0
+    ragged = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        arrow_vector_norms(ragged).collect()
