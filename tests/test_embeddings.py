@@ -100,8 +100,10 @@ def test_arrow_norms_rejects_ragged_and_matches_fold(spark):
     rows = {r["vec_id"]: r for r in arrow_vector_norms(ok).collect()}
     assert rows[1]["norm_sq"] == 25.0 and rows[1]["n_dims"] == 2
     assert rows[2]["norm_sq"] == 5.0
+    # ragged lengths WITHIN one Arrow batch break the reshape and must
+    # raise (across batches each reshapes independently — that's fine)
     ragged = spark.createDataFrame(
         [(1, [1.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
-    )
+    ).coalesce(1)
     with pytest.raises(Exception):
         arrow_vector_norms(ragged).collect()
