@@ -2257,6 +2257,27 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate (operators/quality.py): not_null/range/regex
+    rules share ONE aggregation pass; uniqueness is one grouped pass; the
+    customer foreign key is one broadcast anti join. Thresholds chosen so
+    some rules pass clean and some genuinely flag (price cap, priority
+    regex) — the oracle recomputes every count."""
+    from kafka_custom_transforms_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        Q.not_null("orderkey_not_null", "o_orderkey"),
+        Q.in_range("price_positive", "o_totalprice", lo=0.0),
+        Q.in_range("price_under_cap", "o_totalprice", hi=400000.0),
+        Q.matches("priority_format", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        Q.unique("orderkey_unique", "o_orderkey"),
+        Q.foreign_key("custkey_exists", "o_custkey", cust, "c_custkey"),
+    ]
+    return Q.validate_rules(orders, rules)
+
+
 def _arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow surface (operators/embeddings.py:arrow_vector_norms):
     zero-copy Arrow->numpy squared norms with a dimension-sequential fold
@@ -3123,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
+        "contract_orders": _contract_orders,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4769,6 +4791,43 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "contract_orders": """
+            select 'orderkey_not_null' as rule,
+                   cast(sum(case when o_orderkey is null then 1 else 0 end)
+                        as bigint) as n_violations
+            from orders
+            union all
+            select 'price_positive',
+                   cast(sum(case when o_totalprice is null
+                                  or o_totalprice < 0.0 then 1 else 0 end)
+                        as bigint)
+            from orders
+            union all
+            select 'price_under_cap',
+                   cast(sum(case when o_totalprice is null
+                                  or o_totalprice > 400000.0 then 1 else 0 end)
+                        as bigint)
+            from orders
+            union all
+            select 'priority_format',
+                   cast(sum(case when o_orderpriority is null
+                                  or not regexp_matches(o_orderpriority,
+                                                        '^[1-5]-[A-Z ]+$')
+                            then 1 else 0 end) as bigint)
+            from orders
+            union all
+            select 'orderkey_unique',
+                   cast(coalesce(sum(n - 1), 0) as bigint)
+            from (select o_orderkey, count(*) as n from orders
+                  group by o_orderkey having count(*) > 1)
+            union all
+            select 'custkey_exists',
+                   cast(count(*) as bigint)
+            from orders o
+            where o_custkey is not null
+              and not exists (select 1 from customer c
+                              where c.c_custkey = o.o_custkey)
         """,
         "arrow_vector_norms": """
             select vec_id,

@@ -1,0 +1,63 @@
+"""Data-contract validation: every rule kind flags seeded violations, and
+the inline rules share one scan."""
+
+from __future__ import annotations
+
+from kafka_custom_transforms_spark.operators import quality as Q
+from kafka_custom_transforms_spark.plans.explain import plan_str
+
+
+def _dirty(spark):
+    rows = [
+        (1, 10.0, "1-URGENT", 100),
+        (1, -5.0, "9-BAD", 100),      # dup key, negative price, bad priority
+        (2, None, "2-HIGH", 999),     # null price, orphan custkey
+        (None, 20.0, None, 100),      # null key, null priority
+    ]
+    return spark.createDataFrame(
+        rows, "k long, price double, prio string, ck long"
+    )
+
+
+def _ref(spark):
+    return spark.createDataFrame([(100,), (101,)], "c long")
+
+
+def test_each_rule_kind_counts_seeded_violations(spark):
+    df, ref = _dirty(spark), _ref(spark)
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in Q.validate_rules(
+            df,
+            [
+                Q.not_null("k_not_null", "k"),
+                Q.in_range("price_ok", "price", lo=0.0),
+                Q.matches("prio_fmt", "prio", "^[1-5]-[A-Z ]+$"),
+                Q.unique("k_unique", "k"),
+                Q.foreign_key("ck_fk", "ck", ref, "c"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "k_not_null": 1,
+        "price_ok": 2,  # negative + null
+        "prio_fmt": 2,  # 9-BAD + null
+        "k_unique": 1,  # k=1 twice -> 1 extra
+        "ck_fk": 1,  # ck=999
+    }
+
+
+def test_inline_rules_share_one_scan(spark, sf_dir):
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = Q.validate_rules(
+        orders,
+        [
+            Q.not_null("a", "o_orderkey"),
+            Q.in_range("b", "o_totalprice", lo=0.0),
+            Q.matches("c", "o_orderpriority", "^[1-5]"),
+        ],
+    )
+    plan = plan_str(out, "simple")
+    assert plan.count("FileScan") == 1, plan
