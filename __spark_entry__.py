@@ -2257,6 +2257,54 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: blocked fuzzy self-candidates
+    (operators/fuzzy.py) -> exact levenshtein verify -> connected
+    components (operators/clusters.py) -> canonical entity id per record.
+    Record ids are salted with an md5 suffix so distance-1 links only a
+    record's true variants (the synthetic serial-number names would
+    otherwise all sit at distance 1 from each other — a degenerate
+    near-duplicate graph). Every 10th customer gets a dirty copy (one
+    char deleted); the output maps each of the ~1.1n records to its
+    entity (the min record id of its component). Oracle replays blocking,
+    metric, and reachability with a recursive CTE."""
+    from kafka_custom_transforms_spark.operators.clusters import (
+        connected_components,
+    )
+    from kafka_custom_transforms_spark.operators.fuzzy import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    salted = F.concat(
+        F.col("c_name"),
+        F.lit("#"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4),
+    )
+    base = cust.select(F.col("c_custkey").alias("rec_id"), salted.alias("name"))
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("rec_id"),
+        F.concat(
+            F.substring(salted, 1, 2), F.substring(salted, 4, 1_000_000)
+        ).alias("name"),
+    )
+    recs = base.unionByName(dirty)
+    pairs = (
+        fuzzy_join(
+            recs.select(F.col("rec_id").alias("a_id"), F.col("name").alias("na")),
+            recs.select(F.col("rec_id").alias("b_id"), F.col("name").alias("nb")),
+            "na",
+            "nb",
+            max_dist=1,
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    return recs.join(comp, recs["rec_id"] == comp["id"], "left").select(
+        "rec_id",
+        F.coalesce(F.col("component"), F.col("rec_id")).alias("entity_id"),
+    )
+
+
 def _contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract gate (operators/quality.py): not_null/range/regex
     rules share ONE aggregation pass; uniqueness is one grouped pass; the
@@ -3145,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
         "contract_orders": _contract_orders,
+        "pipeline_entity_resolution": _pipeline_entity_resolution,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4791,6 +4840,38 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "pipeline_entity_resolution": """
+            with recursive
+            base as (
+              select c_custkey as rec_id,
+                     c_name || '#' || substr(md5(cast(c_custkey as varchar)),
+                                             1, 4) as name
+              from customer
+            ),
+            dirty as (
+              select rec_id + 10000000 as rec_id,
+                     substr(name, 1, 2) || substr(name, 4) as name
+              from base where rec_id % 10 = 0
+            ),
+            recs as (select * from base union all select * from dirty),
+            p as (
+              select a.rec_id as a_id, b.rec_id as b_id
+              from recs a join recs b on a.rec_id < b.rec_id
+              where abs(length(a.name) - length(b.name)) <= 1
+                and levenshtein(a.name, b.name) <= 1
+            ),
+            e as (select a_id as u, b_id as v from p
+                  union select b_id as u, a_id as v from p),
+            reach(id, x) as (
+              select u, u from e
+              union
+              select e2.u, r.x from e e2 join reach r on r.id = e2.v
+            ),
+            comp as (select id, min(x) as m from reach group by id)
+            select r.rec_id,
+                   coalesce(comp.m, r.rec_id) as entity_id
+            from recs r left join comp on comp.id = r.rec_id
         """,
         "contract_orders": """
             select 'orderkey_not_null' as rule,
