@@ -2257,6 +2257,76 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly purchase totals on a dense
+    calendar spine (sequence + explode over the observed range), missing
+    hours zero-filled, plus a forward-fill of the last non-null total
+    (last_value IGNORE NULLS over the ordered spine). The spine is
+    calendar-sized — the window runs over hours, never over events; at
+    100 TB the only fact-sized work is the first aggregation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("tot_dec"),
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    joined = spine.join(hourly, "h", "left")
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("tot_dec").cast("double"), F.lit(0.0)).alias("total_value"),
+        F.last(F.col("tot_dec").cast("double"), ignorenulls=True)
+        .over(w)
+        .alias("ffill_total"),
+    )
+
+
+def _value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical monitoring: per-type 3-sigma outlier counts. Moments
+    come from exact decimal sums (count, sum, sum of squares) in ONE
+    grouped pass; mean/variance are then a handful of IEEE double ops on
+    exact inputs — deterministic across engines and partitionings, unlike
+    float avg/stddev aggregates whose low bits drift with reduction
+    order. The per-type stats broadcast back for the flagging pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    enriched = stats.select(
+        "event_type", "n", mean.alias("mean"), F.sqrt(var).alias("std")
+    )
+    flagged = (
+        ev.join(F.broadcast(enriched), "event_type")
+        .filter(
+            F.abs(F.col("v").cast("double") - F.col("mean"))
+            > F.lit(3.0) * F.col("std")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        enriched.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def _pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end to end: blocked fuzzy self-candidates
     (operators/fuzzy.py) -> exact levenshtein verify -> connected
@@ -3194,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_vector_norms": _arrow_vector_norms,
         "contract_orders": _contract_orders,
         "pipeline_entity_resolution": _pipeline_entity_resolution,
+        "events_gapfill_hourly": _events_gapfill_hourly,
+        "value_outliers_zscore": _value_outliers_zscore,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4840,6 +4912,55 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "events_gapfill_hourly": """
+            with hourly as (
+              select date_trunc('hour', ts) as h,
+                     count(*) as n,
+                     sum(cast(value as decimal(18,2))) as tot_dec
+              from events where event_type = 'purchase'
+              group by 1
+            ),
+            spine as (
+              select unnest(generate_series((select min(h) from hourly),
+                                            (select max(h) from hourly),
+                                            interval 1 hour)) as h
+            )
+            select epoch_us(s.h) as hour_us,
+                   cast(coalesce(n, 0) as bigint) as n_events,
+                   coalesce(cast(tot_dec as double), 0.0) as total_value,
+                   last_value(cast(tot_dec as double) ignore nulls)
+                     over (order by s.h rows between unbounded preceding
+                           and current row) as ffill_total
+            from spine s left join hourly using (h)
+        """,
+        "value_outliers_zscore": """
+            with ev as (
+              select event_type, cast(value as decimal(18,2)) as v
+              from events
+            ),
+            stats as (
+              select event_type,
+                     count(*) as n,
+                     cast(sum(v) as double) as s,
+                     cast(sum(v * v) as double) as s2
+              from ev group by event_type
+            ),
+            enr as (
+              select event_type, n, s / n as mean,
+                     sqrt(s2 / n - (s / n) * (s / n)) as std
+              from stats
+            ),
+            flagged as (
+              select ev.event_type, count(*) as n_outliers
+              from ev join enr using (event_type)
+              where abs(cast(v as double) - mean) > 3.0 * std
+              group by ev.event_type
+            )
+            select e.event_type,
+                   cast(e.n as bigint) as n,
+                   cast(coalesce(f.n_outliers, 0) as bigint) as n_outliers
+            from enr e left join flagged f using (event_type)
         """,
         "pipeline_entity_resolution": """
             with recursive
