@@ -2257,6 +2257,18 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _arrow_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow surface (operators/embeddings.py:arrow_label_centroids):
+    grouped-Arrow fixed-point centroids — integer sums make the result
+    independent of within-group row order, so the oracle recomputes it
+    with plain SQL aggregation."""
+    from kafka_custom_transforms_spark.operators.embeddings import (
+        arrow_label_centroids,
+    )
+
+    return arrow_label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def _events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: hourly purchase totals on a dense
     calendar spine (sequence + explode over the observed range), missing
@@ -3266,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_entity_resolution": _pipeline_entity_resolution,
         "events_gapfill_hourly": _events_gapfill_hourly,
         "value_outliers_zscore": _value_outliers_zscore,
+        "arrow_label_centroids": _arrow_label_centroids,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4912,6 +4925,16 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "arrow_label_centroids": """
+            select label,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(cast(floor(cast(embedding[1] as double) * 1000000)
+                                 as bigint)) // count(*) as bigint) as c0_ppm,
+                   cast(sum(cast(floor(cast(embedding[2] as double) * 1000000)
+                                 as bigint)) // count(*) as bigint) as c1_ppm
+            from embeddings
+            group by label
         """,
         "events_gapfill_hourly": """
             with hourly as (

@@ -185,3 +185,57 @@ def arrow_vector_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = 
     return cast_df.mapInArrow(
         _norms, schema=f"{id_col} long, n_dims int, norm_sq double"
     )
+
+
+def arrow_label_centroids(
+    df: DataFrame,
+    dims: int = 2,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label fixed-point centroids over the first ``dims`` dimensions
+    via ``applyInArrow`` — the grouped-Arrow surface (whole group as one
+    Arrow Table per call, no pandas). Arithmetic is integer fixed-point
+    (floor(v * scale) summed as int64) so the result is independent of
+    row order within the group — float sums would drift with the
+    nondeterministic group ordering. Same determinism contract as the
+    codegen ``label_centroids``; this is the Arrow-native formulation.
+
+    Scale: one shuffle on the label; each group must fit one Arrow Table
+    (bounded labels — same caveat as any grouped-map API)."""
+    import pyarrow as pa
+
+    # NOTE: no type annotations — applyInArrow infers the eval type from
+    # the function's hints and errors out on partially-annotated ones
+    def _centroid(key, table):
+        import numpy as np
+
+        flat = np.asarray(table.column(vec_col).combine_chunks().flatten(),
+                          dtype=np.float64)
+        n = table.num_rows
+        dim = len(flat) // n if n else 0
+        mat = flat.reshape(n, dim)
+        label = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        arrays = [
+            pa.array([label], type=pa.int32()),
+            pa.array([n], type=pa.int64()),
+        ]
+        names = ["label", "n"]
+        for d in range(min(dims, dim)):
+            fp = np.floor(mat[:, d] * scale).astype(np.int64)
+            s = int(fp.sum())
+            # truncate toward zero: SQL integer division (DuckDB //,
+            # Spark div) truncates, Python // floors — they differ on
+            # negative sums
+            q = abs(s) // n
+            arrays.append(pa.array([q if s >= 0 else -q], type=pa.int64()))
+            names.append(f"c{d}_ppm")
+        return pa.Table.from_arrays(arrays, names)
+
+    out_schema = "label int, n long, " + ", ".join(
+        f"c{d}_ppm long" for d in range(dims)
+    )
+    return df.select(label_col, vec_col).groupBy(label_col).applyInArrow(
+        _centroid, schema=out_schema
+    )
