@@ -442,3 +442,20 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_keys_matches_plain_join(spark):
+    """Manual skew-salting (the AQE-off fallback): joining on
+    (key, _salt) after salting both sides must reproduce the plain
+    equi-join exactly — every salted key finds its exploded match."""
+    from kafka_custom_transforms_spark.functions.skew import salted_join_keys
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "c")], "k long, name string")
+    ls = salted_join_keys(left, "k", 8, explode_side=False)
+    rs = salted_join_keys(right, "k", 8, explode_side=True)
+    salted = ls.join(rs, ["k", "_salt"]).select("k", "v", "name")
+    plain = left.join(right, "k").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
