@@ -2257,6 +2257,46 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series behavioral similarity (cf. EDBT'19 distributed
+    time-series similarity search, PAPERS.md): each user becomes a 24-dim
+    hour-of-day activity profile (ONE grouped pass, 24 conditional counts
+    — map-side partials), then the top-20 most-similar user pairs by
+    cosine. Profiles are integer vectors, so products are exact in
+    doubles and the dimension-sequential fold is bit-identical to the
+    oracle's list_reduce. The profile table is |users| rows — at 100 TB
+    the pair step broadcasts it (or goes through SRP-LSH, the ANN path
+    this engine already has); the fact table is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts"))
+    prof = ev.groupBy("user_id").agg(
+        *[
+            F.sum((hour == h).cast("long")).alias(f"h{h}")
+            for h in range(24)
+        ]
+    )
+    vec = F.array(*[F.col(f"h{h}").cast("double") for h in range(24)])
+    p = prof.select(F.col("user_id"), vec.alias("v"))
+    a = p.select(F.col("user_id").alias("u1"), F.col("v").alias("va"))
+    b = p.select(F.col("user_id").alias("u2"), F.col("v").alias("vb"))
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for i in range(24):
+        dot = dot + F.col("va")[i] * F.col("vb")[i]
+        na = na + F.col("va")[i] * F.col("va")[i]
+        nb = nb + F.col("vb")[i] * F.col("vb")[i]
+    pairs = (
+        a.join(F.broadcast(b), F.col("u1") < F.col("u2"))
+        .select("u1", "u2", (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos"))
+    )
+    return (
+        pairs.orderBy(F.col("cos").desc(), F.col("u1").asc(), F.col("u2").asc())
+        .limit(20)
+        .select("u1", "u2", (F.floor(F.col("cos") * 1_000_000)).cast("long").alias("cos_ppm"))
+    )
+
+
 def _arrow_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInArrow surface (operators/embeddings.py:arrow_label_centroids):
     grouped-Arrow fixed-point centroids — integer sums make the result
@@ -3279,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_hourly": _events_gapfill_hourly,
         "value_outliers_zscore": _value_outliers_zscore,
         "arrow_label_centroids": _arrow_label_centroids,
+        "user_activity_similarity": _user_activity_similarity,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -4926,6 +4967,36 @@ def oracle_sql() -> dict[str, str]:
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
         """,
+        "user_activity_similarity": """
+            with prof as (
+              select user_id,
+                     [{hsums}] as v
+              from events group by user_id
+            ),
+            pairs as (
+              select a.user_id as u1, b.user_id as u2,
+                     list_reduce(list_transform(generate_series(1, 24),
+                                                i -> a.v[i] * b.v[i]),
+                                 (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(generate_series(1, 24),
+                                                        i -> a.v[i] * a.v[i]),
+                                         (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(generate_series(1, 24),
+                                                          i -> b.v[i] * b.v[i]),
+                                           (x, y) -> x + y))) as cos
+              from prof a join prof b on a.user_id < b.user_id
+            )
+            select u1, u2,
+                   cast(floor(cos * 1000000) as bigint) as cos_ppm
+            from pairs
+            order by cos desc, u1 asc, u2 asc
+            limit 20
+        """.format(
+            hsums=", ".join(
+                "cast(sum(case when extract(hour from ts) = {h} then 1 else 0 end) as double)".format(h=h)
+                for h in range(24)
+            )
+        ),
         "arrow_label_centroids": """
             select label,
                    cast(count(*) as bigint) as n,
