@@ -63,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def _smt_drop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 branch: dot-path drop inside a schema'd struct column (nested rebuild, field order preserved)."""
     li = load_table(spark, sf_dir, "lineitem")
     df = li.select(
         "l_orderkey",
@@ -82,6 +83,7 @@ def _smt_drop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_drop_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5 branch: dropping a whole subtree and every field of a struct yields the legal empty struct the reference produces."""
     li = load_table(spark, sf_dir, "lineitem")
     df = li.select(
         "l_orderkey",
@@ -98,6 +100,7 @@ def _smt_drop_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_drop_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 branch, JVM path: schemaless (JSON-string) deep drop with a declared json_schema — from_json -> rebuild -> to_json, no Python."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
         "event_id",
@@ -114,6 +117,7 @@ def _smt_drop_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_drop_json_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 branch, dynamic path: schemaless deep drop with NO schema — the Arrow-batched lossless pruner (keeps null entries and {} objects)."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select("event_id", F.col("props").alias("value"))
     out = drop_fields(["k"])(df)  # no schema -> exact pandas-UDF prune path
@@ -121,6 +125,7 @@ def _smt_drop_json_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_hoist_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 branch: schema'd hoist — wrap the struct under a named field, keeping a chosen set of fields at the root."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
         F.struct("event_id", "event_type", "user_id").alias("value"),
@@ -133,6 +138,7 @@ def _smt_hoist_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_hoist_null_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 branch: null fields vanish from the moved set; the inner struct is null when every movable field is null."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
         F.struct(
@@ -148,6 +154,7 @@ def _smt_hoist_null_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_hoist_json_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 branch: schemaless wrap-all — the whole JSON value (including null/primitive) nests under the hoist field."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select("event_id", F.col("props").alias("value"))
     out = hoist_field("magic")(df)
@@ -170,6 +177,7 @@ def _smt_hoist_json_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_to_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 branch: schemaless structured Map serialized to a compact JSON string; all other representations pass through."""
     ev = load_table(spark, sf_dir, "events")
     df = ev.select("event_id", F.create_map(F.col("event_type"), F.col("user_id")).alias("value"))
     out = to_json_string()(df)
@@ -177,6 +185,7 @@ def _smt_to_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smt_chain_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transforms=a,b,c chain as function composition over the Kafka-shaped envelope — drop then hoist then serialize, zero shuffles."""
     ev = load_table(spark, sf_dir, "events")
     env = events_envelope(ev)
     chain = transform_chain(
@@ -305,6 +314,7 @@ def _stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, deterministic min-id survivor, single shuffle on the hash."""
     docs = load_table(spark, sf_dir, "documents")
     op = dedup.dedup_exact(
         keys=["lang", "source"], order_by=["doc_id"], target_cols=["lang", "source", "doc_id"]
@@ -326,6 +336,7 @@ def _dedup_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (128 perms, banded buckets) with exact-Jaccard verification — oracle recomputes true Jaccard, so precision is pinned at 1."""
     # bands=32 (r=4). Candidate recall at the oracle threshold 0.5 is a
     # property of each pair's true Jaccard s: 1-(1-s^4)^32, i.e. ~0.87 for a
     # pair AT 0.5 but 1-1e-15 at s=0.9. This corpus is bimodal — measured at
@@ -340,6 +351,7 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin prefix filtering — provably recall-free candidate pruning, no quadratic hot-shingle fan-out."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
 
@@ -376,6 +388,7 @@ def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide 112-bit SimHash near-dup pairs: packed vote lanes, pigeonhole-exact banding (chunks > max hamming), Arrow-assembled signatures."""
     # Wide (112-bit) signature: same result set as the 60-bit/hamming<=12
     # configuration (sf0.01 measured gap: true pairs <= 13, nearest
     # non-pair 34) with 7-bit slices instead of 4-bit — ~7.5x fewer random
@@ -385,6 +398,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, method=auto: distributed block self-join at oracle scales (the corpus has no cosine gap at the threshold), LSH+verify beyond."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(emb, threshold=0.45, dim=64)
 
@@ -426,6 +440,7 @@ def _knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set, base table never shuffles — the exactness baseline for both ANN variants."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
@@ -1917,6 +1932,7 @@ def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-row frame sampling plan: every Nth frame index exploded from typed metadata — pure expressions feeding a downstream decode UDF."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_payload(multimodal.attach_payload(docs))
     return multimodal.frame_sample(decoded, every_nth=10)
@@ -1936,10 +1952,12 @@ def _text_tokens_re(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics (counts, unique ratio, mean length) from whitespace tokens — pure codegen, zero Python."""
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID over stopword markers; winner + margin per doc, fully recomputable in SQL."""
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
@@ -1999,6 +2017,7 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality scores (length, punctuation, stopword ratios) with integer-exact thresholds."""
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
@@ -2021,18 +2040,22 @@ def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan: regex detectors (email/phone/ssn-shape) counted per doc, pure codegen."""
     return text.pattern_scan(_docs_with_pii(spark, sf_dir))
 
 
 def _text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the same detectors applied as regexp_replace with stable placeholders; output hash pins exact redacted text."""
     return text.pii_redact(_docs_with_pii(spark, sf_dir))
 
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: rolling md5-prefix hashes, per-window minima — the plagiarism/near-dup sketch."""
     return text.doc_fingerprint(load_table(spark, sf_dir, "documents"), window=8)
 
 
 def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/case/punctuation normalization pipeline for dedup pre-processing; byte-identical with the SQL oracle."""
     return text.normalize_text(
         load_table(spark, sf_dir, "documents").withColumn(
             "text", F.concat(F.lit("  MiXeD   Case "), F.col("text"), F.lit("  "))
@@ -2041,10 +2064,12 @@ def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scored TF-IDF top terms per language (fixed-point log weights — no float aggregation order sensitivity)."""
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
 def _text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source): doc counts, char sums, token totals in one grouped pass."""
     out = text.token_rollup(load_table(spark, sf_dir, "documents"))
     return out.select(
         "lang",
@@ -2849,6 +2874,7 @@ def _partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregate with decimal-exact sums; filters and 6-column pruning reach the parquet scan."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
@@ -2866,6 +2892,7 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast customer dim, shuffle join on orders, two-phase top-10 by decimal revenue."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -3178,6 +3205,7 @@ def _window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by row_number window — the partitioned (never global) ranking pattern."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
