@@ -2301,19 +2301,29 @@ def _user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     vec = F.array(*[F.col(f"h{h}").cast("double") for h in range(24)])
-    p = prof.select(F.col("user_id"), vec.alias("v"))
-    a = p.select(F.col("user_id").alias("u1"), F.col("v").alias("va"))
-    b = p.select(F.col("user_id").alias("u2"), F.col("v").alias("vb"))
+    # norms are precomputed ONCE per profile (not per pair): the pair step
+    # is the quadratic hot spot, so only the unavoidable dot product runs
+    # inside it. The norm fold order matches the oracle's list_reduce.
+    norm = F.lit(0.0)
+    for i in range(24):
+        norm = norm + vec[i] * vec[i]
+    p = prof.select(F.col("user_id"), vec.alias("v"), norm.alias("nrm"))
+    a = p.select(
+        F.col("user_id").alias("u1"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = p.select(
+        F.col("user_id").alias("u2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
     for i in range(24):
         dot = dot + F.col("va")[i] * F.col("vb")[i]
-        na = na + F.col("va")[i] * F.col("va")[i]
-        nb = nb + F.col("vb")[i] * F.col("vb")[i]
     pairs = (
         a.join(F.broadcast(b), F.col("u1") < F.col("u2"))
-        .select("u1", "u2", (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos"))
+        .select(
+            "u1",
+            "u2",
+            (dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))).alias("cos"),
+        )
     )
     return (
         pairs.orderBy(F.col("cos").desc(), F.col("u1").asc(), F.col("u2").asc())
@@ -2466,7 +2476,9 @@ def _contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.not_null("orderkey_not_null", "o_orderkey"),
         Q.in_range("price_positive", "o_totalprice", lo=0.0),
         Q.in_range("price_under_cap", "o_totalprice", hi=400000.0),
-        Q.matches("priority_format", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        # no-space pattern: '4-NOT SPECIFIED' genuinely flags, so the
+        # regex violation-counting path is exercised with real rows
+        Q.matches("priority_format", "o_orderpriority", "^[1-5]-[A-Z]+$"),
         Q.unique("orderkey_unique", "o_orderkey"),
         Q.foreign_key("custkey_exists", "o_custkey", cust, "c_custkey"),
     ]
@@ -5137,7 +5149,7 @@ def oracle_sql() -> dict[str, str]:
             select 'priority_format',
                    cast(sum(case when o_orderpriority is null
                                   or not regexp_matches(o_orderpriority,
-                                                        '^[1-5]-[A-Z ]+$')
+                                                        '^[1-5]-[A-Z]+$')
                             then 1 else 0 end) as bigint)
             from orders
             union all

@@ -173,8 +173,9 @@ def arrow_vector_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = 
             if len(widths) and (widths != widths[0]).any():
                 raise ValueError("ragged embedding lengths")
             dim = int(widths[0]) if len(widths) else 0
-            mat = flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
-            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            n_rows = len(widths)
+            mat = flat.reshape(n_rows, dim) if dim else flat.reshape(n_rows, 0)
+            acc = np.zeros(n_rows, dtype=np.float64)
             for d in range(dim):  # sequential fold == SQL list_reduce
                 acc += mat[:, d] * mat[:, d]
             yield pa.RecordBatch.from_arrays(
@@ -222,14 +223,18 @@ def arrow_label_centroids(
             pa.array([n], type=pa.int64()),
         ]
         names = ["label", "n"]
-        for d in range(min(dims, dim)):
-            fp = np.floor(mat[:, d] * scale).astype(np.int64)
-            s = int(fp.sum())
-            # truncate toward zero: SQL integer division (DuckDB //,
-            # Spark div) truncates, Python // floors — they differ on
-            # negative sums
-            q = abs(s) // n
-            arrays.append(pa.array([q if s >= 0 else -q], type=pa.int64()))
+        for d in range(dims):
+            if d < dim:
+                fp = np.floor(mat[:, d] * scale).astype(np.int64)
+                s = int(fp.sum())
+                # truncate toward zero: SQL integer division (DuckDB //,
+                # Spark div) truncates, Python // floors — they differ on
+                # negative sums
+                q = abs(s) // n
+                val = q if s >= 0 else -q
+            else:
+                val = None  # vectors shorter than `dims`: null centroid
+            arrays.append(pa.array([val], type=pa.int64()))
             names.append(f"c{d}_ppm")
         return pa.Table.from_arrays(arrays, names)
 

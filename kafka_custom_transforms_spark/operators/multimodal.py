@@ -409,9 +409,18 @@ def decode_mp4(df: DataFrame) -> DataFrame:
         pos = start
         while pos + 8 <= end:
             size, typ = struct.unpack_from(">I4s", data, pos)
-            if size < 8:
+            body = pos + 8
+            if size == 0:  # legal: box extends to end of enclosing scope
+                yield typ, body, end
+                return
+            if size == 1:  # legal: 64-bit largesize follows the type
+                (size,) = struct.unpack_from(">Q", data, body)
+                body += 8
+                if size < 16:
+                    raise ValueError("bad largesize box")
+            elif size < 8:
                 raise ValueError("bad box size")
-            yield typ, pos + 8, pos + size
+            yield typ, body, pos + size
             pos += size
 
     def _one(data: bytes) -> tuple:

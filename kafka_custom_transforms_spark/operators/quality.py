@@ -52,6 +52,8 @@ def matches(name: str, column: str, pattern: str) -> Rule:
 
 
 def unique(name: str, *keys: str) -> Rule:
+    if not keys:
+        raise ValueError(f"unique rule {name!r} needs at least one key column")
     return Rule(name, "unique", keys[0], keys=tuple(keys))
 
 
@@ -79,9 +81,15 @@ def validate_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """(rule, n_violations) per rule. Inline rules (not_null/range/regex)
     share ONE aggregation pass; unique adds one grouped pass per key set;
     foreign_key adds one anti join per reference (broadcast when the
-    reference is a dim). Output rows appear in rule order via an explicit
-    sort key so results are deterministic without depending on union
-    order."""
+    reference is a dim). The output is a SET keyed by rule name (inline
+    rules surface first, then unique/FK in list order) — join or map on
+    ``rule``, never on row position."""
+    if not rules:
+        raise ValueError("validate_rules: empty rules list")
+    known = {"not_null", "range", "regex", "unique", "foreign_key"}
+    for r in rules:
+        if r.kind not in known:
+            raise ValueError(f"validate_rules: unknown rule kind {r.kind!r}")
     inline = [r for r in rules if r.kind in ("not_null", "range", "regex")]
     parts: list[DataFrame] = []
     if inline:

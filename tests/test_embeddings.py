@@ -107,3 +107,15 @@ def test_arrow_norms_rejects_ragged_and_matches_fold(spark):
     ).coalesce(1)
     with pytest.raises(Exception):
         arrow_vector_norms(ragged).collect()
+
+
+def test_arrow_norms_empty_vectors_score_zero(spark):
+    from kafka_custom_transforms_spark.operators.embeddings import (
+        arrow_vector_norms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    rows = sorted(map(tuple, arrow_vector_norms(df).collect()))
+    assert rows == [(1, 0, 0.0), (2, 0, 0.0)]

@@ -209,3 +209,28 @@ def test_mp4_decoder_walks_real_boxes(spark):
         decode_mp4(
             spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bytes(bad)]}))
         ).collect()
+
+
+def test_mp4_decoder_handles_largesize_and_eof_boxes(spark):
+    """size==1 (64-bit largesize) boxes must be skipped via their true
+    size, and a trailing size==0 box legally extends to EOF."""
+    import struct
+
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _mp4_bytes,
+        decode_mp4,
+    )
+
+    good = _mp4_bytes(5)
+    ftyp, moov = good[:20], good[20:]
+    pad = b"\x00" * 32
+    large = struct.pack(">I4s", 1, b"mdat") + struct.pack(">Q", 16 + len(pad)) + pad
+    eof_moov = struct.pack(">I4s", 0, b"moov") + moov[8:]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6], "data": [ftyp + large + moov, ftyp + eof_moov]})
+    )
+    rows = {r["doc_id"]: r for r in decode_mp4(df).collect()}
+    assert rows[5]["timescale"] == 600 and rows[5]["duration_units"] == (97 * 5) % 100000
+    assert rows[6]["timescale"] == 600

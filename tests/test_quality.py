@@ -61,3 +61,13 @@ def test_inline_rules_share_one_scan(spark, sf_dir):
     )
     plan = plan_str(out, "simple")
     assert plan.count("FileScan") == 1, plan
+
+
+def test_invalid_contracts_raise_clear_errors(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="empty rules"):
+        Q.validate_rules(df, [])
+    with pytest.raises(ValueError, match="at least one key"):
+        Q.unique("r")
