@@ -2282,6 +2282,42 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _sketch_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    distinct-count answer: per-day HLL sketches (the partial each
+    partition/day would persist) merged via hll_union_agg must estimate
+    the same population as one global sketch, and both must sit within
+    tolerance of the exact count. Output carries the exact values plus
+    the two within-tolerance booleans and an estimates-agree check, so
+    the oracle (exact SQL + literal trues) pins the merge algebra.
+    (estimates-agree holds exactly in HLL sparse mode — true for every
+    oracle SF here; at dense-mode cardinalities the merged estimate can
+    differ within tolerance, and the check would move to the tol form)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily = ev.groupBy(day).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "est_direct"
+        ),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    tol = lambda est: (
+        F.abs(F.col(est) - F.col("n_exact")) <= F.lit(0.1) * F.col("n_exact")
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        tol("est_merged").alias("merged_ok"),
+        tol("est_direct").alias("direct_ok"),
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+    )
+
+
 def _user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series behavioral similarity (cf. EDBT'19 distributed
     time-series similarity search, PAPERS.md): each user becomes a 24-dim
@@ -3360,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_zscore": _value_outliers_zscore,
         "arrow_label_centroids": _arrow_label_centroids,
         "user_activity_similarity": _user_activity_similarity,
+        "sketch_merge_daily": _sketch_merge_daily,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -5006,6 +5043,15 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "sketch_merge_daily": """
+            select cast(count(distinct date_trunc('day', ts)) as bigint)
+                     as n_days,
+                   cast(count(distinct user_id) as bigint) as n_exact,
+                   true as merged_ok,
+                   true as direct_ok,
+                   true as merge_lossless
+            from events
         """,
         "user_activity_similarity": """
             with prof as (
