@@ -2282,6 +2282,53 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synth_wav(docs))
 
 
+def _sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN..END blocks): a procedural script
+    declares a threshold variable, binds the source view through
+    IDENTIFIER(:v) (injection-safe templated table names), and returns
+    the final statement's result — the stored-proc-style surface for SQL
+    -first users. The script compiles to ordinary Catalyst plans; the
+    variable is a plan-time literal."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("kcts_ord_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100000.0;
+          SELECT o_orderpriority,
+                 cast(count(*) as bigint) as n_big,
+                 cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                   as total_big
+          FROM IDENTIFIER(:v)
+          WHERE o_totalprice > thr
+          GROUP BY o_orderpriority;
+        END
+        """,
+        args={"v": "kcts_ord_script"},
+    )
+
+
+def _collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation support (Spark 4): case-insensitive grouping via
+    COLLATE UNICODE_CI over a deliberately case-mangled column — the
+    engine-level answer to lower()-wrapping every comparison. The output
+    key is lowercased and cast back to a binary-collation string so the
+    result schema stays plain; the oracle reproduces the grouping with
+    lower()."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper(F.col("event_type"))
+    ).otherwise(F.col("event_type"))
+    return (
+        ev.select(mixed.alias("t"))
+        .groupBy(F.expr("t COLLATE UNICODE_CI").alias("tc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("tc")).cast("string").alias("event_type_ci"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def _sketch_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGEABILITY — the property that makes sketches the 100 TB
     distinct-count answer: per-day HLL sketches (the partial each
@@ -3397,6 +3444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_label_centroids": _arrow_label_centroids,
         "user_activity_similarity": _user_activity_similarity,
         "sketch_merge_daily": _sketch_merge_daily,
+        "sql_scripting_rollup": _sql_scripting_rollup,
+        "collated_type_counts": _collated_type_counts,
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
@@ -5043,6 +5092,25 @@ def oracle_sql() -> dict[str, str]:
             from orders join customer on o_custkey = c_custkey
             where c_mktsegment = 'MACHINERY' and c_acctbal > 1000.0
             group by c_nationkey
+        """,
+        "sql_scripting_rollup": """
+            select o_orderpriority,
+                   cast(count(*) as bigint) as n_big,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                     as total_big
+            from orders
+            where o_totalprice > 100000.0
+            group by o_orderpriority
+        """,
+        "collated_type_counts": """
+            with m as (
+              select case when event_id % 2 = 0 then upper(event_type)
+                          else event_type end as t
+              from events
+            )
+            select lower(t) as event_type_ci,
+                   cast(count(*) as bigint) as n
+            from m group by lower(t)
         """,
         "sketch_merge_daily": """
             select cast(count(distinct date_trunc('day', ts)) as bigint)
