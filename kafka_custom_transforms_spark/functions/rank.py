@@ -45,8 +45,14 @@ def global_rank(
         .sortWithinPartitions(*order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
     )
-    # Tiny job: one row per non-empty partition. localCheckpoint would be
-    # overkill — the recompute is the same single pass mapInPandas reads.
+    # MUST materialize before the two downstream jobs: RangePartitioner's
+    # sample seed derives from the (per-action) RDD id, so re-executing
+    # the exchange for the count job and again for the mapInPandas job
+    # can draw DIFFERENT range boundaries when sampling is partial —
+    # offsets would then disagree with the rows actually in each
+    # partition (ranks silently stop being a permutation). Pinning the
+    # partitioning once makes both jobs read identical partitions.
+    ordered = ordered.localCheckpoint(eager=True)
     counts = dict(
         (r["_gr_pid"], r["n"])
         for r in ordered.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()

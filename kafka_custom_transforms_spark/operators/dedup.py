@@ -219,14 +219,7 @@ def minhash_lsh_pairs(
     # whole signature pipeline per join branch; the checkpoint truncates the
     # lineage so the verify stage reads only the materialized pairs.
     cand = _materialize(cand, checkpoint)
-    verified = (
-        sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
-        .join(F.broadcast(cand), "a_id")
-        .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
-        .filter(_exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold))
-        .select("a_id", "b_id")
-    )
-    return verified
+    return _verify_jaccard(sets, cand, threshold, broadcast_cand=True)
 
 
 def prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
@@ -278,11 +271,16 @@ def prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_jaccard(sets: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against full sets."""
+def _verify_jaccard(
+    sets: DataFrame, cand: DataFrame, threshold: float, broadcast_cand: bool = False
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against full sets.
+    ``broadcast_cand`` hints the (tiny) pair set into both joins — used by
+    the MinHash path, whose candidates have already been materialized."""
+    c = F.broadcast(cand) if broadcast_cand else cand
     return (
         sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
-        .join(cand, "a_id")
+        .join(c, "a_id")
         .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
         .filter(_exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold))
         .select("a_id", "b_id")

@@ -206,6 +206,13 @@ def arrow_label_centroids(
     Scale: one shuffle on the label; each group must fit one Arrow Table
     (bounded labels — same caveat as any grouped-map API)."""
     import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    # the group key keeps ITS OWN type (string labels, bigints > 2^31 —
+    # the codegen label_centroids supports them, so must this path)
+    label_dt = df.schema[label_col].dataType
+    label_arrow = to_arrow_type(label_dt)
+    label_sql = label_dt.simpleString()
 
     # NOTE: no type annotations — applyInArrow infers the eval type from
     # the function's hints and errors out on partially-annotated ones
@@ -219,7 +226,7 @@ def arrow_label_centroids(
         mat = flat.reshape(n, dim)
         label = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
         arrays = [
-            pa.array([label], type=pa.int32()),
+            pa.array([label], type=label_arrow),
             pa.array([n], type=pa.int64()),
         ]
         names = ["label", "n"]
@@ -238,7 +245,7 @@ def arrow_label_centroids(
             names.append(f"c{d}_ppm")
         return pa.Table.from_arrays(arrays, names)
 
-    out_schema = "label int, n long, " + ", ".join(
+    out_schema = f"label {label_sql}, n long, " + ", ".join(
         f"c{d}_ppm long" for d in range(dims)
     )
     return df.select(label_col, vec_col).groupBy(label_col).applyInArrow(

@@ -43,28 +43,36 @@ def fuzzy_join(
     produce uniform short keys; the exact verify runs only on candidates.
     Output keeps both sides' columns plus ``dist``.
     """
+    # internal copies of the match columns: with left_col == right_col
+    # (the natural record-linkage shape, e.g. 'name' vs 'name') the
+    # unqualified post-join references would be AMBIGUOUS_REFERENCE.
+    # NOTE: OTHER same-named payload columns still collide after the
+    # join, as with DataFrame.join itself — alias/rename them first.
+    lm, rm = "_fz_ls", "_fz_rs"
+    lc = left.withColumn(lm, F.col(left_col))
+    rc = right.withColumn(rm, F.col(right_col))
     if block == "length":
-        l2 = left.withColumn(
+        l2 = lc.withColumn(
             "_fz_b",
             F.explode(
                 F.array(
                     *[
-                        F.length(F.col(left_col)) + F.lit(d)
+                        F.length(F.col(lm)) + F.lit(d)
                         for d in range(-max_dist, max_dist + 1)
                     ]
                 )
             ),
         )
-        r2 = right.withColumn("_fz_b", F.length(F.col(right_col)))
+        r2 = rc.withColumn("_fz_b", F.length(F.col(rm)))
     elif block == "prefix":
-        l2 = left.withColumn("_fz_b", F.substring(F.col(left_col), 1, prefix_len))
-        r2 = right.withColumn("_fz_b", F.substring(F.col(right_col), 1, prefix_len))
+        l2 = lc.withColumn("_fz_b", F.substring(F.col(lm), 1, prefix_len))
+        r2 = rc.withColumn("_fz_b", F.substring(F.col(rm), 1, prefix_len))
     else:
         raise ValueError(f"unknown block family: {block!r}")
-    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    dist = F.levenshtein(F.col(lm), F.col(rm))
     return (
         l2.join(r2, "_fz_b")
         .filter(dist <= max_dist)
-        .drop("_fz_b")
         .withColumn("dist", dist.cast("long"))
+        .drop("_fz_b", lm, rm)
     )

@@ -235,7 +235,12 @@ def interval_count(
     l_us = F.unix_micros(F.col(left_ts))
     lo_b = F.floor((l_us + F.lit(int(lo_us))) / F.lit(grain))
     hi_b = F.floor((l_us + F.lit(int(hi_us))) / F.lit(grain))
-    exploded = tagged.withColumn("_ij_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    # explode_outer, not explode: a left row with a NULL timestamp has a
+    # null bucket sequence, and plain explode would drop it entirely —
+    # violating the "left rows are never lost" contract. With the outer
+    # variant it survives with a null bucket, matches nothing, and exits
+    # with count 0.
+    exploded = tagged.withColumn("_ij_bucket", F.explode_outer(F.sequence(lo_b, hi_b)))
 
     r_b = right.select(
         _bucketize(right_ts, grain).alias("_ij_bucket"),

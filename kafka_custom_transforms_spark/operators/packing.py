@@ -115,6 +115,7 @@ def packed_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    tokens_col: str = "n_tokens",
 ) -> DataFrame:
     """Materialize each packed sequence's text: join docs to their
     ``pack_sequences`` slots and concatenate per ``(bucket, seq)`` in
@@ -140,6 +141,9 @@ def packed_text(
                 sep,
             ).alias("packed_text"),
             F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
+            # tokens_col must match the name used in pack_sequences —
+            # a parameterized upstream (tokens_col='tok_count') would
+            # otherwise fail UNRESOLVED_COLUMN here
+            F.sum(tokens_col).alias(tokens_col),
         )
     )

@@ -154,7 +154,10 @@ def hyperplane_buckets(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # keep the original dtype: ids may be string/UUID (the block
+            # dedup path supports them and auto-dispatches here at scale);
+            # a forced int64 cast would crash or silently truncate floats
+            ids = pdf["id"].to_numpy()
             a = np.stack(pdf["v"].to_numpy())
             # Sequential per-dimension fold, NOT a @ W.T: BLAS matmul sums
             # in blocked/SIMD order, but the DuckDB oracle recomputes these
@@ -177,7 +180,8 @@ def hyperplane_buckets(
             yield pd.concat(frames, ignore_index=True)
 
     vecs = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    return vecs.mapInPandas(_assign, schema="id long, table int, bucket long")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return vecs.mapInPandas(_assign, schema=f"id {id_type}, table int, bucket long")
 
 
 def lsh_topk_neighbors(

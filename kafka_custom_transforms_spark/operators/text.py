@@ -64,7 +64,10 @@ def language_id(
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
     """Integer quality score 0..100 from length, lexical diversity, and mean
     token length — the classic cheap pre-filters for training-data curation.
@@ -85,9 +88,12 @@ def quality_score(
         + F.when(uniq * 100 >= 30 * n, 30).otherwise(0)
         + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 30).otherwise(0)
     )
+    # carry_cols ride through for grouping downstream; only those actually
+    # present are selected, so inputs without e.g. a 'lang' column work
+    carried = [F.col(c) for c in carry_cols if c in df.columns]
     return df.select(
         F.col(id_col),
-        F.col("lang"),
+        *carried,
         score.cast("long").alias("quality"),
         n.alias("n_tokens"),
         uniq.alias("n_uniq_tokens"),

@@ -141,8 +141,14 @@ def sessionize(
                 sessions.append((n, first_us, last_us))
                 n, first_us, last_us = 0, None, None
             n += 1
-            first_us = t if first_us is None else first_us
-            last_us = t
+            # min/max (not overwrite): a LATE in-watermark event from a
+            # later batch may precede the open session's bounds; taking
+            # last_us = t would regress the session end and corrupt the
+            # next gap decision (split on a distance measured from the
+            # late event instead of the true latest). Within a batch ts
+            # is sorted, so min/max degenerate to the plain assignment.
+            first_us = t if first_us is None else min(first_us, t)
+            last_us = t if last_us is None else max(last_us, t)
         state.update((n, first_us, last_us))
         # Event-time timeout at session end + gap; must stay ahead of the
         # current watermark (Spark rejects timeouts at/behind it).

@@ -100,10 +100,11 @@ def upsert_parquet_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         ptr = os.path.join(path, "LATEST")
-        current = None
+        current, cur_dir = None, None
         if os.path.exists(ptr):
             with open(ptr) as f:
-                current = spark_ref.read.parquet(f.read().strip())
+                cur_dir = f.read().strip()
+            current = spark_ref.read.parquet(cur_dir)
         merged = batch_df if current is None else current.unionByName(batch_df)
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
         latest = (
@@ -111,7 +112,17 @@ def upsert_parquet_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # Crash-replay guard: if the previous attempt flipped the pointer
+        # but the micro-batch never committed, the pointer ALREADY names
+        # v{batch_id}; writing there again would overwrite the directory
+        # the lazy merge plan is reading from (read-overwrite-same-path).
+        # A retry-suffixed directory keeps every write target fresh while
+        # replays stay convergent (same reduction, new dir, same flip).
         new_dir = os.path.join(path, f"v{batch_id}")
+        retry = 0
+        while new_dir == cur_dir or os.path.exists(new_dir):
+            retry += 1
+            new_dir = os.path.join(path, f"v{batch_id}r{retry}")
         latest.write.mode("overwrite").parquet(new_dir)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:

@@ -119,3 +119,19 @@ def test_arrow_norms_empty_vectors_score_zero(spark):
     ).coalesce(1)
     rows = sorted(map(tuple, arrow_vector_norms(df).collect()))
     assert rows == [(1, 0, 0.0), (2, 0, 0.0)]
+
+
+def test_arrow_label_centroids_string_labels(spark):
+    from kafka_custom_transforms_spark.operators.embeddings import (
+        arrow_label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("spam", [1.0, -3.0]), ("spam", [2.0, -1.0]), ("ham", [10.0, 0.5])],
+        "label string, embedding array<float>",
+    )
+    out = {r["label"]: r for r in arrow_label_centroids(df).collect()}
+    assert out["spam"]["n"] == 2 and out["spam"]["c0_ppm"] == 1_500_000
+    # negative sums: truncation toward zero, SQL semantics
+    assert out["spam"]["c1_ppm"] == -2_000_000
+    assert out["ham"]["c0_ppm"] == 10_000_000

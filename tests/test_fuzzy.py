@@ -84,3 +84,15 @@ def test_unknown_block_family_raises(names):
     left, right = names
     with pytest.raises(ValueError, match="block"):
         fuzzy_join(left, right, "lname", "rname", block="soundex")
+
+
+def test_fuzzy_join_same_column_name_both_sides(spark):
+    """left_col == right_col (the natural linkage shape) must not raise
+    AMBIGUOUS_REFERENCE: the metric runs on internal copies."""
+    from kafka_custom_transforms_spark.operators.fuzzy import fuzzy_join
+
+    a = spark.createDataFrame([(1, "kafka")], "a_id long, name string")
+    b = spark.createDataFrame([(2, "kafkb"), (3, "zzz")], "b_id long, name string")
+    out = fuzzy_join(a, b, "name", "name", max_dist=1)
+    rows = out.select("a_id", "b_id", "dist").collect()
+    assert [(r["a_id"], r["b_id"], r["dist"]) for r in rows] == [(1, 2, 1)]

@@ -226,3 +226,21 @@ def test_interval_hot_bucket_bounded_fanout(spark):
     # near rows' 2 covered buckets include the burst bucket once each; far
     # rows cover only empty buckets -> fan-out == the exact match volume.
     assert fanout == 5 * 500
+
+
+def test_interval_count_keeps_null_ts_left_rows(spark):
+    """A left row with a NULL timestamp must survive with count 0 (the
+    'left rows are never lost' contract) — plain explode would drop it."""
+    from kafka_custom_transforms_spark.operators.joins import interval_count
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30"), (2, None)], "id long, ts string"
+    ).selectExpr("id", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:10",)], "ts string"
+    ).selectExpr("cast(ts as timestamp) as ts")
+    out = {
+        r["id"]: r["n_in_range"]
+        for r in interval_count(left, right, "ts", "ts", -60_000_000, 0).collect()
+    }
+    assert out == {1: 1, 2: 0}

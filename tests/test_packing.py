@@ -121,3 +121,18 @@ def test_greedy_pack_invariants(token_counts, ctx):
         assert next_s == prev_s + 1  # sequence ids are dense
         first_next = int(by_id[by_id["seq"] == next_s].iloc[0]["n_tokens"])
         assert fills[prev_s] + first_next > ctx
+
+
+def test_packed_text_custom_tokens_col(spark):
+    from kafka_custom_transforms_spark.operators.packing import (
+        pack_sequences,
+        packed_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 2), (2, "bb", 3)], "doc_id long, text string, tok_count long"
+    )
+    asg = pack_sequences(docs, tokens_col="tok_count", context_len=8, n_buckets=1)
+    out = packed_text(docs, asg, tokens_col="tok_count").collect()
+    assert sum(r["n_docs"] for r in out) == 2
+    assert sum(r["tok_count"] for r in out) == 5

@@ -115,3 +115,21 @@ def test_ivf_scored_fraction(emb, queries_df):
     )
     frac = cand.count() / (nq * (n - 1))
     assert frac < 0.45, f"scored fraction {frac:.2f} — IVF is not pruning"
+
+
+def test_hyperplane_buckets_string_ids(spark):
+    """The numpy path must keep the caller's id dtype (block dedup supports
+    string ids and auto-dispatches to LSH at scale)."""
+    from kafka_custom_transforms_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("u-1", [1.0] * 8), ("u-2", [-1.0] * 8)],
+        "vec_id string, embedding array<float>",
+    )
+    out = hyperplane_buckets(df, dim=8, id_col="vec_id", vec_col="embedding",
+                             tables=2, bits_per_table=4)
+    rows = out.collect()
+    assert {r["id"] for r in rows} == {"u-1", "u-2"}
+    assert dict(out.dtypes)["id"] == "string"

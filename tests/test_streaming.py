@@ -330,3 +330,74 @@ def test_watermark_drops_late_rows_in_windowed_counts(spark):
         ).collect()[0].u
     )
     assert late_start not in {w for w, _ in got}
+
+
+def test_sessionize_streaming_late_event_does_not_regress_session_end(spark):
+    """An in-watermark late event from a LATER batch must extend the open
+    session's bounds (min/max), not overwrite last_ts — overwriting made
+    the next gap decision measure from the late event and emitted
+    sessions with last_ts < first_ts (regression test)."""
+    import time
+
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize
+
+    d = tempfile.mkdtemp(prefix="kcts-late-")
+
+    def _write(sub, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+            "user_id", "cast(ts as timestamp) as ts"
+        ).coalesce(1).write.parquet(f"{d}/in/{sub}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    _write("f0", [(7, "2024-01-01 12:00:00")])
+    # late (11:55 > watermark 11:50) + on-time continuation in one batch
+    _write("f1", [(7, "2024-01-01 11:55:00"), (7, "2024-01-01 12:26:00")])
+    # sentinel advances the watermark far past 12:26 + gap -> timeout fires
+    _write("f2", [(99, "2024-01-01 20:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/in/*")
+    )
+    out = sessionize(stream, gap="30 minutes", watermark_delay="10 minutes")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(out, name)
+    rows = [
+        r
+        for r in spark.sql(f"select * from {name}").collect()
+        if r["user_id"] == 7
+    ]
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert str(r["first_ts"]) == "2024-01-01 11:55:00"
+    assert str(r["last_ts"]) == "2024-01-01 12:26:00"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_sink_survives_pointer_dir_collision(spark):
+    """Crash-replay/redeploy shape: a second run with a FRESH checkpoint
+    replays batch ids whose versioned dirs already exist (and the pointer
+    may name v{batch_id} itself). The sink must pick a fresh directory —
+    writing into the dir the lazy merge plan reads from either aborts the
+    stream or truncates the table (regression test)."""
+    from kafka_custom_transforms_spark.streaming.sinks import (
+        read_upsert_table,
+        upsert_parquet_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcts-upsert2-")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11)], "k long, v string, seq long"
+    ).coalesce(1).write.parquet(d + "/in/f0")
+    src = spark.readStream.schema("k long, v string, seq long").parquet(d + "/in/*")
+    q = upsert_parquet_sink(src, d + "/table", d + "/ckpt1", keys=["k"], order_col="seq")
+    q.awaitTermination()
+    # same source replayed under a NEW checkpoint: batch 0 again
+    src2 = spark.readStream.schema("k long, v string, seq long").parquet(d + "/in/*")
+    q2 = upsert_parquet_sink(src2, d + "/table", d + "/ckpt2", keys=["k"], order_col="seq")
+    q2.awaitTermination()
+    rows = sorted(map(tuple, read_upsert_table(spark, d + "/table").collect()))
+    assert rows == [(1, "a", 10), (2, "b", 11)]
+    shutil.rmtree(d, ignore_errors=True)

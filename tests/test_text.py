@@ -196,3 +196,11 @@ def test_repetition_stats_hand_computed(spark):
     assert got[4]["dup_line_char_pm"] == 0
     assert got[4]["top_bigram_pm"] == 0
     assert got[4]["repetitive"] is False
+
+
+def test_quality_score_without_lang_column(spark):
+    from kafka_custom_transforms_spark.operators.text import quality_score
+
+    df = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    out = quality_score(df).collect()
+    assert len(out) == 1 and "lang" not in out[0].asDict()
