@@ -459,3 +459,42 @@ def test_salted_join_keys_matches_plain_join(spark):
     salted = ls.join(rs, ["k", "_salt"]).select("k", "v", "name")
     plain = left.join(right, "k").select("k", "v", "name")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
+    """Registry-wide anti-pattern guard: NO driver-contract query may plan
+    a CartesianProduct. BroadcastNestedLoopJoin is allowed only because
+    every occurrence broadcasts a certified-tiny side (query sets,
+    centroids, 1-row scalar aggregates) — the whitelist below names them
+    so a new unbounded-BNLJ query fails review here. Streaming/staged
+    queries execute on construction and are audited by their own tests."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    BNLJ_OK = {
+        "dedup_semantic", "importance_score_docs", "knn_label_vote",
+        "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
+        "q22_idle_balances", "sketch_distinct_users", "sketch_user_churn",
+        "sketch_merge_daily", "lateral_top_orders", "user_activity_similarity",
+        "ntile_customer_quartiles", "approx_quantile_orders",
+        "dedup_embedding_cosine", "pipeline_entity_resolution",
+        "pipeline_training_batches", "dedup_clusters", "dedup_survivors",
+    }
+    SKIP = {
+        n
+        for n in entry_mod.queries()
+        if n.startswith("stream")
+        or n in (
+            "statestore_read_counts", "events_sessionize_stream",
+            "kafka_roundtrip", "python_source_envelope", "dedup_streaming_batch",
+        )
+    }
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        if name in SKIP:
+            continue
+        p = plan_str(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
+            offenders.append((name, "unwhitelisted BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
