@@ -1154,6 +1154,74 @@ def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the double-aggregation distribution query — LEFT
+    OUTER join so zero-order customers keep count 0, first groupBy on
+    customer, second on the count itself. The famous skew shape: the
+    c_count=0 group concentrates every orderless customer; both
+    aggregations are map-side-partial-friendly and AQE handles the skew
+    split. Orders with 'special' priorities are excluded to exercise the
+    join-condition filter (pushed into the join, not applied after)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate with ALL ties — per-supplier
+    quarterly revenue, then every supplier matching the maximum (decimal
+    compare, so ties are exact, not float-fuzzy). The max is a 1-row
+    broadcast join back onto the aggregate, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    mx = per_supp.agg(F.max("rev_dec").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def _q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) after a join — how many distinct
+    suppliers stock each (brand, size-band) of non-promo parts. The
+    distinct dedups (partkey-implied) supplier keys inside each group;
+    Spark expands it to a two-phase aggregate (partial distinct
+    map-side), never a per-group collect."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    ).select("p_partkey", "p_brand", "p_size")
+    band = (F.col("p_size") / 10).cast("int")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", band.alias("size_band"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def _q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + anti join. The global
     positive-balance average is computed once (decimal sum, one double
@@ -3364,6 +3432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_balances": _q22_idle_balances,
+        "q13_order_distribution": _q13_order_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
         "docs_tree_rollup": _docs_tree_rollup,
         "lateral_top_orders": _lateral_top_orders,
         "sketch_distinct_users": _sketch_distinct_users,
@@ -4461,6 +4532,43 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 10 and 25)
                or (p_brand = 'Brand#23' and p_size between 26 and 50
                    and l_quantity between 20 and 40)
+        """,
+        "q13_order_distribution": """
+            with per_cust as (
+              select c_custkey, count(o_orderkey) as c_count
+              from customer
+              left outer join orders
+                on c_custkey = o_custkey
+                and o_orderpriority <> '4-NOT SPECIFIED'
+              group by c_custkey
+            )
+            select cast(c_count as bigint) as c_count,
+                   cast(count(*) as bigint) as custdist
+            from per_cust group by c_count
+        """,
+        "q15_top_supplier": """
+            with per_supp as (
+              select l_suppkey,
+                     sum(cast(l_extendedprice as decimal(18,2))
+                         * (1 - cast(l_discount as decimal(18,2)))) as rev_dec
+              from lineitem
+              where l_shipdate >= timestamp '1996-01-01 00:00:00'
+                and l_shipdate < timestamp '1996-04-01 00:00:00'
+              group by l_suppkey
+            )
+            select s_suppkey, s_name, cast(rev_dec as double) as total_revenue
+            from per_supp
+            join supplier on l_suppkey = s_suppkey
+            where rev_dec = (select max(rev_dec) from per_supp)
+        """,
+        "q16_supplier_variety": """
+            select p_brand,
+                   cast(p_size // 10 as int) as size_band,
+                   cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+            from lineitem
+            join part on l_partkey = p_partkey
+            where p_type <> 'PROMO'
+            group by p_brand, p_size // 10
         """,
         "docs_tree_rollup": """
             with recursive tree (doc_id, depth) as (
