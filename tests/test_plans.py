@@ -498,3 +498,19 @@ def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
             offenders.append((name, "unwhitelisted BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_q13_q15_q16_plan_shapes(spark, sf_dir):
+    """Q13: LEFT OUTER preserved (zero-order customers survive). Q15: the
+    max joins back as a broadcast, no global sort. Q16: COUNT DISTINCT
+    expands to a two-phase aggregate, not a per-group collect."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q13 = plan_str(entry_mod.queries()["q13_order_distribution"](spark, sf_dir), "simple")
+    assert "LeftOuter" in q13
+    q15 = entry_mod.queries()["q15_top_supplier"](spark, sf_dir)
+    p15 = plan_str(q15, "simple")
+    assert broadcast_join_count(q15) >= 1
+    assert "Sort [rev_dec" not in p15  # filter against the max, never a global sort
+    q16 = plan_str(entry_mod.queries()["q16_supplier_variety"](spark, sf_dir), "formatted")
+    assert "count(distinct" in q16 or "count(l_suppkey" in q16  # expanded 2-phase distinct
