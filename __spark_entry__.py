@@ -1154,6 +1154,41 @@ def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q2_min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated per-group MIN with ties — for every part
+    type, all parts selling at that type's minimum retail price. The
+    correlated subquery decorrelates to one grouped MIN joined back on
+    the composite (type, price) key; decimal compare keeps ties exact.
+    Completes the correlated family: per-group AVG (orders_above_cust_avg),
+    global MAX with ties (q15), per-group MIN with ties (here)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    # rename the grouped copy's key: mins derives from part, and keeping
+    # the same column name trips Spark's ambiguous-self-join detection
+    mins = (
+        part.groupBy("p_type")
+        .agg(F.min("price_dec").alias("min_dec"))
+        .withColumnRenamed("p_type", "mt")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("mt"))
+            & (F.col("price_dec") == F.col("min_dec")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            F.col("price_dec").cast("double").alias("min_price"),
+        )
+    )
+
+
 def _q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: the double-aggregation distribution query — LEFT
     OUTER join so zero-order customers keep count 0, first groupBy on
@@ -3432,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_balances": _q22_idle_balances,
+        "q2_min_cost_parts": _q2_min_cost_parts,
         "q13_order_distribution": _q13_order_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_variety": _q16_supplier_variety,
@@ -4532,6 +4568,15 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 10 and 25)
                or (p_brand = 'Brand#23' and p_size between 26 and 50
                    and l_quantity between 20 and 40)
+        """,
+        "q2_min_cost_parts": """
+            select p_partkey, p_name, p_type,
+                   cast(cast(p_retailprice as decimal(18,2)) as double)
+                     as min_price
+            from part p
+            where cast(p_retailprice as decimal(18,2)) =
+                  (select min(cast(p_retailprice as decimal(18,2)))
+                   from part p2 where p2.p_type = p.p_type)
         """,
         "q13_order_distribution": """
             with per_cust as (
