@@ -2371,6 +2371,22 @@ def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp(synth_bmp(docs))
 
 
+def _multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode with only the stdlib: zlib inflates the IDAT
+    stream and all five scanline filters (None/Sub/Up/Average/Paeth —
+    synth_png encodes row y with filter y % 5) are unfiltered by hand;
+    chunk CRCs are verified. The oracle recomputes the channel means
+    from the pixel-generation formula analytically (never parsing), so
+    a misread of any filter, the chunk layout, or RGB order mismatches."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_png,
+        synth_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png(synth_png(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3414,6 +3430,11 @@ def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys in
+    # dict order, so the window below leads with the SMT parity rows, the
+    # ANN/dedup families, the TPC-H plan-shape sweep, the pipelines, and
+    # the streaming rows. tests/test_oracle_parity.py still covers ALL
+    # entries; tests/test_registry_order.py pins this window.
     return {
         "smt_drop_struct": _smt_drop_struct,
         "smt_drop_subtree": _smt_drop_subtree,
@@ -3428,26 +3449,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chain_envelope": _stream_chain_envelope,
         "kafka_roundtrip": _kafka_roundtrip,
         "smt_mixed_chain": _smt_mixed_chain,
+        "similarity_topk": _similarity_topk,
+        "similarity_topk_lsh": _similarity_topk_lsh,
+        "similarity_topk_ivf": _similarity_topk_ivf,
         "dedup_exact": _dedup_exact,
-        "dedup_streaming_batch": _dedup_streaming_batch,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_semantic": _dedup_semantic,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_survivors": _dedup_survivors,
+        "dedup_lines_global": _dedup_lines_global,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q13_order_distribution": _q13_order_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_idle_balances": _q22_idle_balances,
+        "pipeline_training_batches": _pipeline_training_batches,
+        "pipeline_entity_resolution": _pipeline_entity_resolution,
+        "funnel_stages": _funnel_stages,
+        "sketch_distinct_users": _sketch_distinct_users,
+        "pack_docs": _pack_docs,
+        "mixture_sample_docs": _mixture_sample_docs,
+        "importance_score_docs": _importance_score_docs,
+        "multimodal_png_decode": _multimodal_png_decode,
+        "multimodal_bmp_decode": _multimodal_bmp_decode,
         "events_sessionize": _events_sessionize,
         "events_sessionize_stream": _events_sessionize_stream,
+        "stream_dedup_watermark": _stream_dedup_watermark,
+        "stream_interval_join": _stream_interval_join,
+        "stream_decontaminate": _stream_decontaminate,
+        "stream_static_enrich": _stream_static_enrich,
+        "stream_leaderboard": _stream_leaderboard,
+        "statestore_read_counts": _statestore_read_counts,
+        "dedup_streaming_batch": _dedup_streaming_batch,
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
         "events_interval_pairs": _events_interval_pairs,
-        "stream_dedup_watermark": _stream_dedup_watermark,
-        "stream_interval_join": _stream_interval_join,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_ngram_jaccard": _dedup_ngram,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_survivors": _dedup_survivors,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding_cosine": _dedup_embedding,
-        "dedup_semantic": _dedup_semantic,
         "decontaminate_docs": _decontaminate_docs,
         "decontaminate_bloom": _decontaminate_bloom,
-        "stream_decontaminate": _stream_decontaminate,
-        "dedup_lines_global": _dedup_lines_global,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "ntile_customer_quartiles": _ntile_customer_quartiles,
         "global_shuffle_shards": _global_shuffle_shards,
@@ -3464,16 +3508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q12_priority_lines": _q12_priority_lines,
         "q14_promo_revenue": _q14_promo_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q22_idle_balances": _q22_idle_balances,
         "q2_min_cost_parts": _q2_min_cost_parts,
-        "q13_order_distribution": _q13_order_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
         "docs_tree_rollup": _docs_tree_rollup,
         "lateral_top_orders": _lateral_top_orders,
-        "sketch_distinct_users": _sketch_distinct_users,
         "stream_outer_interval": _stream_outer_interval,
         "orders_bulk_semi": _orders_bulk_semi,
         "udaf_median_chars": _udaf_median_chars,
@@ -3492,24 +3529,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_values": _histogram_order_values,
         "stratified_fixed_n": _stratified_fixed_n,
         "pseudonymize_events": _pseudonymize_events,
-        "stream_static_enrich": _stream_static_enrich,
         "user_type_counts_json": _user_type_counts_json,
-        "stream_leaderboard": _stream_leaderboard,
         "corrupt_json_audit": _corrupt_json_audit,
         "unpivot_token_stats": _unpivot_token_stats,
-        "similarity_topk": _similarity_topk,
         "knn_label_vote": _knn_label_vote,
-        "similarity_topk_lsh": _similarity_topk_lsh,
-        "similarity_topk_ivf": _similarity_topk_ivf,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "text_tokens_re": _text_tokens_re,
         "text_token_stats": _text_token_stats,
         "text_language_id": _text_language_id,
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
-        "pack_docs": _pack_docs,
         "pack_texts": _pack_texts,
-        "mixture_sample_docs": _mixture_sample_docs,
         "text_fingerprint": _text_fingerprint,
         "text_pii_scan": _text_pii_scan,
         "text_pii_redact": _text_pii_redact,
@@ -3517,8 +3547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "text_rollup": _text_rollup,
         "multimodal_stats": _multimodal_stats,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
         "window_top_orders": _window_top_orders,
         "windowed_counts": _windowed_counts,
         "sliding_counts": _sliding_counts,
@@ -3534,18 +3562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_source_roundtrip": _xml_source_roundtrip,
         "param_sql_nation_spend": _param_sql_nation_spend,
         "sql_udf_doc_quality": _sql_udf_doc_quality,
-        "statestore_read_counts": _statestore_read_counts,
-        "importance_score_docs": _importance_score_docs,
-        "funnel_stages": _funnel_stages,
         "pagerank_doc_tree": _pagerank_doc_tree,
         "sketch_user_churn": _sketch_user_churn,
         "approx_quantile_orders": _approx_quantile_orders,
-        "multimodal_bmp_decode": _multimodal_bmp_decode,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
         "contract_orders": _contract_orders,
-        "pipeline_entity_resolution": _pipeline_entity_resolution,
         "events_gapfill_hourly": _events_gapfill_hourly,
         "value_outliers_zscore": _value_outliers_zscore,
         "arrow_label_centroids": _arrow_label_centroids,
@@ -3556,7 +3579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_source_prune": _partitioned_source_prune,
         "doc_length_quantiles": _doc_length_quantiles,
         "scd2_user_states": _scd2_user_states,
-        "pipeline_training_batches": _pipeline_training_batches,
         "events_calendar": _events_calendar,
         "props_k_stats": _props_k_stats,
         "pivot_event_counts": _pivot_event_counts,
@@ -5471,6 +5493,32 @@ def oracle_sql() -> dict[str, str]:
                    n as n_samples,
                    cast(n * 1000 // 8000 as bigint) as duration_ms,
                    cast(sa * 1000 // n as bigint) as mean_abs_milli
+            from sums
+        """,
+        "multimodal_png_decode": """
+            with ids as (
+              select doc_id,
+                     cast(5 + doc_id % 8 as int) as w,
+                     cast(6 + doc_id % 7 as int) as h
+              from documents
+            ),
+            px as (
+              select i.doc_id, i.w, i.h, x.x, j.j
+              from ids i,
+                   lateral (select unnest(range(0, i.w)) as x) x,
+                   lateral (select unnest(range(0, i.h)) as j) j
+            ),
+            sums as (
+              select doc_id, w, h,
+                     sum((7 * x + 13 * j + doc_id) % 256) as sr,
+                     sum((7 * x + 13 * j + doc_id + 85) % 256) as sg,
+                     sum((7 * x + 13 * j + doc_id + 170) % 256) as sb
+              from px group by doc_id, w, h
+            )
+            select doc_id, w as width, h as height,
+                   cast(sr * 1000 // (w * h) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (w * h) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (w * h) as bigint) as mean_b_milli
             from sums
         """,
         "multimodal_bmp_decode": """

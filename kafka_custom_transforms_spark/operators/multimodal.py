@@ -227,7 +227,11 @@ def decode_bmp(df: DataFrame) -> DataFrame:
         _, width, height, _, bpp = struct.unpack_from("<IiiHH", data, 14)
         if bpp != 24:
             raise ValueError(f"only 24bpp supported, got {bpp}")
+        if width <= 0 or height == 0:
+            raise ValueError(f"bad BMP geometry {width}x{height}")
         row_size = (3 * width + 3) & ~3
+        if len(data) < offset + row_size * abs(height):
+            raise ValueError("truncated BMP pixel array")
         sr = sg = sb = 0
         for j in range(abs(height)):
             base = offset + j * row_size
@@ -259,6 +263,192 @@ def decode_bmp(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=BMP_DECODED_SCHEMA)
+
+
+# PNG: stdlib-only too — zlib inflates the IDAT stream and the five PNG
+# scanline filters (None/Sub/Up/Average/Paeth) are integer arithmetic.
+# synth_png writes every filter type (row y uses filter y % 5) so a
+# decoder that mishandles any one of them, the chunk CRC layout, or the
+# RGB byte order mismatches the analytic oracle.
+
+PNG_DECODED_SCHEMA = BMP_DECODED_SCHEMA
+
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encode direction)."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (raw[i] - pred) % 256
+    return bytes(out)
+
+
+def _png_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Minimal 8-bit RGB PNG. Pixel (x, y): R=(7x+13y+id)%256, G=+85,
+    B=+170 (top-down). Scanline y is encoded with filter type y % 5."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            base = 7 * x + 13 * y + doc_id
+            row += bytes((base % 256, (base + 85) % 256, (base + 170) % 256))
+        raw_rows.append(bytes(row))
+    scanlines = bytearray()
+    prev = b"\x00" * (3 * width)
+    for y, raw in enumerate(raw_rows):
+        ftype = y % 5
+        scanlines += bytes([ftype]) + _png_filter_row(ftype, raw, prev, 3)
+        prev = raw
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, data) with a deterministic real PNG per row; 5+id%8 x 6+id%7
+    geometry keeps payloads tiny while every height >= 6 exercises all
+    five scanline filter types at least once."""
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "data": [
+                        _png_bytes(int(i), 5 + int(i) % 8, 6 + int(i) % 7)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """Parse REAL PNG bytes with only the stdlib: signature, chunk walk
+    with CRC verification, IHDR geometry, zlib-inflated IDAT, and full
+    unfiltering of all five scanline filter types. Only 8-bit RGB
+    (color type 2), non-interlaced images are supported — anything else
+    raises. Output shape matches decode_bmp (integer milli channel
+    means), Arrow-batched like every decode in this module."""
+    import struct
+    import zlib
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(data):
+            (clen,) = struct.unpack_from(">I", data, pos)
+            typ = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError("truncated PNG chunk")
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+            if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+                raise ValueError(f"bad CRC on {typ!r} chunk")
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + clen
+        if ihdr is None or not idat:
+            raise ValueError("missing IHDR or IDAT chunk")
+        width, height, depth, ctype, _, _, interlace = ihdr
+        if (depth, ctype, interlace) != (8, 2, 0):
+            raise ValueError(
+                f"only 8-bit RGB non-interlaced supported, got "
+                f"depth={depth} color_type={ctype} interlace={interlace}"
+            )
+        if width == 0 or height == 0:
+            raise ValueError("zero-dimension PNG")
+        stride = 3 * width
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT length does not match geometry")
+        sr = sg = sb = 0
+        prev = bytearray(stride)
+        for y in range(height):
+            base = y * (stride + 1)
+            ftype = raw[base]
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ftype == 1:
+                for i in range(3, stride):
+                    line[i] = (line[i] + line[i - 3]) % 256
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) % 256
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) % 256
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) % 256
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            sr += sum(line[0::3])
+            sg += sum(line[1::3])
+            sb += sum(line[2::3])
+            prev = line
+        npx = width * height
+        return (width, height, sr * 1000 // npx, sg * 1000 // npx, sb * 1000 // npx)
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_r_milli": [f[2] for f in feats],
+                    "mean_g_milli": [f[3] for f in feats],
+                    "mean_b_milli": [f[4] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=PNG_DECODED_SCHEMA)
 
 
 # WAV: the audio counterpart of decode_bmp — RIFF/fmt/data chunk walking

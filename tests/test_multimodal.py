@@ -234,3 +234,100 @@ def test_mp4_decoder_handles_largesize_and_eof_boxes(spark):
     rows = {r["doc_id"]: r for r in decode_mp4(df).collect()}
     assert rows[5]["timescale"] == 600 and rows[5]["duration_units"] == (97 * 5) % 100000
     assert rows[6]["timescale"] == 600
+
+
+def test_png_decoder_parses_real_bytes(spark):
+    """decode_png must inflate IDAT and unfilter for real: flipping one
+    pixel byte (and re-encoding, so CRCs and filters stay valid) changes
+    the decoded mean; an in-place byte flip breaks the chunk CRC."""
+    import zlib
+
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _png_bytes,
+        decode_png,
+    )
+
+    good = _png_bytes(3, 7, 6)  # height 6 -> every filter type 0-4 used
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0x10  # inside IHDR/IDAT region: CRC must catch it
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "data": [bytes(corrupt)]})
+    )
+    with pytest.raises(Exception):
+        decode_png(df).collect()
+
+    rows = {
+        r["doc_id"]: r
+        for r in decode_png(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": [3, 4], "data": [good, _png_bytes(4, 7, 6)]}
+                )
+            )
+        ).collect()
+    }
+    assert rows[3]["width"] == 7 and rows[3]["height"] == 6
+    assert rows[3]["mean_r_milli"] != rows[4]["mean_r_milli"]
+
+
+def test_png_decoder_analytic_means(spark):
+    """Decoded means equal the closed-form pixel sums — proves all five
+    unfilter paths reconstruct the exact raw scanlines."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _png_bytes,
+        decode_png,
+    )
+
+    cases = [(0, 5, 6), (1, 12, 9), (7, 8, 11), (123, 6, 7)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [c[0] for c in cases],
+                "data": [_png_bytes(*c) for c in cases],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in decode_png(df).collect()}
+    for doc_id, w, h in cases:
+        sr = sum((7 * x + 13 * y + doc_id) % 256 for x in range(w) for y in range(h))
+        sg = sum((7 * x + 13 * y + doc_id + 85) % 256 for x in range(w) for y in range(h))
+        sb = sum((7 * x + 13 * y + doc_id + 170) % 256 for x in range(w) for y in range(h))
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_r_milli"] == sr * 1000 // (w * h)
+        assert r["mean_g_milli"] == sg * 1000 // (w * h)
+        assert r["mean_b_milli"] == sb * 1000 // (w * h)
+
+
+def test_png_decoder_rejects_unsupported(spark):
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import decode_png
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [b"BM123456"]}))
+    with pytest.raises(Exception):
+        decode_png(df).collect()
+
+
+def test_bmp_decoder_rejects_truncated(spark):
+    """Advisor r3: a truncated pixel array must raise, not silently skew."""
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_bmp,
+    )
+
+    good = _bmp_bytes(1, 5, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "data": [good[:-4]]})
+    )
+    with pytest.raises(Exception):
+        decode_bmp(df).collect()
