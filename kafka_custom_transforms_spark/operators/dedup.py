@@ -3,8 +3,10 @@
 Five families, each picked for a different scale/accuracy trade-off:
 
   - :func:`dedup_exact` — hash-groupBy exact dedup with a deterministic
-    survivor (window row_number). One shuffle on the key columns; AQE handles
-    skew. At 100 TB this is the baseline "drop identical rows" pass.
+    survivor (min_by over the order tuple, partial-aggregated map-side so
+    heavy-hitter keys cannot serialize one task; window row_number kept as
+    the ``skew_safe=False`` twin). One shuffle on the key columns. At
+    100 TB this is the baseline "drop identical rows" pass.
   - :func:`minhash_lsh_pairs` — MinHash + banded LSH near-dup candidate
     generation with exact-Jaccard verification. Signatures are pure per-row
     expressions (no explode); the only shuffle is the equi-join on
@@ -54,22 +56,43 @@ def dedup_exact(
     keys: Sequence[str],
     order_by: Sequence[str],
     target_cols: Sequence[str] | None = None,
+    skew_safe: bool = True,
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact dedup keeping a deterministic survivor per key group.
 
-    ``row_number() over (partition by keys order by order_by) = 1`` —
-    oracle-matchable as DuckDB ``QUALIFY``. Prefer this over
-    ``dropDuplicates`` whenever reproducibility matters: dropDuplicates keeps
-    an arbitrary row. Single shuffle on ``keys``.
+    Semantics: the row with the smallest ``order_by`` tuple per ``keys``
+    group survives — oracle-matchable as DuckDB ``QUALIFY row_number() = 1``.
+    Prefer this over ``dropDuplicates`` whenever reproducibility matters:
+    dropDuplicates keeps an arbitrary row. Single shuffle on ``keys``.
+
+    ``skew_safe=True`` (default) expresses the survivor as
+    ``groupBy(keys).agg(min_by(struct(*cols), struct(*order_by)))``: a hash
+    aggregate with a MAP-SIDE PARTIAL, so a heavy-hitter key (one document
+    duplicated 10^8 times at 100 TB) collapses to one row per input
+    partition before the shuffle instead of landing every copy on a single
+    window task. ``skew_safe=False`` keeps the window-function form
+    (``row_number() over (partition by keys order by order_by) = 1``) —
+    same result (test-pinned equality when ``order_by`` is a total order
+    within each key group; with ties both forms keep an arbitrary one of
+    the tied rows, as does the oracle's QUALIFY).
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(*order_by)
-        out = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        if skew_safe:
+            order_struct = F.struct(*[F.col(c) for c in order_by])
+            row_struct = F.struct(*[F.col(c) for c in df.columns])
+            out = (
+                df.groupBy(*[F.col(k) for k in keys])
+                .agg(F.min_by(row_struct, order_struct).alias("_survivor"))
+                .select("_survivor.*")
+            )
+        else:
+            w = Window.partitionBy(*keys).orderBy(*order_by)
+            out = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         return out.select(*target_cols) if target_cols else out
 
     return _transform

@@ -77,12 +77,20 @@ def bucket_ratio_table(
     # nt = 0 (no target documents, or a gram-less target) would be an ANSI
     # division-by-zero at runtime; an empty target means "nothing is
     # representative", so every ratio is 0 and nothing selects.
+    # The products run in decimal(38,0), not bigint: ct * scale * nr
+    # overflows int64 once the corpus holds ~3e6 total grams (ANSI mode
+    # would throw ARITHMETIC_OVERFLOW; ANSI off would silently wrap).
+    # decimal(38,0) holds ~1e13 grams * 1e3 * 1e13 = 1e29 with room to
+    # spare; `div` (IntegralDivide) accepts decimals and still returns
+    # bigint, so floor-division semantics and the output type are
+    # unchanged (test-pinned against the bigint form on small inputs).
     return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.expr(
             f"case when nt = 0 then 0L "
-            f"else ct * {scale} * nr div (cr * nt) end"
-        ).alias("ratio_milli"),
+            f"else cast(ct as decimal(38,0)) * {scale} * nr "
+            f"div (cast(cr as decimal(38,0)) * nt) end"
+        ).cast("long").alias("ratio_milli"),
     )
 
 

@@ -37,6 +37,7 @@ class Rule:
     ref: object = None  # DataFrame for foreign_key
     ref_column: str | None = None
     keys: tuple[str, ...] = field(default_factory=tuple)
+    broadcast_ref: bool | None = None  # None = size-based auto
 
 
 def not_null(name: str, column: str) -> Rule:
@@ -57,8 +58,50 @@ def unique(name: str, *keys: str) -> Rule:
     return Rule(name, "unique", keys[0], keys=tuple(keys))
 
 
-def foreign_key(name: str, column: str, ref: DataFrame, ref_column: str) -> Rule:
-    return Rule(name, "foreign_key", column, ref=ref, ref_column=ref_column)
+def foreign_key(
+    name: str,
+    column: str,
+    ref: DataFrame,
+    ref_column: str,
+    broadcast_ref: bool | None = None,
+) -> Rule:
+    """``broadcast_ref``: True forces a broadcast anti join (right for dim
+    tables), False leaves the strategy to Catalyst/AQE (right for large
+    references, where a forced broadcast would exceed the broadcast limit
+    or OOM the driver at the module's 100 TB design point), None (default)
+    broadcasts only when the reference's plan statistics put it under
+    ``spark.sql.autoBroadcastJoinThreshold``."""
+    return Rule(
+        name,
+        "foreign_key",
+        column,
+        ref=ref,
+        ref_column=ref_column,
+        broadcast_ref=broadcast_ref,
+    )
+
+
+def _fits_broadcast(ref: DataFrame) -> bool:
+    """True when the optimizer's size estimate for the reference plan is
+    under spark.sql.autoBroadcastJoinThreshold — the same evidence AQE
+    would use, read here so the explicit hint is only attached when it is
+    provably safe. Falls back to False (no hint) on any estimation error."""
+    try:
+        raw = str(
+            ref.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                 "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+        num = raw.rstrip("bkmg")
+        threshold = int(num) * units.get(raw[len(num):], 1)
+        if threshold <= 0:
+            return False
+        size = (
+            ref._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return int(size.toString()) <= threshold
+    except Exception:
+        return False
 
 
 def _violation_cond(r: Rule):
@@ -93,9 +136,15 @@ def validate_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
     inline = [r for r in rules if r.kind in ("not_null", "range", "regex")]
     parts: list[DataFrame] = []
     if inline:
+        # coalesce(..., 0): SUM over zero rows is NULL, so without it an
+        # empty input reports n_violations = NULL for inline rules while
+        # unique/foreign_key report 0 — a `== 0` gate would fail closed
+        # and the output would be inconsistent across rule kinds.
         agg = df.agg(
             *[
-                F.sum(_violation_cond(r).cast("long")).alias(r.name)
+                F.coalesce(F.sum(_violation_cond(r).cast("long")), F.lit(0))
+                .cast("long")
+                .alias(r.name)
                 for r in inline
             ]
         )
@@ -129,10 +178,18 @@ def validate_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
             parts.append(dups)
         elif r.kind == "foreign_key":
             ref = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
+            # Broadcast only when the rule says so or the reference is
+            # provably small; a forced broadcast of a large reference
+            # relation fails the job at scale (advisor r3). With no hint
+            # and no small-size evidence, leave the strategy to AQE.
+            if r.broadcast_ref is True:
+                ref = F.broadcast(ref)
+            elif r.broadcast_ref is None and _fits_broadcast(r.ref):
+                ref = F.broadcast(ref)
             orphans = (
                 df.select(r.column)
                 .filter(F.col(r.column).isNotNull())
-                .join(F.broadcast(ref), r.column, "left_anti")
+                .join(ref, r.column, "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(F.lit(r.name).alias("rule"), "n_violations")
             )

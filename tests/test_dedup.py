@@ -33,6 +33,31 @@ def test_dedup_exact_deterministic_survivor(spark):
     assert rows == {("x", 1), ("y", 3)}
 
 
+def test_dedup_exact_skew_safe_equals_window(spark):
+    """The min_by aggregate form (map-side partial, heavy-hitter-proof) and
+    the window row_number form must pick identical survivors whenever
+    order_by is a total order within each key group."""
+    rows = [(i, f"k{i % 7}", f"v{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string, v string")
+    agg = dedup.dedup_exact(keys=["k"], order_by=["id"], skew_safe=True)(df)
+    win = dedup.dedup_exact(keys=["k"], order_by=["id"], skew_safe=False)(df)
+    a = sorted((r.id, r.k, r.v) for r in agg.collect())
+    w = sorted((r.id, r.k, r.v) for r in win.collect())
+    assert a == w and len(a) == 7
+
+
+def test_dedup_exact_skew_safe_partial_aggregates(spark):
+    """100 TB guard: the default path must partial-aggregate map-side
+    (partial_min_by BEFORE the exchange) and contain no Window node, so a
+    10^8-copy heavy-hitter key collapses per input partition instead of
+    serializing one task."""
+    df = spark.createDataFrame([(1, "x", "a")], "id long, k string, v string")
+    out = dedup.dedup_exact(keys=["k"], order_by=["id"])(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+
+
 def test_minhash_equals_exact_jaccard(docs):
     """LSH + exact verification must equal the exact O(n^2) answer on this
     corpus (recall margin is ~1-5e-8 at jaccard>=0.8; the corpus has no

@@ -66,3 +66,31 @@ def test_empty_target_scores_zero_not_error(spark):
     out = importance_scores(docs, F.lit(False)).collect()
     assert all(r["score_milli"] == 0 and not r["selected"] for r in out)
     assert len(out) == 6
+
+
+def test_ratio_table_survives_int64_overflow_scale(spark):
+    """Advisor r3: ct * scale * nr used to run in bigint and overflow
+    (ANSI ARITHMETIC_OVERFLOW) beyond ~3e6 grams. The decimal(38,0) route
+    must (a) agree with the old bigint math where it didn't overflow and
+    (b) not crash when the product exceeds int64 (forced via a huge
+    scale, equivalent to a huge corpus)."""
+    from kafka_custom_transforms_spark.operators.importance import bucket_ratio_table
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon", i % 2 == 0) for i in range(40)],
+        "doc_id long, text string, is_t boolean",
+    )
+    small = {
+        r.bucket: r.ratio_milli
+        for r in bucket_ratio_table(docs, F.col("is_t"), n_buckets=16).collect()
+    }
+    assert small and all(isinstance(v, int) for v in small.values())
+    big = {
+        r.bucket: r.ratio_milli
+        for r in bucket_ratio_table(
+            docs, F.col("is_t"), n_buckets=16, scale=10**18
+        ).collect()
+    }
+    # same ratios at 10^15x the scale (floor division; ratios here are exact)
+    for b, v in small.items():
+        assert big[b] == v * 10**15

@@ -71,3 +71,39 @@ def test_invalid_contracts_raise_clear_errors(spark):
         Q.validate_rules(df, [])
     with pytest.raises(ValueError, match="at least one key"):
         Q.unique("r")
+
+
+def test_empty_input_reports_zero_for_every_rule_kind(spark):
+    """Advisor r3: SUM over zero rows is NULL, so inline rules on an empty
+    table used to report n_violations = NULL while unique/FK reported 0 —
+    a `== 0` promotion gate would fail closed. All kinds must report 0."""
+    df = spark.createDataFrame([], "id long, name string, v double")
+    ref = spark.createDataFrame([(1,)], "id long")
+    out = Q.validate_rules(
+        df,
+        [
+            Q.not_null("nn", "name"),
+            Q.in_range("rng", "v", lo=0.0, hi=1.0),
+            Q.matches("re", "name", "^x"),
+            Q.unique("uq", "id"),
+            Q.foreign_key("fk", "id", ref, "id"),
+        ],
+    )
+    rows = {r.rule: r.n_violations for r in out.collect()}
+    assert rows == {"nn": 0, "rng": 0, "re": 0, "uq": 0, "fk": 0}
+
+
+def test_foreign_key_broadcast_is_conditional(spark):
+    """Advisor r3: a large reference must not be force-broadcast. With
+    broadcast_ref=False no broadcast hint is attached (the logical plan has
+    no ResolvedHint); with True it is; counts agree either way."""
+    df = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    ref = spark.createDataFrame([(1,), (2,)], "id long")
+    forced = Q.validate_rules(df, [Q.foreign_key("fk", "id", ref, "id", broadcast_ref=True)])
+    free = Q.validate_rules(df, [Q.foreign_key("fk", "id", ref, "id", broadcast_ref=False)])
+    forced_logical = forced._jdf.queryExecution().analyzed().toString()
+    free_logical = free._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in forced_logical
+    assert "ResolvedHint" not in free_logical
+    assert forced.collect()[0].n_violations == 1
+    assert free.collect()[0].n_violations == 1
