@@ -3856,6 +3856,12 @@ select a_id, b_id, cid from pairs where c >= 0.45
 _IVF_ORACLE_SQL = """
 with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
 params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from e),
+params2 as (
+  select nc,
+         case when nc < 20 then 1
+              else greatest(8, cast(round(sqrt(nc)) as int)) end as ng
+  from params
+),
 seeds as (
   select cid, cv from (
     select vec_id as cid, v as cv,
@@ -3863,12 +3869,38 @@ seeds as (
     from e)
   where rn <= (select nc from params)
 ),
+gseeds as (
+  select gid, gv from (
+    select cid as gid, cv as gv,
+           row_number() over (order by md5(cast(cid as varchar)), cid) as rn
+    from seeds)
+  where rn <= (select ng from params2)
+),
+reg as (
+  select gid, cid, cv from (
+    select g.gid, s.cid, s.cv,
+           row_number() over (partition by s.cid
+                              order by {cos_sg} desc, g.gid) as rn
+    from seeds s, gseeds g)
+  where rn <= (select least(greatest(4, (3 * ng) // 4), 16, ng) from params2)
+),
+gactive as (select gid, gv from gseeds where gid in (select gid from reg)),
+vcoarse as (
+  select id, gid from (
+    select e.vec_id as id, g.gid,
+           row_number() over (partition by e.vec_id
+                              order by {cos_eg} desc, g.gid) as rn
+    from e, gactive g)
+  where rn = 1
+),
 assign as (
   select id, cid from (
-    select e.vec_id as id, s.cid,
-           row_number() over (partition by e.vec_id
-                              order by {cos_es} desc, s.cid) as rn
-    from e, seeds s)
+    select v.id, r.cid,
+           row_number() over (partition by v.id
+                              order by {cos_er} desc, r.cid) as rn
+    from vcoarse v
+    join reg r using (gid)
+    join e on e.vec_id = v.id)
   where rn = 1
 ),
 q as (select vec_id as query_id, v as qv from e where vec_id % 50 = 0),
@@ -4864,7 +4896,9 @@ def oracle_sql() -> dict[str, str]:
             cos_qb=_COSINE_EXPR.format(a="q.v", b="b.v")
         ),
         "similarity_topk_ivf": _IVF_ORACLE_SQL.format(
-            cos_es=_COSINE_EXPR.format(a="e.v", b="s.cv"),
+            cos_sg=_COSINE_EXPR.format(a="s.cv", b="g.gv"),
+            cos_eg=_COSINE_EXPR.format(a="e.v", b="g.gv"),
+            cos_er=_COSINE_EXPR.format(a="e.v", b="r.cv"),
             cos_qs=_COSINE_EXPR.format(a="q.qv", b="s.cv"),
             cos_qb=_COSINE_EXPR.format(a="q.qv", b="b.v"),
         ),

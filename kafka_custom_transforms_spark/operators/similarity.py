@@ -258,6 +258,117 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> Dat
     )
 
 
+# Below this quantizer size the flat n x n_centroids assignment is cheaper
+# than the two-level machinery's extra joins; above it the coarse level
+# cuts assignment cosines from n*sqrt(n) to n*O(n^(1/4)). The value also
+# gates the ORACLE's pipeline (the SQL degenerates to the flat form via
+# n_coarse = 1 below the threshold), so the two sides always agree.
+TWO_LEVEL_MIN_CENTROIDS = 20
+
+
+def two_level_params(n_centroids: int) -> tuple[int, int]:
+    """Coarse-quantizer sizing for two-level IVF assignment:
+    ``n_coarse = max(8, round(sqrt(n_centroids)))`` coarse cells over the
+    fine centroids, and each fine centroid registered in its
+    ``fine_replicas = clamp(n_coarse // 2, 2, n_coarse)`` nearest coarse
+    cells (replication substitutes for multi-probe on the heavy side: the
+    n base vectors probe exactly ONE coarse cell — a map-side max_by, one
+    row per vector over the shuffle — while the sqrt(n) fine centroids,
+    which are cheap, spread into several cells to keep recall).
+    ``n_coarse = 1`` below :data:`TWO_LEVEL_MIN_CENTROIDS`, which makes
+    the two-level pipeline degenerate to exactly the flat assignment
+    (every fine centroid registers in the single coarse cell, so the
+    final max_by scans all of them — bit-identical, test-pinned).
+
+    Replica sizing: 3/4 of the coarse cells while the quantizer is small
+    (dense replication keeps small-corpus recall near flat: measured
+    0.76 vs 0.80 at 500 vectors), capped at 16 as n grows — at n = 1e9
+    (n_coarse ~ 178) a vector scores ~178 coarse + ~n_centroids*16/178
+    ~ 2.8k fine cosines instead of the flat ~31.6k, and the registration
+    table stays n_centroids * 16 rows."""
+    if n_centroids < TWO_LEVEL_MIN_CENTROIDS:
+        return 1, 1
+    n_coarse = max(8, int(round(n_centroids**0.5)))
+    return n_coarse, min(max(4, (3 * n_coarse) // 4), 16, n_coarse)
+
+
+def _two_level_frames(
+    vecs: DataFrame, centroids: DataFrame, n_centroids: int, dim: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(coarse, reg, vec_coarse) intermediates of the two-level assignment,
+    factored out so tests can count assignment cosines directly.
+
+    - ``coarse``: (gid, gv) — the first n_coarse fine centroids in
+      md5(cid) order (same deterministic seeding rule as the fine level),
+      restricted to cells holding >= 1 registration so no vector can land
+      in a fine-less cell and drop out of the assignment.
+    - ``reg``: (gid, cid, cv) — each fine centroid registered under its
+      ``fine_replicas`` max-cosine coarse cells (window over
+      sqrt(n) x n_coarse rows — centroid-sized data, never the corpus).
+    - ``vec_coarse``: (id, v, gid) — each vector's single max-cosine
+      active coarse cell; map-side partial max_by, one row per vector
+      crosses the shuffle."""
+    n_coarse, replicas = two_level_params(n_centroids)
+    coarse = _seed_centroids(
+        centroids.select(F.col("cid").alias("id"), F.col("cv").alias("v")), n_coarse
+    ).select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    reg_w = Window.partitionBy("cid").orderBy(F.col("gcos").desc(), F.col("gid").asc())
+    reg = (
+        centroids.crossJoin(F.broadcast(coarse))
+        .select(
+            "gid", "cid", "cv", cosine(F.col("cv"), F.col("gv"), dim).alias("gcos")
+        )
+        .withColumn("_grank", F.row_number().over(reg_w))
+        .filter(F.col("_grank") <= replicas)
+        .select("gid", "cid", "cv")
+    )
+    active = coarse.join(reg.select("gid").distinct(), "gid")
+    best_g = F.max_by(
+        F.struct(F.col("v"), F.col("gid")),
+        F.struct(F.col("gcos"), (-F.col("gid")).alias("ng")),
+    ).alias("mg")
+    vec_coarse = (
+        vecs.join(F.broadcast(active), how="cross")
+        .select("id", "v", "gid", cosine(F.col("v"), F.col("gv"), dim).alias("gcos"))
+        .groupBy("id")
+        .agg(best_g)
+        .select("id", F.col("mg.v").alias("v"), F.col("mg.gid").alias("gid"))
+    )
+    return coarse, reg, vec_coarse
+
+
+def _assign_cells_two_level(
+    vecs: DataFrame, centroids: DataFrame, n_centroids: int, dim: int | None
+) -> DataFrame:
+    """(id, v, cid) like :func:`_assign_cells`, but via a coarse quantizer
+    over the centroids so the per-vector cosine count is
+    O(n_coarse + registered-per-cell) ~ O(n^(1/4)) instead of the flat
+    sqrt(n): vector -> top-1 coarse cell (map-side max_by) -> best fine
+    centroid among those registered in that cell (map-side max_by on an
+    equi-join keyed by the coarse cell). Below
+    :data:`TWO_LEVEL_MIN_CENTROIDS` this IS the flat path (call
+    delegated; the oracle's uniform SQL degenerates identically via
+    n_coarse = 1). Assignment becomes approximate above the threshold —
+    a vector's true nearest fine centroid is found iff that centroid
+    registered in the vector's coarse cell (replication keeps this
+    probable); recall is measured against brute force either way."""
+    n_coarse, _ = two_level_params(n_centroids)
+    if n_coarse <= 1:
+        return _assign_cells(vecs, centroids, dim)
+    _, reg, vec_coarse = _two_level_frames(vecs, centroids, n_centroids, dim)
+    best_f = F.max_by(
+        F.struct(F.col("v"), F.col("cid")),
+        F.struct(F.col("fcos"), (-F.col("cid")).alias("nc")),
+    ).alias("m")
+    return (
+        vec_coarse.join(F.broadcast(reg), "gid")
+        .select("id", "v", "cid", cosine(F.col("v"), F.col("cv"), dim).alias("fcos"))
+        .groupBy("id")
+        .agg(best_f)
+        .select("id", F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
+    )
+
+
 def ivf_params(n: int, n_probe: int = 8) -> tuple[int, int]:
     """Derived IVF quantizer size for an ``n``-vector corpus:
     ``n_centroids = max(16, round(sqrt(n)))`` (the standard IVF sizing —
@@ -321,7 +432,7 @@ def _ivf_candidates(
         # and the query probes — materialize so the Lloyd chain (broadcast
         # join + wide agg over the sample) runs once, not per consumer.
         centroids = step.localCheckpoint(eager=True)
-    assigned = _assign_cells(vecs, centroids, cos_dim)
+    assigned = _assign_cells_two_level(vecs, centroids, n_centroids, cos_dim)
     qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     probes = (

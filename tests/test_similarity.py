@@ -133,3 +133,50 @@ def test_hyperplane_buckets_string_ids(spark):
     rows = out.collect()
     assert {r["id"] for r in rows} == {"u-1", "u-2"}
     assert dict(out.dtypes)["id"] == "string"
+
+
+def test_two_level_assignment_cosine_budget(spark):
+    """100 TB guard (r3 verdict #3): the final IVF assignment must NOT
+    score n x n_centroids cosines. Count the actual scored pairs of the
+    two-level path — coarse probes (n x n_coarse) plus within-cell fine
+    scores — and pin them well under the flat n x n_centroids. The
+    quantizer must be large for the asymptotics to show (the saving is
+    ~n_coarse + 16 * n_centroids / n_coarse vs n_centroids), so this uses
+    a synthetic corpus with a 1024-cell quantizer: per vector ~32 coarse
+    + ~512 registered-fine cosines instead of the flat 1024."""
+    n, nc = 4000, 1024
+    vecs = spark.range(n).select(
+        F.col("id"),
+        F.array(
+            *[((F.col("id") * 7 + i * 31) % 13 + 1).cast("double") for i in range(8)]
+        ).alias("v"),
+    )
+    centroids = similarity._seed_centroids(vecs, nc)
+    coarse, reg, vec_coarse = similarity._two_level_frames(vecs, centroids, nc, None)
+    n_coarse = coarse.count()
+    fine_scored = vec_coarse.join(reg, "gid").count()
+    scored = n * n_coarse + fine_scored
+    flat = n * nc
+    assert scored < flat * 0.8, f"two-level scored {scored} vs flat {flat}"
+    # every vector must still receive an assignment (no fine-less cells)
+    assigned = similarity._assign_cells_two_level(vecs, centroids, nc, None)
+    assert assigned.count() == n
+
+
+def test_two_level_degenerates_to_flat_below_threshold(emb):
+    """Below TWO_LEVEL_MIN_CENTROIDS the two-level entry point must be the
+    flat assignment exactly (same cells, same tie-breaks)."""
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).limit(200)
+    nc = similarity.TWO_LEVEL_MIN_CENTROIDS - 1
+    centroids = similarity._seed_centroids(vecs, nc)
+    flat = sorted(
+        (r.id, r.cid) for r in similarity._assign_cells(vecs, centroids, None).collect()
+    )
+    two = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells_two_level(vecs, centroids, nc, None).collect()
+    )
+    assert flat == two
