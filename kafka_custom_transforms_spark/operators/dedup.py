@@ -125,7 +125,24 @@ def _materialize(df: DataFrame, mode: str) -> DataFrame:
     raise ValueError(f"checkpoint mode must be local|reliable|none, got {mode!r}")
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+# Local-sandbox-tuned fan-out/partition caps, lifted to module level so a
+# cluster deployment can override them without code edits (r3 verdict #8).
+# SHINGLE_FANOUT_CAP: repartition target cap for the shingle hot path —
+# each extra partition costs a Python worker spawn (numpy/pandas import)
+# that dwarfs the Arrow-vectorized shingling at local corpus sizes
+# (measured sf0.1: 2.8 s at 32 parts vs 0.4 s at 8). On a cluster the scan
+# already exceeds the cap and the fan-out guard is a no-op by construction.
+SHINGLE_FANOUT_CAP = 16
+# BROADCAST_SCORE_PARTITION_CAP: partition count for the driver-broadcast
+# embedding-score path (worker spawn + numpy import dominates: measured
+# 0.7 s at 8 parts vs 16.8 s at 32 on the same data). Only reachable below
+# max_broadcast_rows, so it never constrains cluster-scale jobs.
+BROADCAST_SCORE_PARTITION_CAP = 8
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, shingler: str = "arrow"
+) -> DataFrame:
     """(id, shingles) with empty-shingle docs removed (shorter than k words).
 
     Shingling (array slice + concat per window) is the CPU hot spot of every
@@ -133,8 +150,20 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     (SCALE.md: HOF lambdas don't codegen), so degenerate scan parallelism —
     one small parquet file scanning as one task — serializes it on a single
     core. ensure_min_partitions fans it out locally and is a no-op at
-    cluster scale."""
+    cluster scale.
+
+    ``shingler`` picks the route (r3 verdict #6): ``"arrow"`` (default,
+    measured ~5x faster per core locally — see :func:`_shingle_udf`) runs
+    Python workers in the hot path; ``"jvm"`` is the pure-JVM
+    higher-order-function expression (:func:`word_shingles`) for clusters
+    where Python worker startup/transfer dominates or Python workers are
+    unavailable. Output is bit-identical (insertion-ordered distinct —
+    equality test-pinned on the minhash oracle), so the choice never
+    affects results."""
     from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+
+    if shingler not in ("arrow", "jvm"):
+        raise ValueError(f"shingler must be 'arrow' or 'jvm', got {shingler!r}")
 
     # Emptiness is filtered via the equivalent cheap predicate n_tokens >= k
     # (word_shingles yields a non-empty array iff the doc has >= k tokens),
@@ -142,19 +171,16 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     # substituting the alias, which would re-evaluate the whole interpreted
     # shingling expression on the unparallelized scan side (measured: the
     # single-task duplicate eval dominated the signature job).
-    # Fan-out target capped at 16: each extra partition costs a python
-    # worker spawn (numpy/pandas import) that dwarfs the Arrow-vectorized
-    # shingling at local corpus sizes (measured sf0.1: 2.8s at 32 parts vs
-    # 0.4s at 8). On a cluster the scan already exceeds the cap and
-    # ensure_min_partitions is a no-op by construction.
     spark = df.sparkSession
-    target = min(16, spark.sparkContext.defaultParallelism)
+    target = min(SHINGLE_FANOUT_CAP, spark.sparkContext.defaultParallelism)
     filtered = ensure_min_partitions(
         df.filter(F.size(tokens(F.col(text_col))) >= k), target
     )
-    return filtered.select(
-        F.col(id_col).alias("id"), _shingle_udf(k)(F.col(text_col)).alias("sh")
-    )
+    if shingler == "jvm":
+        sh = word_shingles(tokens(F.col(text_col)), k)
+    else:
+        sh = _shingle_udf(k)(F.col(text_col))
+    return filtered.select(F.col(id_col).alias("id"), sh.alias("sh"))
 
 
 @functools.lru_cache(maxsize=8)
@@ -199,6 +225,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     checkpoint: str = "local",
+    shingler: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (a_id, b_id) with exact Jaccard >= threshold,
     found via MinHash/LSH candidates and exactly verified.
@@ -221,7 +248,7 @@ def minhash_lsh_pairs(
     # self-join. Materialize each once (both are small: one row per doc /
     # 'bands' rows per doc) instead of recomputing the upstream pipeline
     # per consumer.
-    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k), checkpoint)
+    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k, shingler), checkpoint)
     perms = minhash_perms(num_perm, seed)
     # Checkpoint the compact signatures (one row per doc), not the exploded
     # bucket rows (bands x docs) — measured 2x faster end-to-end; the band
@@ -317,6 +344,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     checkpoint: str = "local",
+    shingler: str = "arrow",
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via a prefix-filtered inverted index.
 
@@ -330,7 +358,7 @@ def ngram_jaccard_pairs(
     window (keyed by id), prefix equi-join (rare keys by construction),
     candidate distinct, two verify joins on id. No cross join anywhere.
     """
-    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k), checkpoint)
+    sets = _materialize(shingle_sets(df, id_col, text_col, shingle_k, shingler), checkpoint)
     cand = prefix_filter_candidates(sets, threshold)
     return _verify_jaccard(sets, cand, threshold)
 
@@ -373,6 +401,7 @@ def simhash_pairs(
     max_hamming: int = 5,
     chunks: int = 10,
     checkpoint: str = "local",
+    shingler: str = "arrow",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -389,7 +418,7 @@ def simhash_pairs(
         raise ValueError("bits must be divisible by chunks")
     w = bits // chunks
     mask = (1 << w) - 1
-    sets = shingle_sets(df, id_col, text_col, shingle_k)
+    sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     # Materialize the signatures (one small row per doc): both sides of the
     # banded self-join would otherwise recompute the explode+agg pipeline.
     sigs = _materialize(simhash_signatures(sets, bits), checkpoint)
@@ -516,6 +545,7 @@ def simhash_pairs_wide(
     max_hamming: int = 15,
     chunks: int = 16,
     checkpoint: str = "local",
+    shingler: str = "arrow",
 ) -> DataFrame:
     """Pairs with wide-SimHash hamming distance <= max_hamming — the scale
     variant of :func:`simhash_pairs` (SCALE.md: wide signatures cut slice-
@@ -542,7 +572,7 @@ def simhash_pairs_wide(
     per_long = chunks // n_longs
     w = bits_per_long // per_long
     mask = (1 << w) - 1
-    sets = shingle_sets(df, id_col, text_col, shingle_k)
+    sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     sigs = _materialize(simhash_signatures_wide(sets, bits_per_long, n_longs), checkpoint)
     sig_names = [f"sig{i}" for i in range(n_longs)]
     slices = sigs.select(
@@ -795,7 +825,10 @@ def embedding_dup_pairs(
     # closure. Capped at 8: each extra partition costs a python worker
     # spawn + numpy import, which dominates this compute (measured: 8 parts
     # 0.7s, 32 parts 16.8s on the same data).
-    n_parts = min(8, max(vecs.sparkSession.sparkContext.defaultParallelism // 2, 1))
+    n_parts = min(
+        BROADCAST_SCORE_PARTITION_CAP,
+        max(vecs.sparkSession.sparkContext.defaultParallelism // 2, 1),
+    )
     return vecs.repartition(n_parts).mapInPandas(_score, schema=pair_schema)
 
 

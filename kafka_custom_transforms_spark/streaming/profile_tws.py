@@ -13,7 +13,14 @@ TWS Python worker protocol is protobuf-framed
 (``pyspark/sql/streaming/proto/StateMessage_pb2.py`` imports it at
 module load; verified crash: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
 from that import). :func:`transform_with_state_profile` therefore raises
-a clear error here unless protobuf is importable. The processor logic
+a clear error here unless protobuf is importable. Vendoring was
+attempted round 4 and is impossible here: ``pip download protobuf
+--no-deps`` fails (no network — DNS resolution to the index host fails
+after 5 retries), no protobuf wheel exists anywhere on the image, and a
+hand-written shim is out of scope because pyspark's generated
+``StateMessage_pb2`` needs the full descriptor-pool runtime
+(``google.protobuf.internal.builder``), not just wire-format encode.
+The processor logic
 itself is pure and unit-tested directly (tests/test_profile_tws.py);
 the wiring below is the real API call, not a sketch — on any cluster
 with protobuf installed it runs as-is.
