@@ -2387,6 +2387,21 @@ def _multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png(synth_png(docs))
 
 
+def _multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode with only the stdlib: block walk + full GIF-variant
+    LZW inflate (variable code width, CLEAR/EOI, dictionary reset) of
+    every frame of a REALLY-compressed multi-frame GIF; channel means
+    aggregate palette-mapped pixels over all frames. The oracle recomputes
+    the means from the palette/pixel generation formulas analytically."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif(synth_gif(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3486,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _stream_static_enrich,
         "stream_leaderboard": _stream_leaderboard,
         "statestore_read_counts": _statestore_read_counts,
+        "multimodal_gif_decode": _multimodal_gif_decode,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
@@ -5527,6 +5543,36 @@ def oracle_sql() -> dict[str, str]:
                    n as n_samples,
                    cast(n * 1000 // 8000 as bigint) as duration_ms,
                    cast(sa * 1000 // n as bigint) as mean_abs_milli
+            from sums
+        """,
+        "multimodal_gif_decode": """
+            with ids as (
+              select doc_id,
+                     cast(6 + doc_id % 7 as int) as w,
+                     cast(5 + doc_id % 6 as int) as h,
+                     cast(1 + doc_id % 3 as int) as nf
+              from documents
+            ),
+            px as (
+              select i.doc_id, i.w, i.h, i.nf,
+                     (37 * ((7 * x.x + 13 * j.j + i.doc_id + 29 * f.f) % 8)
+                      + i.doc_id) as base
+              from ids i,
+                   lateral (select unnest(range(0, i.w)) as x) x,
+                   lateral (select unnest(range(0, i.h)) as j) j,
+                   lateral (select unnest(range(0, i.nf)) as f) f
+            ),
+            sums as (
+              select doc_id, w, h, nf,
+                     sum(base % 256) as sr,
+                     sum((base + 85) % 256) as sg,
+                     sum((base + 170) % 256) as sb
+              from px group by doc_id, w, h, nf
+            )
+            select doc_id, w as width, h as height, nf as n_frames,
+                   cast(sr * 1000 // (w * h * nf) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (w * h * nf) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (w * h * nf) as bigint) as mean_b_milli
             from sums
         """,
         "multimodal_png_decode": """

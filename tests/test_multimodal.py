@@ -331,3 +331,91 @@ def test_bmp_decoder_rejects_truncated(spark):
     )
     with pytest.raises(Exception):
         decode_bmp(df).collect()
+
+
+def test_gif_lzw_roundtrip_with_dictionary_growth():
+    """The LZW codec must survive dictionary growth, width increases, and
+    the 4096-entry reset — a long repetitive stream exercises all three."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = bytes([1, 2, 3, 4] * 4000) + bytes(i % 8 for i in range(997))
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 3), 3) == data
+
+
+def test_gif_decoder_parses_real_bytes(spark):
+    """decode_gif must really inflate the LZW stream: two GIFs differing
+    in one source pixel (re-encoded) decode to different means; frame
+    count comes from the block walk."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [3, 4], "data": [_gif_bytes(3, 9, 7, 2), _gif_bytes(4, 9, 7, 2)]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in decode_gif(df).collect()}
+    assert rows[3]["width"] == 9 and rows[3]["height"] == 7
+    assert rows[3]["n_frames"] == 2
+    assert rows[3]["mean_r_milli"] != rows[4]["mean_r_milli"]
+
+
+def test_gif_decoder_analytic_means(spark):
+    """Decoded means equal the closed-form palette/pixel sums over all
+    frames — proves the LZW inflate reconstructs the exact index stream."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif,
+    )
+
+    cases = [(0, 6, 5, 1), (1, 12, 9, 3), (7, 7, 6, 2)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [c[0] for c in cases],
+                "data": [_gif_bytes(*c) for c in cases],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in decode_gif(df).collect()}
+    for doc_id, w, h, nf in cases:
+        sr = sg = sb = 0
+        for f in range(nf):
+            for y in range(h):
+                for x in range(w):
+                    base = 37 * ((7 * x + 13 * y + doc_id + 29 * f) % 8) + doc_id
+                    sr += base % 256
+                    sg += (base + 85) % 256
+                    sb += (base + 170) % 256
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        npx = w * h * nf
+        assert r["mean_r_milli"] == sr * 1000 // npx
+        assert r["mean_g_milli"] == sg * 1000 // npx
+        assert r["mean_b_milli"] == sb * 1000 // npx
+
+
+def test_gif_decoder_rejects_corrupt(spark):
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif,
+    )
+
+    good = _gif_bytes(1, 6, 5, 1)
+    truncated = good[:-6]  # cuts into the LZW stream / terminator
+    for bad in (b"NOTG1234", truncated):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bad]}))
+        with pytest.raises(Exception):
+            decode_gif(df).collect()
