@@ -2402,6 +2402,23 @@ def _multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif(synth_gif(docs))
 
 
+def _multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode with only the stdlib: marker walk,
+    DQT/DHT/SOF0/SOS, Huffman entropy decode (DC diffs, AC run-length,
+    EOB/ZRL, byte unstuffing), dequant, zigzag, separable IDCT, level
+    shift. The synth files are DC-only with q[0]=8, so every decoded
+    block is exactly dc+128 and the oracle recomputes the means from the
+    dc formula without any DCT math; the AC/IDCT paths are pinned by
+    unit tests against an independent reference IDCT."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_jpeg(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3502,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_leaderboard": _stream_leaderboard,
         "statestore_read_counts": _statestore_read_counts,
         "multimodal_gif_decode": _multimodal_gif_decode,
+        "multimodal_jpeg_decode": _multimodal_jpeg_decode,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
@@ -5543,6 +5561,31 @@ def oracle_sql() -> dict[str, str]:
                    n as n_samples,
                    cast(n * 1000 // 8000 as bigint) as duration_ms,
                    cast(sa * 1000 // n as bigint) as mean_abs_milli
+            from sums
+        """,
+        "multimodal_jpeg_decode": """
+            with ids as (
+              select doc_id,
+                     cast(1 + doc_id % 3 as int) as bw,
+                     cast(1 + doc_id % 2 as int) as bh
+              from documents
+            ),
+            blocks as (
+              select i.doc_id, i.bw, i.bh,
+                     ((5 * bx.bx + 11 * by.by + i.doc_id) % 201) - 100 as dc
+              from ids i,
+                   lateral (select unnest(range(0, i.bw)) as bx) bx,
+                   lateral (select unnest(range(0, i.bh)) as by) by
+            ),
+            sums as (
+              select doc_id, bw, bh, sum(dc + 128) as s
+              from blocks group by doc_id, bw, bh
+            )
+            select doc_id,
+                   cast(bw * 8 as int) as width,
+                   cast(bh * 8 as int) as height,
+                   cast(bw * bh as int) as n_blocks,
+                   cast(s * 1000 // (bw * bh) as bigint) as mean_gray_milli
             from sums
         """,
         "multimodal_gif_decode": """

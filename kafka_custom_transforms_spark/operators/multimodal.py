@@ -2,15 +2,16 @@
 
 The engine treats images/audio/video as ``binary`` columns bundled with a
 metadata struct — the schema, partitioning, Arrow batch shape, and UDF
-signatures here are the real, tested artifact. Five decoders are REAL
+signatures here are the real, tested artifact. Six decoders are REAL
 byte-level parsers needing only the stdlib: ``decode_bmp`` (24-bit BMP —
 signature, pixel offset, padded BGR rows), ``decode_png`` (chunk CRCs,
 zlib IDAT, all five scanline filters), ``decode_gif`` (block walk + full
 GIF-variant LZW inflate), ``decode_wav`` (RIFF chunk walk + 16-bit PCM)
-and ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), all oracle-verified
-against analytically recomputed features. The generic ``decode_payload``
-stays a deterministic stand-in for codecs that genuinely need external
-libraries (JPEG entropy decode, H.264): it
+``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), and ``decode_jpeg``
+(baseline grayscale: Huffman entropy decode, dequant, zigzag, IDCT), all
+oracle-verified against analytically recomputed features. The generic
+``decode_payload`` stays a deterministic stand-in for codecs that
+genuinely need external libraries (color/progressive JPEG, H.264): it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -904,3 +905,375 @@ def decode_gif(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=GIF_DECODED_SCHEMA)
+
+
+# JPEG: the capstone stdlib-only decoder — baseline grayscale JFIF.
+# decode_jpeg implements the REAL baseline path end to end: marker walk,
+# DQT/DHT/SOF0/SOS parsing, entropy-coded-segment byte unstuffing,
+# Huffman decode of DC categories + AC (run, size) symbols incl. EOB/ZRL,
+# DC diff accumulation, dequantization, zigzag re-ordering, a separable
+# float IDCT, level shift and clamp. synth_jpeg writes files through a
+# real Huffman ENCODER using the JPEG Annex K typical luminance tables
+# (public spec); the oracle path emits DC-only blocks with q[0]=8 so the
+# decoded block value is exactly dc+128 (IDCT of a DC-only block is the
+# constant dc*q0/8) and channel means stay analytic, while the unit tests
+# drive full AC blocks against an independent reference IDCT.
+
+JPEG_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, mean_gray_milli bigint"
+)
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# JPEG Annex K.3 typical luminance Huffman specs (BITS indexed 1..16).
+_JPEG_DC_BITS = (0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_codes(bits, vals):
+    """value -> (code, length) canonical Huffman assignment (encode side)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_table(bits, vals):
+    """(length, code) -> value lookup (decode side)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_idct_2d(coefs):
+    """Separable 8x8 float IDCT (natural-order coefs -> 64 floats)."""
+    import math
+
+    cos = _jpeg_idct_cos()
+    c = _jpeg_idct_c()
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coefs[v * 8 : v * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += c[u] * row[u] * cos[x][u]
+            tmp[v][x] = s / 2.0
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                s += c[v] * tmp[v][x] * cos[y][v]
+            out[y * 8 + x] = s / 2.0
+    return out
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _jpeg_idct_cos():
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+
+
+@_functools.lru_cache(maxsize=1)
+def _jpeg_idct_c():
+    import math
+
+    return [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _jpeg_encode_gray(width, height, blocks, qtable):
+    """Baseline grayscale JFIF from row-major 64-length NATURAL-order
+    quantized coefficient blocks; real Huffman entropy coding with DC
+    diffs, AC run-length, EOB/ZRL, and byte stuffing."""
+    import struct
+
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out, acc, nbits = bytearray(), 0, 0
+
+    def write(code, length):
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+
+    def category(v):
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    def coeff_bits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    prev_dc = 0
+    for blk in blocks:
+        zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = category(diff)
+        write(*dc_huff[s])
+        if s:
+            write(coeff_bits(diff, s), s)
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                write(*ac_huff[0xF0])
+                run -= 16
+            s = category(zz[i])
+            write(*ac_huff[(run << 4) | s])
+            write(coeff_bits(zz[i], s), s)
+            run = 0
+        if last_nz < 63:
+            write(*ac_huff[0x00])
+    if nbits:
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    scan = bytes(out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _jpeg_decode_gray(data):
+    """Full baseline grayscale decode: (width, height, pixels row-major).
+    Rejects progressive/multi-component/subsampled/restart-interval
+    files and non-multiple-of-8 geometry (out of scope, like interlaced
+    GIF)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos, qtables, huff = 2, {}, {}
+    width = height = qsel = scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_JPEG_ZIGZAG[i]] = body[p + 1 + i]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = [0] + list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_table(bits, list(body[p + 17 : p + 17 + nv]))
+                p += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("single-component scan only")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos
+            break
+    if width is None or scan_start is None:
+        raise ValueError("missing SOF0 or SOS")
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("only non-empty multiple-of-8 geometry supported")
+    q = qtables[qsel]
+    dct, act = huff[(0, dc_sel)], huff[(1, ac_sel)]
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    scan = data[scan_start:end]
+
+    spos = acc = nbits = 0
+
+    def read(length):
+        nonlocal spos, acc, nbits
+        while nbits < length:
+            if spos >= len(scan):
+                raise ValueError("truncated entropy-coded segment")
+            b = scan[spos]
+            spos += 1
+            if b == 0xFF:
+                if spos >= len(scan) or scan[spos] != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                spos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        v = (acc >> (nbits - length)) & ((1 << length) - 1)
+        nbits -= length
+        return v
+
+    def read_huff(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bw, bh = width // 8, height // 8
+    pixels = [0] * (width * height)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            s = read_huff(dct)
+            prev_dc += extend(read(s), s) if s else 0
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = read_huff(act)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    i += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = extend(read(size), size)
+                i += 1
+            coefs = [0] * 64
+            for i in range(64):
+                coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
+            block = _jpeg_idct_2d(coefs)
+            for yy in range(8):
+                for xx in range(8):
+                    v = int(round(block[yy * 8 + xx])) + 128
+                    pixels[(by * 8 + yy) * width + (bx * 8 + xx)] = (
+                        0 if v < 0 else (255 if v > 255 else v)
+                    )
+    return width, height, pixels
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic DC-only baseline JPEG: (1+id%3) x (1+id%2) blocks,
+    q[0]=8 so the decoded block value is exactly dc+128 with
+    dc = ((5*bx + 11*by + id) % 201) - 100 — analytically recomputable
+    without any DCT math."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [8] + [16] * 63
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            dc = ((5 * bx + 11 * by + doc_id) % 201) - 100
+            blocks.append([dc] + [0] * 63)
+    return _jpeg_encode_gray(bw * 8, bh * 8, blocks, q)
+
+
+def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_jpeg_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_jpeg(df: DataFrame) -> DataFrame:
+    """Arrow-batched full baseline JPEG decode (see
+    :func:`_jpeg_decode_gray`); exact integer mean over the decoded
+    pixels."""
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        w, h, px = _jpeg_decode_gray(data)
+        return (w, h, (w // 8) * (h // 8), sum(px) * 1000 // (w * h))
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_blocks": [f[2] for f in feats],
+                    "mean_gray_milli": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=JPEG_DECODED_SCHEMA)

@@ -419,3 +419,86 @@ def test_gif_decoder_rejects_corrupt(spark):
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "data": [bad]}))
         with pytest.raises(Exception):
             decode_gif(df).collect()
+
+
+def test_jpeg_decoder_dc_only_exact(spark):
+    """DC-only blocks with q[0]=8 decode to exactly dc+128 per pixel —
+    proves the Huffman DC-diff chain, dequant, and IDCT normalization."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_bytes,
+        decode_jpeg,
+    )
+
+    cases = [0, 1, 5, 17]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": cases, "data": [_jpeg_bytes(i) for i in cases]})
+    )
+    rows = {r["doc_id"]: r for r in decode_jpeg(df).collect()}
+    for doc_id in cases:
+        bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+        s = sum(
+            ((5 * bx + 11 * by + doc_id) % 201) - 100 + 128
+            for by in range(bh)
+            for bx in range(bw)
+        )
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["n_blocks"]) == (bw * 8, bh * 8, bw * bh)
+        assert r["mean_gray_milli"] == s * 1000 // (bw * bh)
+
+
+def test_jpeg_full_ac_path_matches_reference_idct():
+    """Blocks with AC coefficients round-trip through the real encoder +
+    decoder and equal an independently computed IDCT of the same
+    coefficients — the entropy decode, zigzag, dequant, and IDCT paths
+    are all live, not just the DC shortcut."""
+    import random
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+        _jpeg_idct_2d,
+    )
+
+    rnd = random.Random(11)
+    q = [8] + [16] * 63
+    blocks = []
+    for _ in range(12):
+        blk = [0] * 64
+        blk[0] = rnd.randrange(-40, 41)
+        for _ in range(8):
+            blk[rnd.randrange(1, 64)] = rnd.randrange(-9, 10)
+        blocks.append(blk)
+    data = _jpeg_encode_gray(32, 24, blocks, q)
+    w, h, px = _jpeg_decode_gray(data)
+    assert (w, h) == (32, 24)
+    k = 0
+    for by in range(3):
+        for bx in range(4):
+            ref = _jpeg_idct_2d([blocks[k][i] * q[i] for i in range(64)])
+            for yy in range(8):
+                for xx in range(8):
+                    want = max(0, min(255, int(round(ref[yy * 8 + xx])) + 128))
+                    assert px[(by * 8 + yy) * w + bx * 8 + xx] == want
+            k += 1
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_decode_gray,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_decode_gray(b"NOPE")
+    good = bytearray(_jpeg_bytes(3))
+    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    idx = good.find(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        _jpeg_decode_gray(bytes(good))
+    with pytest.raises(ValueError):
+        _jpeg_decode_gray(_jpeg_bytes(3)[:-4])  # truncated: no EOI
