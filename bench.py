@@ -57,6 +57,11 @@ BENCH_QUERIES = (
     "q18_large_orders",
     "sketch_distinct_users",
     "importance_score_docs",
+    # round-4 decoders (NEW vs the r3 baseline; bench_guard reports but
+    # never fails rows absent from the baseline)
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
 )
 
 
