@@ -3461,6 +3461,154 @@ def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: testdata has no partsupp, so profit is
+    revenue-only): profit per nation per order-year over a 5-way join
+    with a LIKE filter on part name. Dims (part-filtered, supplier,
+    nation) broadcast; the lineitem-orders join is the one fact-fact
+    shuffle, keyed on l_orderkey. Grouping is map-side-partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+        .select("nation", F.col("o_year").cast("long").alias("o_year"), "sum_profit")
+    )
+
+
+def _q11_top_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to lineitem revenue; no partsupp): parts
+    whose revenue exceeds a fixed fraction of TOTAL revenue (8 basis
+    points — the corpus max share is ~9bp, so the filter keeps the top
+    tail) — the group-by with a global-scalar HAVING. The scalar total
+    is a one-row broadcast cross join; the fraction compare stays in
+    decimal (revenue * 10000 > total * 8) so both engines decide ties
+    exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_dec"))
+    total = li.agg(F.sum(rev).alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_dec") * 10000 > F.col("total_dec") * 8)
+        .select("l_partkey", F.col("rev_dec").cast("double").alias("part_value"))
+    )
+
+
+def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-part AVG scalar subquery —
+    revenue of lineitems whose quantity is below 20% of their part's
+    average quantity. Decorrelates to one grouped aggregate joined back
+    on partkey. The predicate is the integer-exact cross-form
+    5 * l_quantity * cnt < sum_qty (quantities are integer-valued
+    doubles, so the sums are order-independent and both engines decide
+    the boundary identically — no float-average tie risk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    sel = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    stats = sel.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    picked = sel.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp")).filter(
+        F.lit(5) * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty")
+    )
+    return picked.agg(
+        (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def _q20_part_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join against a nested aggregate-with-HAVING
+    subquery — suppliers that shipped more than 60 units of any
+    'red'-named part during 1996, with their nation. The inner aggregate
+    groups (supplier, part) and the HAVING threshold is integer-exact;
+    the outer supplier table is filtered by LEFT SEMI join (no
+    duplication), nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: testdata has no commit/receipt dates, so
+    "late" = shipped more than 90 days after the order date): for
+    finished orders, count per supplier the late lineitems where at
+    least one OTHER supplier participated in the order (EXISTS) but no
+    OTHER supplier was late on it (NOT EXISTS). The two correlated
+    subqueries become a LEFT SEMI and a LEFT ANTI join on
+    (same order, different supplier) — equi on the order key with an
+    inequality residual, no cartesian anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
+    ).select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    ).distinct()
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    ).distinct()
+    l1 = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys in
     # dict order, so the window below leads with the SMT parity rows, the
@@ -3520,6 +3668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statestore_read_counts": _statestore_read_counts,
         "multimodal_gif_decode": _multimodal_gif_decode,
         "multimodal_jpeg_decode": _multimodal_jpeg_decode,
+        "q9_product_profit": _q9_product_profit,
+        "q11_top_part_value": _q11_top_part_value,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_part_shipment_suppliers": _q20_part_shipment_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "dedup_streaming_batch": _dedup_streaming_batch,
         "events_asof_attrib": _events_asof_attrib,
         "events_range_counts": _events_range_counts,
@@ -4656,6 +4809,87 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 10 and 25)
                or (p_brand = 'Brand#23' and p_size between 26 and 50
                    and l_quantity between 20 and 40)
+        """,
+        "q9_product_profit": """
+            select n_name as nation,
+                   cast(year(o_orderdate) as bigint) as o_year,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as sum_profit
+            from lineitem
+            join part on l_partkey = p_partkey
+            join supplier on l_suppkey = s_suppkey
+            join nation on s_nationkey = n_nationkey
+            join orders on l_orderkey = o_orderkey
+            where p_name like '%gear%'
+            group by n_name, year(o_orderdate)
+        """,
+        "q11_top_part_value": """
+            with pp as (
+              select l_partkey,
+                     sum(cast(l_extendedprice as decimal(18,2))
+                         * (1 - cast(l_discount as decimal(18,2)))) as rev
+              from lineitem group by l_partkey
+            ),
+            tot as (
+              select sum(cast(l_extendedprice as decimal(18,2))
+                         * (1 - cast(l_discount as decimal(18,2)))) as total
+              from lineitem
+            )
+            select l_partkey, cast(rev as double) as part_value
+            from pp, tot
+            where rev * 10000 > total * 8
+        """,
+        "q17_small_quantity_revenue": """
+            with sel as (
+              select l.* from lineitem l
+              join part on l.l_partkey = p_partkey
+              where p_brand = 'Brand#23'
+            ),
+            stats as (
+              select l_partkey as sp, sum(l_quantity) as sum_qty,
+                     count(*) as cnt
+              from sel group by l_partkey
+            )
+            select cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                     / 7.0 as avg_yearly,
+                   cast(count(*) as bigint) as n_lines
+            from sel join stats on l_partkey = sp
+            where 5 * l_quantity * cnt < sum_qty
+        """,
+        "q20_part_shipment_suppliers": """
+            select s_suppkey, s_name, n_name
+            from supplier
+            join nation on s_nationkey = n_nationkey
+            where s_suppkey in (
+              select l_suppkey from lineitem
+              join part on l_partkey = p_partkey
+              where p_name like 'red%'
+                and l_shipdate >= timestamp '1996-01-01'
+                and l_shipdate < timestamp '1997-01-01'
+              group by l_suppkey, l_partkey
+              having sum(l_quantity) > 60
+            )
+        """,
+        "q21_waiting_suppliers": """
+            with late as (
+              select l_orderkey, l_suppkey from lineitem
+              join orders on l_orderkey = o_orderkey
+              where o_orderstatus = 'F'
+                and l_shipdate > o_orderdate + interval 90 day
+            ),
+            l1 as (
+              select * from late t1
+              where exists (select 1 from lineitem l2
+                            where l2.l_orderkey = t1.l_orderkey
+                              and l2.l_suppkey <> t1.l_suppkey)
+                and not exists (select 1 from late l3
+                                where l3.l_orderkey = t1.l_orderkey
+                                  and l3.l_suppkey <> t1.l_suppkey)
+            )
+            select s_suppkey, s_name, cast(count(*) as bigint) as numwait
+            from l1 join supplier on l_suppkey = s_suppkey
+            group by s_suppkey, s_name
         """,
         "q2_min_cost_parts": """
             select p_partkey, p_name, p_type,

@@ -478,6 +478,9 @@ def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
         "ntile_customer_quartiles", "approx_quantile_orders",
         "dedup_embedding_cosine", "pipeline_entity_resolution",
         "pipeline_training_batches", "dedup_clusters", "dedup_survivors",
+        # q11: the global-revenue scalar (one aggregate row) cross-joined
+        # into the per-part HAVING compare — bounded by construction
+        "q11_top_part_value",
     }
     SKIP = {
         n
@@ -514,3 +517,18 @@ def test_q13_q15_q16_plan_shapes(spark, sf_dir):
     assert "Sort [rev_dec" not in p15  # filter against the max, never a global sort
     q16 = plan_str(entry_mod.queries()["q16_supplier_variety"](spark, sf_dir), "formatted")
     assert "count(distinct" in q16 or "count(l_suppkey" in q16  # expanded 2-phase distinct
+
+
+def test_q21_q9_plan_shapes(spark, sf_dir):
+    """Q21: the EXISTS/NOT-EXISTS pair must plan as LEFT SEMI + LEFT ANTI
+    joins (equi on the order key with an inequality residual), never a
+    cartesian. Q9: all three dims reach the fact join as broadcasts; the
+    only non-broadcast join is lineitem-orders."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q21 = plan_str(entry_mod.queries()["q21_waiting_suppliers"](spark, sf_dir), "simple")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+    q9 = plan_str(entry_mod.queries()["q9_product_profit"](spark, sf_dir), "simple")
+    assert q9.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in q9
