@@ -2419,6 +2419,22 @@ def _multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg(synth_jpeg(docs))
 
 
+def _multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR baseline JPEG decode (stdlib only): interleaved YCbCr
+    4:4:4 MCUs with per-component DC predictors and quant tables, BT.601
+    conversion with documented floor(x+0.5) rounding so the oracle's SQL
+    floor reproduces every channel value bit-exactly. DC-only synth
+    keeps the means analytic; AC paths are unit-pinned vs a reference
+    IDCT on the shared block codec."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_jpeg_color,
+        synth_jpeg_color,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_color(synth_jpeg_color(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3668,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statestore_read_counts": _statestore_read_counts,
         "multimodal_gif_decode": _multimodal_gif_decode,
         "multimodal_jpeg_decode": _multimodal_jpeg_decode,
+        "multimodal_jpeg_color_decode": _multimodal_jpeg_color_decode,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -5820,6 +5837,46 @@ def oracle_sql() -> dict[str, str]:
                    cast(bh * 8 as int) as height,
                    cast(bw * bh as int) as n_blocks,
                    cast(s * 1000 // (bw * bh) as bigint) as mean_gray_milli
+            from sums
+        """,
+        "multimodal_jpeg_color_decode": """
+            with ids as (
+              select doc_id,
+                     cast(1 + doc_id % 3 as int) as bw,
+                     cast(1 + doc_id % 2 as int) as bh
+              from documents
+            ),
+            blocks as (
+              select i.doc_id, i.bw, i.bh,
+                     ((5 * bx.bx + 11 * by.by + i.doc_id) % 161) - 80 + 128 as y,
+                     ((3 * bx.bx + 7 * by.by + i.doc_id) % 101) - 50 + 128 as cb,
+                     ((7 * bx.bx + 5 * by.by + i.doc_id) % 101) - 50 + 128 as cr
+              from ids i,
+                   lateral (select unnest(range(0, i.bw)) as bx) bx,
+                   lateral (select unnest(range(0, i.bh)) as by) by
+            ),
+            rgb as (
+              select doc_id, bw, bh,
+                     least(greatest(cast(floor(y + 1.402 * (cr - 128) + 0.5)
+                                         as bigint), 0), 255) as r,
+                     least(greatest(cast(floor(y - 0.344136 * (cb - 128)
+                                               - 0.714136 * (cr - 128) + 0.5)
+                                         as bigint), 0), 255) as g,
+                     least(greatest(cast(floor(y + 1.772 * (cb - 128) + 0.5)
+                                         as bigint), 0), 255) as b
+              from blocks
+            ),
+            sums as (
+              select doc_id, bw, bh,
+                     sum(r) as sr, sum(g) as sg, sum(b) as sb
+              from rgb group by doc_id, bw, bh
+            )
+            select doc_id,
+                   cast(bw * 8 as int) as width,
+                   cast(bh * 8 as int) as height,
+                   cast(sr * 1000 // (bw * bh) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (bw * bh) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (bw * bh) as bigint) as mean_b_milli
             from sums
         """,
         "multimodal_gif_decode": """

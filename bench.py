@@ -62,6 +62,7 @@ BENCH_QUERIES = (
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
 )
 
 

@@ -8,10 +8,12 @@ signature, pixel offset, padded BGR rows), ``decode_png`` (chunk CRCs,
 zlib IDAT, all five scanline filters), ``decode_gif`` (block walk + full
 GIF-variant LZW inflate), ``decode_wav`` (RIFF chunk walk + 16-bit PCM)
 ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), and ``decode_jpeg``
-(baseline grayscale: Huffman entropy decode, dequant, zigzag, IDCT), all
+/ ``decode_jpeg_color`` (baseline JPEG, grayscale and YCbCr 4:4:4:
+Huffman entropy decode, dequant, zigzag, IDCT, BT.601 conversion), all
 oracle-verified against analytically recomputed features. The generic
 ``decode_payload`` stays a deterministic stand-in for codecs that
-genuinely need external libraries (color/progressive JPEG, H.264): it
+genuinely need external libraries (subsampled/progressive JPEG, H.264):
+it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -1020,6 +1022,87 @@ def _jpeg_idct_c():
     return [1 / math.sqrt(2)] + [1.0] * 7
 
 
+class _JpegBitWriter:
+    """Entropy-segment bit sink with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _jpeg_write_block(w, blk, dc_huff, ac_huff, prev_dc):
+    """Entropy-encode one NATURAL-order quantized block; returns the new
+    DC predictor (per-component in interleaved scans)."""
+
+    def category(v):
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    def coeff_bits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = category(diff)
+    w.write(*dc_huff[s])
+    if s:
+        w.write(coeff_bits(diff, s), s)
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    run = 0
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_huff[0xF0])
+            run -= 16
+        s = category(zz[i])
+        w.write(*ac_huff[(run << 4) | s])
+        w.write(coeff_bits(zz[i], s), s)
+        run = 0
+    if last_nz < 63:
+        w.write(*ac_huff[0x00])
+    return zz[0]
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dqt_seg(table_id, qtable):
+    return _jpeg_seg(
+        0xDB, bytes([table_id]) + bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+
+
+def _jpeg_dht_segs():
+    return _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
+
+
 def _jpeg_encode_gray(width, height, blocks, qtable):
     """Baseline grayscale JFIF from row-major 64-length NATURAL-order
     quantized coefficient blocks; real Huffman entropy coding with DC
@@ -1028,80 +1111,66 @@ def _jpeg_encode_gray(width, height, blocks, qtable):
 
     dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    out, acc, nbits = bytearray(), 0, 0
-
-    def write(code, length):
-        nonlocal acc, nbits
-        acc = (acc << length) | (code & ((1 << length) - 1))
-        nbits += length
-        while nbits >= 8:
-            b = (acc >> (nbits - 8)) & 0xFF
-            out.append(b)
-            if b == 0xFF:
-                out.append(0x00)
-            nbits -= 8
-
-    def category(v):
-        return v.bit_length() if v > 0 else (-v).bit_length()
-
-    def coeff_bits(v, s):
-        return v if v >= 0 else v + (1 << s) - 1
-
+    w = _JpegBitWriter()
     prev_dc = 0
     for blk in blocks:
-        zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
-        diff = zz[0] - prev_dc
-        prev_dc = zz[0]
-        s = category(diff)
-        write(*dc_huff[s])
-        if s:
-            write(coeff_bits(diff, s), s)
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-        run = 0
-        for i in range(1, last_nz + 1):
-            if zz[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                write(*ac_huff[0xF0])
-                run -= 16
-            s = category(zz[i])
-            write(*ac_huff[(run << 4) | s])
-            write(coeff_bits(zz[i], s), s)
-            run = 0
-        if last_nz < 63:
-            write(*ac_huff[0x00])
-    if nbits:
-        pad = 8 - nbits
-        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
-        out.append(b)
-        if b == 0xFF:
-            out.append(0x00)
-    scan = bytes(out)
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    dqt = seg(0xDB, bytes([0x00]) + bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64)))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
-    dht = seg(
-        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
-    ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
-    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        prev_dc = _jpeg_write_block(w, blk, dc_huff, ac_huff, prev_dc)
+    scan = w.flush()
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
+    sos = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return (
+        b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + sof + _jpeg_dht_segs() + sos
+        + scan + b"\xff\xd9"
+    )
 
 
-def _jpeg_decode_gray(data):
-    """Full baseline grayscale decode: (width, height, pixels row-major).
-    Rejects progressive/multi-component/subsampled/restart-interval
-    files and non-multiple-of-8 geometry (out of scope, like interlaced
-    GIF)."""
+def _jpeg_encode_color(width, height, comp_blocks, qy, qc):
+    """Baseline YCbCr 4:4:4 JFIF: ``comp_blocks`` = (y, cb, cr) lists of
+    row-major NATURAL-order quantized blocks. MCUs interleave one block
+    per component with per-component DC predictors; Y uses quant table 0,
+    chroma table 1; all components share the (legal) luminance Huffman
+    tables."""
+    import struct
+
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    preds = [0, 0, 0]
+    n_mcu = (width // 8) * (height // 8)
+    for m in range(n_mcu):
+        for c in range(3):
+            preds[c] = _jpeg_write_block(w, comp_blocks[c][m], dc_huff, ac_huff, preds[c])
+    scan = w.flush()
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x11, 0))
+        + bytes((2, 0x11, 1))
+        + bytes((3, 0x11, 1)),
+    )
+    sos = _jpeg_seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    return (
+        b"\xff\xd8" + _jpeg_dqt_seg(0, qy) + _jpeg_dqt_seg(1, qc) + sof
+        + _jpeg_dht_segs() + sos + scan + b"\xff\xd9"
+    )
+
+
+def _jpeg_decode_planes(data):
+    """Full baseline decode to per-component planes: (width, height,
+    [plane, ...]) with each plane a row-major list of clamped 0..255
+    samples. 1 (grayscale) or 3 (YCbCr, interleaved one-block-per-
+    component MCUs) components, all sampled 1x1 (4:4:4). Rejects
+    progressive/subsampled/restart-interval files and non-multiple-of-8
+    geometry (out of scope, like interlaced GIF)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos, qtables, huff = 2, {}, {}
-    width = height = qsel = scan_start = None
+    width = height = scan_start = None
+    comp_q = {}
+    comp_order = []
+    scan_sel = {}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1124,11 +1193,14 @@ def _jpeg_decode_gray(data):
                 p += 65
         elif marker == 0xC0:
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            qsel = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            for c in range(ncomp):
+                cid, sampling, qsel = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("subsampling unsupported")
+                comp_order.append(cid)
+                comp_q[cid] = qsel
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) supported")
@@ -1143,17 +1215,18 @@ def _jpeg_decode_gray(data):
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
-            if body[0] != 1:
-                raise ValueError("single-component scan only")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comp_order):
+                raise ValueError("scan must cover every frame component")
+            for c in range(ns):
+                cid, sel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
             scan_start = pos
             break
     if width is None or scan_start is None:
         raise ValueError("missing SOF0 or SOS")
     if width % 8 or height % 8 or width == 0 or height == 0:
         raise ValueError("only non-empty multiple-of-8 geometry supported")
-    q = qtables[qsel]
-    dct, act = huff[(0, dc_sel)], huff[(1, ac_sel)]
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("missing EOI")
@@ -1190,39 +1263,83 @@ def _jpeg_decode_gray(data):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     bw, bh = width // 8, height // 8
-    pixels = [0] * (width * height)
-    prev_dc = 0
+    planes = [[0] * (width * height) for _ in comp_order]
+    preds = [0] * len(comp_order)
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            s = read_huff(dct)
-            prev_dc += extend(read(s), s) if s else 0
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = read_huff(act)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    i += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = extend(read(size), size)
-                i += 1
-            coefs = [0] * 64
-            for i in range(64):
-                coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
-            block = _jpeg_idct_2d(coefs)
-            for yy in range(8):
-                for xx in range(8):
-                    v = int(round(block[yy * 8 + xx])) + 128
-                    pixels[(by * 8 + yy) * width + (bx * 8 + xx)] = (
-                        0 if v < 0 else (255 if v > 255 else v)
-                    )
-    return width, height, pixels
+            for ci, cid in enumerate(comp_order):
+                dct = huff[(0, scan_sel[cid][0])]
+                act = huff[(1, scan_sel[cid][1])]
+                q = qtables[comp_q[cid]]
+                zz = [0] * 64
+                s = read_huff(dct)
+                preds[ci] += extend(read(s), s) if s else 0
+                zz[0] = preds[ci]
+                i = 1
+                while i < 64:
+                    rs = read_huff(act)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        i += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zz[i] = extend(read(size), size)
+                    i += 1
+                coefs = [0] * 64
+                for i in range(64):
+                    coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
+                block = _jpeg_idct_2d(coefs)
+                plane = planes[ci]
+                for yy in range(8):
+                    for xx in range(8):
+                        v = int(round(block[yy * 8 + xx])) + 128
+                        plane[(by * 8 + yy) * width + (bx * 8 + xx)] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+    return width, height, planes
+
+
+def _jpeg_decode_gray(data):
+    """Single-component wrapper over :func:`_jpeg_decode_planes`:
+    (width, height, pixels row-major)."""
+    width, height, planes = _jpeg_decode_planes(data)
+    if len(planes) != 1:
+        raise ValueError("expected a grayscale JPEG, got 3 components")
+    return width, height, planes[0]
+
+
+def _jpeg_ycbcr_to_rgb(y, cb, cr):
+    """ITU-R BT.601 full-range conversion with floor(x + 0.5) rounding —
+    explicitly NOT Python's banker's round, so the DuckDB oracle's
+    floor(x + 0.5) reproduces every value bit-exactly."""
+    import math
+
+    def cl(v):
+        f = math.floor(v + 0.5)
+        return 0 if f < 0 else (255 if f > 255 else int(f))
+
+    return (
+        cl(y + 1.402 * (cr - 128)),
+        cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        cl(y + 1.772 * (cb - 128)),
+    )
+
+
+def _jpeg_decode_rgb(data):
+    """Three-component wrapper: decode YCbCr planes and convert to RGB
+    per pixel; (width, height, r_plane, g_plane, b_plane)."""
+    width, height, planes = _jpeg_decode_planes(data)
+    if len(planes) != 3:
+        raise ValueError("expected a color JPEG, got 1 component")
+    yp, cbp, crp = planes
+    rp, gp, bp = [0] * len(yp), [0] * len(yp), [0] * len(yp)
+    for i in range(len(yp)):
+        rp[i], gp[i], bp[i] = _jpeg_ycbcr_to_rgb(yp[i], cbp[i], crp[i])
+    return width, height, rp, gp, bp
 
 
 def _jpeg_bytes(doc_id: int) -> bytes:
@@ -1277,3 +1394,70 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=JPEG_DECODED_SCHEMA)
+
+
+JPEG_COLOR_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "mean_r_milli bigint, mean_g_milli bigint, mean_b_milli bigint"
+)
+
+
+def _jpeg_color_bytes(doc_id: int) -> bytes:
+    """Deterministic DC-only COLOR baseline JPEG: (1+id%3) x (1+id%2)
+    MCUs, q[0]=8 for both tables so each component's decoded block value
+    is exactly dc+128; per-block
+    dcY = ((5bx+11by+id)%161)-80, dcCb = ((3bx+7by+id)%101)-50,
+    dcCr = ((7bx+5by+id)%101)-50 — the RGB means follow analytically
+    through the documented floor(x+0.5) BT.601 conversion."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    qy = [8] + [16] * 63
+    qc = [8] + [24] * 63
+    ys, cbs, crs = [], [], []
+    for by in range(bh):
+        for bx in range(bw):
+            ys.append([((5 * bx + 11 * by + doc_id) % 161) - 80] + [0] * 63)
+            cbs.append([((3 * bx + 7 * by + doc_id) % 101) - 50] + [0] * 63)
+            crs.append([((7 * bx + 5 * by + doc_id) % 101) - 50] + [0] * 63)
+    return _jpeg_encode_color(bw * 8, bh * 8, (ys, cbs, crs), qy, qc)
+
+
+def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_jpeg_color_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_jpeg_color(df: DataFrame) -> DataFrame:
+    """Arrow-batched full color baseline JPEG decode: interleaved YCbCr
+    MCUs with per-component DC predictors and quant tables, then BT.601
+    conversion (see :func:`_jpeg_ycbcr_to_rgb`); exact integer channel
+    means."""
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        w, h, rp, gp, bp = _jpeg_decode_rgb(data)
+        n = w * h
+        return (w, h, sum(rp) * 1000 // n, sum(gp) * 1000 // n, sum(bp) * 1000 // n)
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_r_milli": [f[2] for f in feats],
+                    "mean_g_milli": [f[3] for f in feats],
+                    "mean_b_milli": [f[4] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=JPEG_COLOR_DECODED_SCHEMA)

@@ -502,3 +502,95 @@ def test_jpeg_decoder_rejects_unsupported():
         _jpeg_decode_gray(bytes(good))
     with pytest.raises(ValueError):
         _jpeg_decode_gray(_jpeg_bytes(3)[:-4])  # truncated: no EOI
+
+
+def test_jpeg_color_dc_only_exact(spark):
+    """Color DC-only blocks decode to exactly the BT.601 conversion of
+    (dcY+128, dcCb+128, dcCr+128) — pins the interleaved-MCU walk,
+    per-component DC predictors, two quant tables, and the documented
+    floor(x+0.5) rounding."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_color_bytes,
+        _jpeg_ycbcr_to_rgb,
+        decode_jpeg_color,
+    )
+
+    cases = [0, 1, 4, 11]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": cases, "data": [_jpeg_color_bytes(i) for i in cases]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in decode_jpeg_color(df).collect()}
+    for doc_id in cases:
+        bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+        sr = sg = sb = 0
+        for by in range(bh):
+            for bx in range(bw):
+                y = ((5 * bx + 11 * by + doc_id) % 161) - 80 + 128
+                cb = ((3 * bx + 7 * by + doc_id) % 101) - 50 + 128
+                cr = ((7 * bx + 5 * by + doc_id) % 101) - 50 + 128
+                r_, g_, b_ = _jpeg_ycbcr_to_rgb(y, cb, cr)
+                sr, sg, sb = sr + r_, sg + g_, sb + b_
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (bw * 8, bh * 8)
+        nb = bw * bh
+        assert r["mean_r_milli"] == sr * 1000 // nb
+        assert r["mean_g_milli"] == sg * 1000 // nb
+        assert r["mean_b_milli"] == sb * 1000 // nb
+
+
+def test_jpeg_color_ac_blocks_roundtrip():
+    """Color files with AC coefficients in every component round-trip
+    through encoder+decoder and match the reference IDCT per plane —
+    the interleaved entropy stream keeps components separable."""
+    import random
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_planes,
+        _jpeg_encode_color,
+        _jpeg_idct_2d,
+    )
+
+    rnd = random.Random(29)
+    qy, qc = [8] + [16] * 63, [8] + [24] * 63
+    comp_blocks = ([], [], [])
+    for _ in range(4):  # 2x2 MCUs at 16x16
+        for c in range(3):
+            blk = [0] * 64
+            blk[0] = rnd.randrange(-30, 31)
+            for _ in range(5):
+                blk[rnd.randrange(1, 64)] = rnd.randrange(-7, 8)
+            comp_blocks[c].append(blk)
+    data = _jpeg_encode_color(16, 16, comp_blocks, qy, qc)
+    w, h, planes = _jpeg_decode_planes(data)
+    assert (w, h, len(planes)) == (16, 16, 3)
+    for c, q in ((0, qy), (1, qc), (2, qc)):
+        k = 0
+        for by in range(2):
+            for bx in range(2):
+                ref = _jpeg_idct_2d([comp_blocks[c][k][i] * q[i] for i in range(64)])
+                for yy in range(8):
+                    for xx in range(8):
+                        want = max(0, min(255, int(round(ref[yy * 8 + xx])) + 128))
+                        got = planes[c][(by * 8 + yy) * w + bx * 8 + xx]
+                        assert got == want, (c, bx, by, xx, yy)
+                k += 1
+
+
+def test_jpeg_gray_color_wrappers_reject_mismatch():
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_color_bytes,
+        _jpeg_decode_gray,
+        _jpeg_decode_rgb,
+    )
+
+    with pytest.raises(ValueError, match="3 components"):
+        _jpeg_decode_gray(_jpeg_color_bytes(3))
+    with pytest.raises(ValueError, match="1 component"):
+        _jpeg_decode_rgb(_jpeg_bytes(3))
