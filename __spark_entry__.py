@@ -2435,6 +2435,20 @@ def _multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_jpeg_color(synth_jpeg_color(docs))
 
 
+def _multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 subsampled JPEG decode (stdlib only): 16x16 MCUs of
+    4 Y blocks + 1 Cb + 1 Cr, per-component predictors, replication
+    chroma upsampling (defined semantics), BT.601 with floor(x+0.5).
+    DC-only synth keeps the means analytic per Y-block/MCU pair."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_jpeg_420,
+        synth_jpeg_420,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_420(synth_jpeg_420(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3685,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": _multimodal_gif_decode,
         "multimodal_jpeg_decode": _multimodal_jpeg_decode,
         "multimodal_jpeg_color_decode": _multimodal_jpeg_color_decode,
+        "multimodal_jpeg_420_decode": _multimodal_jpeg_420_decode,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -5877,6 +5892,48 @@ def oracle_sql() -> dict[str, str]:
                    cast(sr * 1000 // (bw * bh) as bigint) as mean_r_milli,
                    cast(sg * 1000 // (bw * bh) as bigint) as mean_g_milli,
                    cast(sb * 1000 // (bw * bh) as bigint) as mean_b_milli
+            from sums
+        """,
+        "multimodal_jpeg_420_decode": """
+            with ids as (
+              select doc_id,
+                     cast(1 + doc_id % 2 as int) as mw,
+                     cast(1 + doc_id % 2 as int) as mh
+              from documents
+            ),
+            yblocks as (
+              select i.doc_id, i.mw, i.mh,
+                     ((5 * bx.bx + 11 * by.by + i.doc_id) % 161) - 80 + 128 as y,
+                     ((3 * (bx.bx // 2) + 7 * (by.by // 2) + i.doc_id) % 101)
+                       - 50 + 128 as cb,
+                     ((7 * (bx.bx // 2) + 5 * (by.by // 2) + i.doc_id) % 101)
+                       - 50 + 128 as cr
+              from ids i,
+                   lateral (select unnest(range(0, 2 * i.mw)) as bx) bx,
+                   lateral (select unnest(range(0, 2 * i.mh)) as by) by
+            ),
+            rgb as (
+              select doc_id, mw, mh,
+                     least(greatest(cast(floor(y + 1.402 * (cr - 128) + 0.5)
+                                         as bigint), 0), 255) as r,
+                     least(greatest(cast(floor(y - 0.344136 * (cb - 128)
+                                               - 0.714136 * (cr - 128) + 0.5)
+                                         as bigint), 0), 255) as g,
+                     least(greatest(cast(floor(y + 1.772 * (cb - 128) + 0.5)
+                                         as bigint), 0), 255) as b
+              from yblocks
+            ),
+            sums as (
+              select doc_id, mw, mh,
+                     sum(r) as sr, sum(g) as sg, sum(b) as sb
+              from rgb group by doc_id, mw, mh
+            )
+            select doc_id,
+                   cast(mw * 16 as int) as width,
+                   cast(mh * 16 as int) as height,
+                   cast(sr * 1000 // (4 * mw * mh) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (4 * mw * mh) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (4 * mw * mh) as bigint) as mean_b_milli
             from sums
         """,
         "multimodal_gif_decode": """

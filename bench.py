@@ -63,6 +63,7 @@ BENCH_QUERIES = (
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_420_decode",
 )
 
 

@@ -8,12 +8,12 @@ signature, pixel offset, padded BGR rows), ``decode_png`` (chunk CRCs,
 zlib IDAT, all five scanline filters), ``decode_gif`` (block walk + full
 GIF-variant LZW inflate), ``decode_wav`` (RIFF chunk walk + 16-bit PCM)
 ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), and ``decode_jpeg``
-/ ``decode_jpeg_color`` (baseline JPEG, grayscale and YCbCr 4:4:4:
-Huffman entropy decode, dequant, zigzag, IDCT, BT.601 conversion), all
+/ ``decode_jpeg_color`` / ``decode_jpeg_420`` (baseline JPEG:
+grayscale, YCbCr 4:4:4, and 4:2:0 subsampled — Huffman entropy decode,
+dequant, zigzag, IDCT, chroma upsampling, BT.601 conversion), all
 oracle-verified against analytically recomputed features. The generic
 ``decode_payload`` stays a deterministic stand-in for codecs that
-genuinely need external libraries (subsampled/progressive JPEG, H.264):
-it
+genuinely need external libraries (progressive JPEG, H.264): it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -1158,10 +1158,16 @@ def _jpeg_encode_color(width, height, comp_blocks, qy, qc):
 def _jpeg_decode_planes(data):
     """Full baseline decode to per-component planes: (width, height,
     [plane, ...]) with each plane a row-major list of clamped 0..255
-    samples. 1 (grayscale) or 3 (YCbCr, interleaved one-block-per-
-    component MCUs) components, all sampled 1x1 (4:4:4). Rejects
-    progressive/subsampled/restart-interval files and non-multiple-of-8
-    geometry (out of scope, like interlaced GIF)."""
+    samples AT FULL IMAGE RESOLUTION. 1 (grayscale) or 3 (YCbCr)
+    components with sampling factors 1 or 2 per axis — 4:4:4 (all 1x1),
+    4:2:0 (Y 2x2, chroma 1x1), and the 4:2:2 variants all decode;
+    interleaved MCUs carry h*v blocks per component in row-major order
+    with per-component DC predictors. Subsampled planes are upsampled by
+    sample REPLICATION (chroma at (x, y) reads the subsampled plane at
+    (x * cw // width, y * ch // height)) — the defined semantics the
+    oracle mirrors. Rejects progressive/restart-interval files and
+    geometry not a multiple of the MCU size (out of scope, like
+    interlaced GIF)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1197,9 +1203,10 @@ def _jpeg_decode_planes(data):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
             for c in range(ncomp):
                 cid, sampling, qsel = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comp_order.append(cid)
+                ch_, cv_ = sampling >> 4, sampling & 0x0F
+                if ch_ not in (1, 2) or cv_ not in (1, 2):
+                    raise ValueError("sampling factors beyond 2 unsupported")
+                comp_order.append((cid, ch_, cv_))
                 comp_q[cid] = qsel
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -1225,8 +1232,11 @@ def _jpeg_decode_planes(data):
             break
     if width is None or scan_start is None:
         raise ValueError("missing SOF0 or SOS")
-    if width % 8 or height % 8 or width == 0 or height == 0:
-        raise ValueError("only non-empty multiple-of-8 geometry supported")
+    hmax = max(h for _, h, _ in comp_order)
+    vmax = max(v for _, _, v in comp_order)
+    if (width % (8 * hmax) or height % (8 * vmax)
+            or width == 0 or height == 0):
+        raise ValueError("geometry must be a non-empty multiple of the MCU size")
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("missing EOI")
@@ -1262,44 +1272,70 @@ def _jpeg_decode_planes(data):
     def extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    bw, bh = width // 8, height // 8
-    planes = [[0] * (width * height) for _ in comp_order]
+    # component planes at their subsampled resolution
+    dims = [
+        (width * h // hmax, height * v // vmax) for _, h, v in comp_order
+    ]
+    subplanes = [[0] * (cw * ch) for cw, ch in dims]
     preds = [0] * len(comp_order)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, cid in enumerate(comp_order):
+    n_mcu_x, n_mcu_y = width // (8 * hmax), height // (8 * vmax)
+
+    def decode_block(dct, act, q, ci):
+        zz = [0] * 64
+        s = read_huff(dct)
+        preds[ci] += extend(read(s), s) if s else 0
+        zz[0] = preds[ci]
+        i = 1
+        while i < 64:
+            rs = read_huff(act)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                i += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = extend(read(size), size)
+            i += 1
+        coefs = [0] * 64
+        for i in range(64):
+            coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
+        return _jpeg_idct_2d(coefs)
+
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci, (cid, h, v) in enumerate(comp_order):
                 dct = huff[(0, scan_sel[cid][0])]
                 act = huff[(1, scan_sel[cid][1])]
                 q = qtables[comp_q[cid]]
-                zz = [0] * 64
-                s = read_huff(dct)
-                preds[ci] += extend(read(s), s) if s else 0
-                zz[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    rs = read_huff(act)
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        i += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = extend(read(size), size)
-                    i += 1
-                coefs = [0] * 64
-                for i in range(64):
-                    coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
-                block = _jpeg_idct_2d(coefs)
-                plane = planes[ci]
-                for yy in range(8):
-                    for xx in range(8):
-                        v = int(round(block[yy * 8 + xx])) + 128
-                        plane[(by * 8 + yy) * width + (bx * 8 + xx)] = (
-                            0 if v < 0 else (255 if v > 255 else v)
-                        )
+                cw, _ = dims[ci]
+                plane = subplanes[ci]
+                for by2 in range(v):
+                    for bx2 in range(h):
+                        block = decode_block(dct, act, q, ci)
+                        x0 = (mx * h + bx2) * 8
+                        y0 = (my * v + by2) * 8
+                        for yy in range(8):
+                            for xx in range(8):
+                                val = int(round(block[yy * 8 + xx])) + 128
+                                plane[(y0 + yy) * cw + (x0 + xx)] = (
+                                    0 if val < 0 else (255 if val > 255 else val)
+                                )
+    # upsample subsampled planes to full resolution by replication
+    planes = []
+    for ci, (cw, ch) in enumerate(dims):
+        sub = subplanes[ci]
+        if (cw, ch) == (width, height):
+            planes.append(sub)
+            continue
+        full = [0] * (width * height)
+        for y in range(height):
+            row = (y * ch // height) * cw
+            for x in range(width):
+                full[y * width + x] = sub[row + (x * cw // width)]
+        planes.append(full)
     return width, height, planes
 
 
@@ -1439,6 +1475,107 @@ def decode_jpeg_color(df: DataFrame) -> DataFrame:
     MCUs with per-component DC predictors and quant tables, then BT.601
     conversion (see :func:`_jpeg_ycbcr_to_rgb`); exact integer channel
     means."""
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        w, h, rp, gp, bp = _jpeg_decode_rgb(data)
+        n = w * h
+        return (w, h, sum(rp) * 1000 // n, sum(gp) * 1000 // n, sum(bp) * 1000 // n)
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_r_milli": [f[2] for f in feats],
+                    "mean_g_milli": [f[3] for f in feats],
+                    "mean_b_milli": [f[4] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=JPEG_COLOR_DECODED_SCHEMA)
+
+
+def _jpeg_encode_420(width, height, yblocks, cbblocks, crblocks, qy, qc):
+    """Baseline YCbCr 4:2:0 JFIF: Y sampled 2x2, chroma 1x1 — each MCU
+    covers 16x16 pixels and carries 4 Y blocks (row-major) + 1 Cb + 1 Cr
+    with per-component DC predictors. ``yblocks`` is the row-major
+    global list over 8-px blocks; chroma lists are row-major over MCUs.
+    Geometry must be a multiple of 16."""
+    import struct
+
+    assert width % 16 == 0 and height % 16 == 0
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    preds = [0, 0, 0]
+    ybw = width // 8
+    n_mcu_x, n_mcu_y = width // 16, height // 16
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for by2 in range(2):
+                for bx2 in range(2):
+                    blk = yblocks[(2 * my + by2) * ybw + (2 * mx + bx2)]
+                    preds[0] = _jpeg_write_block(w, blk, dc_huff, ac_huff, preds[0])
+            m = my * n_mcu_x + mx
+            preds[1] = _jpeg_write_block(w, cbblocks[m], dc_huff, ac_huff, preds[1])
+            preds[2] = _jpeg_write_block(w, crblocks[m], dc_huff, ac_huff, preds[2])
+    scan = w.flush()
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x22, 0))
+        + bytes((2, 0x11, 1))
+        + bytes((3, 0x11, 1)),
+    )
+    sos = _jpeg_seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    return (
+        b"\xff\xd8" + _jpeg_dqt_seg(0, qy) + _jpeg_dqt_seg(1, qc) + sof
+        + _jpeg_dht_segs() + sos + scan + b"\xff\xd9"
+    )
+
+
+def _jpeg_420_bytes(doc_id: int) -> bytes:
+    """Deterministic DC-only 4:2:0 JPEG: (1+id%2) x (1+id%2) MCUs of
+    16x16 px. Per Y 8-px block (bx, by): dcY = ((5bx+11by+id)%161)-80;
+    per MCU (mx, my): dcCb = ((3mx+7my+id)%101)-50,
+    dcCr = ((7mx+5my+id)%101)-50."""
+    mw, mh = 1 + doc_id % 2, 1 + doc_id % 2
+    qy = [8] + [16] * 63
+    qc = [8] + [24] * 63
+    ys = []
+    for by in range(2 * mh):
+        for bx in range(2 * mw):
+            ys.append([((5 * bx + 11 * by + doc_id) % 161) - 80] + [0] * 63)
+    cbs, crs = [], []
+    for my in range(mh):
+        for mx in range(mw):
+            cbs.append([((3 * mx + 7 * my + doc_id) % 101) - 50] + [0] * 63)
+            crs.append([((7 * mx + 5 * my + doc_id) % 101) - 50] + [0] * 63)
+    return _jpeg_encode_420(mw * 16, mh * 16, ys, cbs, crs, qy, qc)
+
+
+def synth_jpeg_420(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_jpeg_420_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_jpeg_420(df: DataFrame) -> DataFrame:
+    """Arrow-batched 4:2:0 color JPEG decode — same output shape as
+    :func:`decode_jpeg_color`; the subsampled chroma planes are
+    replication-upsampled before BT.601 conversion (semantics defined in
+    :func:`_jpeg_decode_planes`)."""
     from collections.abc import Iterator as _It
 
     def _one(data: bytes) -> tuple:

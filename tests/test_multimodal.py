@@ -594,3 +594,89 @@ def test_jpeg_gray_color_wrappers_reject_mismatch():
         _jpeg_decode_gray(_jpeg_color_bytes(3))
     with pytest.raises(ValueError, match="1 component"):
         _jpeg_decode_rgb(_jpeg_bytes(3))
+
+
+def test_jpeg_420_dc_only_exact(spark):
+    """4:2:0 DC-only files: every pixel equals the BT.601 conversion of
+    its Y block's value with its MCU's replicated chroma — pins the
+    4-Y-blocks-per-MCU walk, the subsampled plane geometry, and the
+    replication upsampling."""
+    import pandas as pd
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_420_bytes,
+        _jpeg_ycbcr_to_rgb,
+        decode_jpeg_420,
+    )
+
+    cases = [0, 1, 3, 8]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": cases, "data": [_jpeg_420_bytes(i) for i in cases]})
+    )
+    rows = {r["doc_id"]: r for r in decode_jpeg_420(df).collect()}
+    for doc_id in cases:
+        mw = mh = 1 + doc_id % 2
+        sr = sg = sb = 0
+        for by in range(2 * mh):
+            for bx in range(2 * mw):
+                y = ((5 * bx + 11 * by + doc_id) % 161) - 80 + 128
+                cb = ((3 * (bx // 2) + 7 * (by // 2) + doc_id) % 101) - 50 + 128
+                cr = ((7 * (bx // 2) + 5 * (by // 2) + doc_id) % 101) - 50 + 128
+                r_, g_, b_ = _jpeg_ycbcr_to_rgb(y, cb, cr)
+                sr, sg, sb = sr + r_, sg + g_, sb + b_
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (mw * 16, mh * 16)
+        nb = 4 * mw * mh
+        assert r["mean_r_milli"] == sr * 1000 // nb
+        assert r["mean_g_milli"] == sg * 1000 // nb
+        assert r["mean_b_milli"] == sb * 1000 // nb
+
+
+def test_jpeg_420_ac_blocks_decode():
+    """4:2:0 with AC coefficients: Y blocks vary within the MCU and the
+    decoder must keep the four Y blocks and the chroma planes straight —
+    checked against the reference IDCT with manual upsampling."""
+    import random
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_planes,
+        _jpeg_encode_420,
+        _jpeg_idct_2d,
+    )
+
+    rnd = random.Random(5)
+    qy, qc = [8] + [16] * 63, [8] + [24] * 63
+
+    def rand_block():
+        blk = [0] * 64
+        blk[0] = rnd.randrange(-30, 31)
+        for _ in range(4):
+            blk[rnd.randrange(1, 64)] = rnd.randrange(-7, 8)
+        return blk
+
+    ys = [rand_block() for _ in range(8)]  # 2x1 MCUs -> 4x2 Y blocks
+    cbs = [rand_block() for _ in range(2)]
+    crs = [rand_block() for _ in range(2)]
+    data = _jpeg_encode_420(32, 16, ys, cbs, crs, qy, qc)
+    w, h, planes = _jpeg_decode_planes(data)
+    assert (w, h, len(planes)) == (32, 16, 3)
+
+    def clamp_px(f):
+        v = int(round(f)) + 128
+        return max(0, min(255, v))
+
+    # Y plane: full resolution, block (bx, by) at global position
+    for by in range(2):
+        for bx in range(4):
+            ref = _jpeg_idct_2d([ys[by * 4 + bx][i] * qy[i] for i in range(64)])
+            for yy in range(8):
+                for xx in range(8):
+                    assert planes[0][(by * 8 + yy) * w + bx * 8 + xx] == clamp_px(
+                        ref[yy * 8 + xx]
+                    )
+    # chroma: 16x8 subsampled, replicated 2x — spot-check corners per MCU
+    for m in range(2):
+        ref = _jpeg_idct_2d([cbs[m][i] * qc[i] for i in range(64)])
+        assert planes[1][m * 16] == clamp_px(ref[0])  # top-left, upsampled
+        assert planes[1][m * 16 + 1] == clamp_px(ref[0])  # replicated right
+        assert planes[1][w + m * 16] == clamp_px(ref[0])  # replicated down
