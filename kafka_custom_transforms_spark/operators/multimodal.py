@@ -979,11 +979,20 @@ def _jpeg_huff_table(bits, vals):
 
 
 def _jpeg_idct_2d(coefs):
-    """Separable 8x8 float IDCT (natural-order coefs -> 64 floats)."""
+    """Separable 8x8 float IDCT (natural-order coefs -> 64 floats).
+
+    DC-only blocks (every AC zero — the overwhelmingly common case in
+    flat regions, and what libjpeg also special-cases) shortcut to the
+    constant block value computed with EXACTLY the same operation order
+    as the general loop ((c0 * ((c0 * F00) / 2)) / 2, not F00/8 — c0^2
+    is one ulp off 0.5 in doubles), so the shortcut is bit-identical."""
     import math
 
     cos = _jpeg_idct_cos()
     c = _jpeg_idct_c()
+    if not any(coefs[1:]):
+        v = (c[0] * ((c[0] * coefs[0]) / 2.0)) / 2.0
+        return [v] * 64
     tmp = [[0.0] * 8 for _ in range(8)]
     for v in range(8):
         row = coefs[v * 8 : v * 8 + 8]
@@ -1331,10 +1340,18 @@ def _jpeg_decode_planes(data):
             planes.append(sub)
             continue
         full = [0] * (width * height)
-        for y in range(height):
-            row = (y * ch // height) * cw
-            for x in range(width):
-                full[y * width + x] = sub[row + (x * cw // width)]
+        if (2 * cw, 2 * ch) == (width, height):
+            # 2x2 replication (4:2:0): double each sample, then each row
+            for sy in range(ch):
+                row = sub[sy * cw : (sy + 1) * cw]
+                wide = [v for v in row for _ in (0, 1)]
+                full[(2 * sy) * width : (2 * sy + 1) * width] = wide
+                full[(2 * sy + 1) * width : (2 * sy + 2) * width] = wide
+        else:
+            for y in range(height):
+                row = (y * ch // height) * cw
+                for x in range(width):
+                    full[y * width + x] = sub[row + (x * cw // width)]
         planes.append(full)
     return width, height, planes
 
@@ -1373,8 +1390,15 @@ def _jpeg_decode_rgb(data):
         raise ValueError("expected a color JPEG, got 1 component")
     yp, cbp, crp = planes
     rp, gp, bp = [0] * len(yp), [0] * len(yp), [0] * len(yp)
+    # memoize per file: sample triples repeat heavily (flat blocks repeat
+    # them 64x), and the cache cannot exceed the pixel count
+    cache: dict = {}
     for i in range(len(yp)):
-        rp[i], gp[i], bp[i] = _jpeg_ycbcr_to_rgb(yp[i], cbp[i], crp[i])
+        k = (yp[i], cbp[i], crp[i])
+        v = cache.get(k)
+        if v is None:
+            v = cache[k] = _jpeg_ycbcr_to_rgb(*k)
+        rp[i], gp[i], bp[i] = v
     return width, height, rp, gp, bp
 
 
