@@ -2449,6 +2449,37 @@ def _multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_420(synth_jpeg_420(docs))
 
 
+def _stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode inside a REAL Structured Streaming job: document
+    ids arrive as a file stream, each micro-batch synthesizes payloads
+    and runs the stdlib PNG decoder (mapInPandas is stateless, so it is
+    legal in append-mode streams and micro-batch boundaries cannot
+    change per-row results), appending to a checkpointed parquet sink.
+    Same analytic oracle as the batch multimodal_png_decode row —
+    stream/batch parity for the decode family."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_png,
+        synth_png,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcts-mm-stream-")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.write.parquet(d + "/staged")
+    stream_docs = spark.readStream.schema(docs.schema).parquet(d + "/staged")
+    out = decode_png(synth_png(stream_docs))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", d + "/sink")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink")
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3700,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": _multimodal_jpeg_decode,
         "multimodal_jpeg_color_decode": _multimodal_jpeg_color_decode,
         "multimodal_jpeg_420_decode": _multimodal_jpeg_420_decode,
+        "stream_multimodal_decode": _stream_multimodal_decode,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -5964,6 +5996,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(sr * 1000 // (w * h * nf) as bigint) as mean_r_milli,
                    cast(sg * 1000 // (w * h * nf) as bigint) as mean_g_milli,
                    cast(sb * 1000 // (w * h * nf) as bigint) as mean_b_milli
+            from sums
+        """,
+        "stream_multimodal_decode": """
+            with ids as (
+              select doc_id,
+                     cast(5 + doc_id % 8 as int) as w,
+                     cast(6 + doc_id % 7 as int) as h
+              from documents
+            ),
+            px as (
+              select i.doc_id, i.w, i.h, x.x, j.j
+              from ids i,
+                   lateral (select unnest(range(0, i.w)) as x) x,
+                   lateral (select unnest(range(0, i.h)) as j) j
+            ),
+            sums as (
+              select doc_id, w, h,
+                     sum((7 * x + 13 * j + doc_id) % 256) as sr,
+                     sum((7 * x + 13 * j + doc_id + 85) % 256) as sg,
+                     sum((7 * x + 13 * j + doc_id + 170) % 256) as sb
+              from px group by doc_id, w, h
+            )
+            select doc_id, w as width, h as height,
+                   cast(sr * 1000 // (w * h) as bigint) as mean_r_milli,
+                   cast(sg * 1000 // (w * h) as bigint) as mean_g_milli,
+                   cast(sb * 1000 // (w * h) as bigint) as mean_b_milli
             from sums
         """,
         "multimodal_png_decode": """
