@@ -1112,23 +1112,37 @@ def _jpeg_dht_segs():
     ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
 
 
-def _jpeg_encode_gray(width, height, blocks, qtable):
+def _jpeg_encode_gray(width, height, blocks, qtable, restart_interval=0):
     """Baseline grayscale JFIF from row-major 64-length NATURAL-order
     quantized coefficient blocks; real Huffman entropy coding with DC
-    diffs, AC run-length, EOB/ZRL, and byte stuffing."""
+    diffs, AC run-length, EOB/ZRL, and byte stuffing.
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers every
+    that many MCUs (byte-aligned, DC predictor reset) — the resync
+    mechanism real encoders use for error resilience and parallelism."""
     import struct
 
     dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     prev_dc = 0
-    for blk in blocks:
+    rst = 0
+    for m, blk in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()  # byte-align with 1-padding, keep accumulating
+            w.out += bytes((0xFF, 0xD0 + rst))  # marker: NOT byte-stuffed
+            rst = (rst + 1) & 7
+            prev_dc = 0
         prev_dc = _jpeg_write_block(w, blk, dc_huff, ac_huff, prev_dc)
     scan = w.flush()
     sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
     sos = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + sof + _jpeg_dht_segs() + sos
+        b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + dri + sof + _jpeg_dht_segs() + sos
         + scan + b"\xff\xd9"
     )
 
@@ -1174,9 +1188,10 @@ def _jpeg_decode_planes(data):
     with per-component DC predictors. Subsampled planes are upsampled by
     sample REPLICATION (chroma at (x, y) reads the subsampled plane at
     (x * cw // width, y * ch // height)) — the defined semantics the
-    oracle mirrors. Rejects progressive/restart-interval files and
-    geometry not a multiple of the MCU size (out of scope, like
-    interlaced GIF)."""
+    oracle mirrors. DRI restart intervals are honored (byte-aligned
+    RST0-7 markers verified in sequence, DC predictors reset). Rejects
+    progressive files and geometry not a multiple of the MCU size (out
+    of scope, like interlaced GIF)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1186,6 +1201,7 @@ def _jpeg_decode_planes(data):
     comp_q = {}
     comp_order = []
     scan_sel = {}
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1229,7 +1245,7 @@ def _jpeg_decode_planes(data):
                 huff[(tc, th)] = _jpeg_huff_table(bits, list(body[p + 17 : p + 17 + nv]))
                 p += 17 + nv
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comp_order):
@@ -1278,6 +1294,11 @@ def _jpeg_decode_planes(data):
                 return table[(length, code)]
         raise ValueError("invalid Huffman code")
 
+    def nonlocal_align():
+        nonlocal acc, nbits
+        acc = 0
+        nbits = 0
+
     def extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
@@ -1313,8 +1334,21 @@ def _jpeg_decode_planes(data):
             coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
         return _jpeg_idct_2d(coefs)
 
+    rst_expect = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            m = my * n_mcu_x + mx
+            if restart_interval and m and m % restart_interval == 0:
+                # byte-align (discard padding bits), consume RSTn, reset
+                # every DC predictor — resync semantics per the spec
+                nonlocal_align()
+                if (spos + 2 > len(scan) or scan[spos] != 0xFF
+                        or scan[spos + 1] != 0xD0 + rst_expect):
+                    raise ValueError("missing or out-of-sequence RST marker")
+                spos += 2
+                rst_expect = (rst_expect + 1) & 7
+                for ci2 in range(len(preds)):
+                    preds[ci2] = 0
             for ci, (cid, h, v) in enumerate(comp_order):
                 dct = huff[(0, scan_sel[cid][0])]
                 act = huff[(1, scan_sel[cid][1])]

@@ -680,3 +680,32 @@ def test_jpeg_420_ac_blocks_decode():
         assert planes[1][m * 16] == clamp_px(ref[0])  # top-left, upsampled
         assert planes[1][m * 16 + 1] == clamp_px(ref[0])  # replicated right
         assert planes[1][w + m * 16] == clamp_px(ref[0])  # replicated down
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI: files with RST markers decode exactly (byte realignment +
+    per-interval DC predictor reset), and an out-of-sequence marker
+    raises instead of silently desyncing."""
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    q = [8] + [16] * 63
+    dcs = [((7 * k) % 201) - 100 for k in range(12)]
+    blocks = [[dc] + [0] * 63 for dc in dcs]
+    for interval in (1, 2, 5):
+        data = _jpeg_encode_gray(32, 24, blocks, q, restart_interval=interval)
+        w, h, px = _jpeg_decode_gray(data)
+        k = 0
+        for by in range(3):
+            for bx in range(4):
+                assert px[(by * 8) * w + bx * 8] == dcs[k] + 128
+                k += 1
+    bad = bytearray(_jpeg_encode_gray(32, 24, blocks, q, restart_interval=2))
+    i = bad.find(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST"):
+        _jpeg_decode_gray(bytes(bad))
