@@ -2480,6 +2480,22 @@ def _stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(d + "/sink")
 
 
+def _multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG decode (stdlib only): SOF2 spectral-selection
+    files — a DC scan then an AC band scan with EOB-run coding and a
+    custom Huffman table — decode through the unified coefficient-store
+    path and produce bit-identical pixels to their baseline siblings
+    (equality test-pinned). Shares decode_jpeg and the grayscale oracle;
+    only the synth side differs (progressive transmission order)."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_jpeg_progressive(docs))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3732,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_color_decode": _multimodal_jpeg_color_decode,
         "multimodal_jpeg_420_decode": _multimodal_jpeg_420_decode,
         "stream_multimodal_decode": _stream_multimodal_decode,
+        "multimodal_jpeg_progressive_decode": _multimodal_jpeg_progressive_decode,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -5859,6 +5876,31 @@ def oracle_sql() -> dict[str, str]:
                    n as n_samples,
                    cast(n * 1000 // 8000 as bigint) as duration_ms,
                    cast(sa * 1000 // n as bigint) as mean_abs_milli
+            from sums
+        """,
+        "multimodal_jpeg_progressive_decode": """
+            with ids as (
+              select doc_id,
+                     cast(1 + doc_id % 3 as int) as bw,
+                     cast(1 + doc_id % 2 as int) as bh
+              from documents
+            ),
+            blocks as (
+              select i.doc_id, i.bw, i.bh,
+                     ((5 * bx.bx + 11 * by.by + i.doc_id) % 201) - 100 as dc
+              from ids i,
+                   lateral (select unnest(range(0, i.bw)) as bx) bx,
+                   lateral (select unnest(range(0, i.bh)) as by) by
+            ),
+            sums as (
+              select doc_id, bw, bh, sum(dc + 128) as s
+              from blocks group by doc_id, bw, bh
+            )
+            select doc_id,
+                   cast(bw * 8 as int) as width,
+                   cast(bh * 8 as int) as height,
+                   cast(bw * bh as int) as n_blocks,
+                   cast(s * 1000 // (bw * bh) as bigint) as mean_gray_milli
             from sums
         """,
         "multimodal_jpeg_decode": """

@@ -8,12 +8,14 @@ signature, pixel offset, padded BGR rows), ``decode_png`` (chunk CRCs,
 zlib IDAT, all five scanline filters), ``decode_gif`` (block walk + full
 GIF-variant LZW inflate), ``decode_wav`` (RIFF chunk walk + 16-bit PCM)
 ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), and ``decode_jpeg``
-/ ``decode_jpeg_color`` / ``decode_jpeg_420`` (baseline JPEG:
-grayscale, YCbCr 4:4:4, and 4:2:0 subsampled — Huffman entropy decode,
-dequant, zigzag, IDCT, chroma upsampling, BT.601 conversion), all
+/ ``decode_jpeg_color`` / ``decode_jpeg_420`` (DCT JPEG: baseline AND
+progressive (spectral selection), grayscale, YCbCr 4:4:4 and 4:2:0
+subsampled, DRI restart markers — Huffman entropy decode, dequant,
+zigzag, IDCT, chroma upsampling, BT.601 conversion), all
 oracle-verified against analytically recomputed features. The generic
 ``decode_payload`` stays a deterministic stand-in for codecs that
-genuinely need external libraries (progressive JPEG, H.264): it
+genuinely need external libraries (H.264 video; successive-approximation
+JPEG refinement): it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -1179,30 +1181,40 @@ def _jpeg_encode_color(width, height, comp_blocks, qy, qc):
 
 
 def _jpeg_decode_planes(data):
-    """Full baseline decode to per-component planes: (width, height,
+    """Full DCT-JPEG decode to per-component planes: (width, height,
     [plane, ...]) with each plane a row-major list of clamped 0..255
-    samples AT FULL IMAGE RESOLUTION. 1 (grayscale) or 3 (YCbCr)
-    components with sampling factors 1 or 2 per axis — 4:4:4 (all 1x1),
-    4:2:0 (Y 2x2, chroma 1x1), and the 4:2:2 variants all decode;
-    interleaved MCUs carry h*v blocks per component in row-major order
-    with per-component DC predictors. Subsampled planes are upsampled by
-    sample REPLICATION (chroma at (x, y) reads the subsampled plane at
-    (x * cw // width, y * ch // height)) — the defined semantics the
-    oracle mirrors. DRI restart intervals are honored (byte-aligned
-    RST0-7 markers verified in sequence, DC predictors reset). Rejects
-    progressive files and geometry not a multiple of the MCU size (out
-    of scope, like interlaced GIF)."""
+    samples AT FULL IMAGE RESOLUTION.
+
+    Supports BOTH baseline (SOF0, one interleaved scan) and PROGRESSIVE
+    (SOF2, spectral-selection profile: a DC scan plus per-component AC
+    band scans with EOB-run coding; successive approximation Ah/Al != 0
+    raises) — both decode through one unified coefficient store: every
+    scan deposits its band into per-block coefficient arrays, and
+    dequant + IDCT run once at the end, so a progressive file decodes
+    bit-identically to the baseline file with the same coefficients.
+
+    1 (grayscale) or 3 (YCbCr) components with sampling factors 1 or 2
+    per axis — 4:4:4, 4:2:0, and the 4:2:2 variants; interleaved MCUs
+    carry h*v blocks per component in row-major order with
+    per-component DC predictors; subsampled planes upsample by sample
+    REPLICATION (chroma at (x, y) reads (x * cw // width,
+    y * ch // height)) — the defined semantics the oracle mirrors. DRI
+    restart intervals are honored in every scan (byte-aligned RST0-7
+    verified in sequence; DC predictors and EOB runs reset). Rejects
+    geometry not a multiple of the MCU size (out of scope, like
+    interlaced GIF)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos, qtables, huff = 2, {}, {}
-    width = height = scan_start = None
+    width = height = None
     comp_q = {}
     comp_order = []
-    scan_sel = {}
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    scans = []  # (scan_comps [(cid, dc_sel, ac_sel)], Ss, Se, entropy bytes)
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
@@ -1222,10 +1234,11 @@ def _jpeg_decode_planes(data):
                     nat[_JPEG_ZIGZAG[i]] = body[p + 1 + i]
                 qtables[tq] = nat
                 p += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp not in (1, 3):
-                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+                raise ValueError("only 8-bit 1- or 3-component DCT supported")
             for c in range(ncomp):
                 cid, sampling, qsel = body[6 + 3 * c : 9 + 3 * c]
                 ch_, cv_ = sampling >> 4, sampling & 0x0F
@@ -1233,9 +1246,9 @@ def _jpeg_decode_planes(data):
                     raise ValueError("sampling factors beyond 2 unsupported")
                 comp_order.append((cid, ch_, cv_))
                 comp_q[cid] = qsel
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) supported")
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xC4:
             p = 0
             while p < len(body):
@@ -1248,125 +1261,182 @@ def _jpeg_decode_planes(data):
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
-            if ns != len(comp_order):
-                raise ValueError("scan must cover every frame component")
+            scan_comps = []
             for c in range(ns):
                 cid, sel = body[1 + 2 * c], body[2 + 2 * c]
-                scan_sel[cid] = (sel >> 4, sel & 0x0F)
-            scan_start = pos
-            break
-    if width is None or scan_start is None:
-        raise ValueError("missing SOF0 or SOS")
+                scan_comps.append((cid, sel >> 4, sel & 0x0F))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if a != 0:
+                raise ValueError(
+                    "successive approximation (Ah/Al != 0) unsupported"
+                )
+            # entropy segment: up to the next non-RST, non-stuffing marker
+            ep = pos
+            while ep + 1 < len(data):
+                if data[ep] == 0xFF and data[ep + 1] != 0x00 and not (
+                    0xD0 <= data[ep + 1] <= 0xD7
+                ):
+                    break
+                ep += 1
+            scans.append((scan_comps, ss, se, data[pos:ep]))
+            pos = ep
+    if width is None or not scans:
+        raise ValueError("missing SOF or SOS")
     hmax = max(h for _, h, _ in comp_order)
     vmax = max(v for _, _, v in comp_order)
     if (width % (8 * hmax) or height % (8 * vmax)
             or width == 0 or height == 0):
         raise ValueError("geometry must be a non-empty multiple of the MCU size")
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("missing EOI")
-    scan = data[scan_start:end]
 
-    spos = acc = nbits = 0
-
-    def read(length):
-        nonlocal spos, acc, nbits
-        while nbits < length:
-            if spos >= len(scan):
-                raise ValueError("truncated entropy-coded segment")
-            b = scan[spos]
-            spos += 1
-            if b == 0xFF:
-                if spos >= len(scan) or scan[spos] != 0x00:
-                    raise ValueError("unexpected marker inside scan")
-                spos += 1
-            acc = (acc << 8) | b
-            nbits += 8
-        v = (acc >> (nbits - length)) & ((1 << length) - 1)
-        nbits -= length
-        return v
-
-    def read_huff(table):
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | read(1)
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
-    def nonlocal_align():
-        nonlocal acc, nbits
-        acc = 0
-        nbits = 0
-
-    def extend(v, s):
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-    # component planes at their subsampled resolution
-    dims = [
-        (width * h // hmax, height * v // vmax) for _, h, v in comp_order
+    # per-component block grids (subsampled resolution)
+    dims = [(width * h // hmax, height * v // vmax) for _, h, v in comp_order]
+    grid = [(cw // 8, ch // 8) for cw, ch in dims]
+    coef_store = [
+        [[0] * 64 for _ in range(gw * gh)] for gw, gh in grid
     ]
-    subplanes = [[0] * (cw * ch) for cw, ch in dims]
-    preds = [0] * len(comp_order)
+    ci_of = {cid: i for i, (cid, _, _) in enumerate(comp_order)}
     n_mcu_x, n_mcu_y = width // (8 * hmax), height // (8 * vmax)
 
-    def decode_block(dct, act, q, ci):
-        zz = [0] * 64
-        s = read_huff(dct)
-        preds[ci] += extend(read(s), s) if s else 0
-        zz[0] = preds[ci]
-        i = 1
-        while i < 64:
-            rs = read_huff(act)
-            if rs == 0x00:
-                break
-            if rs == 0xF0:
-                i += 16
-                continue
-            run, size = rs >> 4, rs & 0x0F
-            i += run
-            if i > 63:
-                raise ValueError("AC run past block end")
-            zz[i] = extend(read(size), size)
-            i += 1
-        coefs = [0] * 64
-        for i in range(64):
-            coefs[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
-        return _jpeg_idct_2d(coefs)
+    for scan_comps, ss, se, seg in scans:
+        spos = acc = nbits = 0
 
-    rst_expect = 0
-    for my in range(n_mcu_y):
-        for mx in range(n_mcu_x):
-            m = my * n_mcu_x + mx
+        def read(length):
+            nonlocal spos, acc, nbits
+            while nbits < length:
+                if spos >= len(seg):
+                    raise ValueError("truncated entropy-coded segment")
+                b = seg[spos]
+                spos += 1
+                if b == 0xFF:
+                    if spos >= len(seg) or seg[spos] != 0x00:
+                        raise ValueError("unexpected marker inside scan")
+                    spos += 1
+                acc = (acc << 8) | b
+                nbits += 8
+            v = (acc >> (nbits - length)) & ((1 << length) - 1)
+            nbits -= length
+            return v
+
+        def read_huff(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read(1)
+                if (length, code) in table:
+                    return table[(length, code)]
+            raise ValueError("invalid Huffman code")
+
+        def extend(v, s):
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+        rst_expect = 0
+        rst_state = {"m": 0}
+
+        def check_restart():
+            nonlocal spos, acc, nbits, eobrun, rst_expect
+            m = rst_state["m"]
             if restart_interval and m and m % restart_interval == 0:
-                # byte-align (discard padding bits), consume RSTn, reset
-                # every DC predictor — resync semantics per the spec
-                nonlocal_align()
-                if (spos + 2 > len(scan) or scan[spos] != 0xFF
-                        or scan[spos + 1] != 0xD0 + rst_expect):
+                acc = 0
+                nbits = 0
+                if (spos + 2 > len(seg) or seg[spos] != 0xFF
+                        or seg[spos + 1] != 0xD0 + rst_expect):
                     raise ValueError("missing or out-of-sequence RST marker")
                 spos += 2
                 rst_expect = (rst_expect + 1) & 7
-                for ci2 in range(len(preds)):
-                    preds[ci2] = 0
-            for ci, (cid, h, v) in enumerate(comp_order):
-                dct = huff[(0, scan_sel[cid][0])]
-                act = huff[(1, scan_sel[cid][1])]
-                q = qtables[comp_q[cid]]
-                cw, _ = dims[ci]
-                plane = subplanes[ci]
-                for by2 in range(v):
-                    for bx2 in range(h):
-                        block = decode_block(dct, act, q, ci)
-                        x0 = (mx * h + bx2) * 8
-                        y0 = (my * v + by2) * 8
-                        for yy in range(8):
-                            for xx in range(8):
-                                val = int(round(block[yy * 8 + xx])) + 128
-                                plane[(y0 + yy) * cw + (x0 + xx)] = (
-                                    0 if val < 0 else (255 if val > 255 else val)
-                                )
-    # upsample subsampled planes to full resolution by replication
+                for k in preds:
+                    preds[k] = 0
+                eobrun = 0
+            rst_state["m"] = m + 1
+
+        def decode_dc(cid, dc_sel, blk):
+            dct = huff[(0, dc_sel)]
+            s = read_huff(dct)
+            preds[cid] += extend(read(s), s) if s else 0
+            blk[0] = preds[cid]
+
+        def decode_ac_band(ac_sel, blk, k0, k1):
+            """Deposit zigzag band [k0, k1] into blk (natural order).
+            Returns True if an EOB-run consumed this block."""
+            nonlocal eobrun
+            act = huff[(1, ac_sel)]
+            if eobrun > 0:
+                eobrun -= 1
+                return True
+            k = k0
+            while k <= k1:
+                rs = read_huff(act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    if progressive:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += read(run)
+                        return True
+                    if run == 0:
+                        return True  # baseline EOB
+                    raise ValueError("invalid baseline AC symbol")
+                k += run
+                if k > k1:
+                    raise ValueError("AC run past band end")
+                blk[_JPEG_ZIGZAG[k]] = extend(read(size), size)
+                k += 1
+            return False
+
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            if ss != 0:
+                raise ValueError("AC scans must be single-component")
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    check_restart()
+                    for cid, dc_sel, ac_sel in scan_comps:
+                        ci = ci_of[cid]
+                        _, h, v = comp_order[ci]
+                        gw, _ = grid[ci]
+                        for by2 in range(v):
+                            for bx2 in range(h):
+                                blk = coef_store[ci][
+                                    (my * v + by2) * gw + (mx * h + bx2)
+                                ]
+                                decode_dc(cid, dc_sel, blk)
+                                if se > 0:
+                                    decode_ac_band(ac_sel, blk, 1, se)
+        else:
+            cid, dc_sel, ac_sel = scan_comps[0]
+            ci = ci_of[cid]
+            gw, gh = grid[ci]
+            for bi in range(gw * gh):
+                check_restart()
+                blk = coef_store[ci][bi]
+                if ss == 0:
+                    decode_dc(cid, dc_sel, blk)
+                    if se > 0:
+                        decode_ac_band(ac_sel, blk, 1, se)
+                else:
+                    decode_ac_band(ac_sel, blk, ss, se)
+
+    # dequant + IDCT + write planes, then upsample
+    subplanes = [[0] * (cw * ch) for cw, ch in dims]
+    for ci, (cid, h, v) in enumerate(comp_order):
+        q = qtables[comp_q[cid]]
+        cw, _ = dims[ci]
+        gw, gh = grid[ci]
+        plane = subplanes[ci]
+        for by in range(gh):
+            for bx in range(gw):
+                raw = coef_store[ci][by * gw + bx]
+                coefs = [raw[i] * q[i] for i in range(64)]
+                block = _jpeg_idct_2d(coefs)
+                for yy in range(8):
+                    for xx in range(8):
+                        val = int(round(block[yy * 8 + xx])) + 128
+                        plane[(by * 8 + yy) * cw + (bx * 8 + xx)] = (
+                            0 if val < 0 else (255 if val > 255 else val)
+                        )
     planes = []
     for ci, (cw, ch) in enumerate(dims):
         sub = subplanes[ci]
@@ -1375,7 +1445,6 @@ def _jpeg_decode_planes(data):
             continue
         full = [0] * (width * height)
         if (2 * cw, 2 * ch) == (width, height):
-            # 2x2 replication (4:2:0): double each sample, then each row
             for sy in range(ch):
                 row = sub[sy * cw : (sy + 1) * cw]
                 wide = [v for v in row for _ in (0, 1)]
@@ -1656,3 +1725,128 @@ def decode_jpeg_420(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=JPEG_COLOR_DECODED_SCHEMA)
+
+
+# Progressive AC scans need EOBn symbols (r<<4 for r=1..14) that the
+# baseline Annex K table does not define, so progressive files carry a
+# custom table: every symbol the encoder can emit — EOB0..EOB14, ZRL,
+# and (run, size) for run 0..15 / size 1..10 — at a flat 9-bit length
+# (176 symbols < 511 codes; the all-ones code stays unused as the spec
+# requires). The decoder parses any DHT generically, so nothing special
+# is needed on the read side.
+_JPEG_AC_PROG_VALS = tuple(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_PROG_BITS = (0,) + (0,) * 8 + (len(_JPEG_AC_PROG_VALS),) + (0,) * 7
+
+
+def _jpeg_encode_progressive_gray(width, height, blocks, qtable):
+    """PROGRESSIVE grayscale JFIF (SOF2, spectral selection, Ah=Al=0):
+    scan 1 carries every block's DC coefficient, scan 2 the full AC band
+    1..63 with MAXIMAL EOB-run coding (consecutive AC-empty blocks
+    collapse into one EOBn symbol + extension bits, as real progressive
+    encoders do). A progressive file with the same coefficients decodes
+    bit-identically to its baseline sibling — the transmission order is
+    the only difference."""
+    import struct
+
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+
+    def category(v):
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    def coeff_bits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    # scan 1: DC only
+    w1 = _JpegBitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        s = category(diff)
+        w1.write(*dc_huff[s])
+        if s:
+            w1.write(coeff_bits(diff, s), s)
+    dc_scan = w1.flush()
+    # scan 2: AC band 1..63 with maximal EOB runs
+    w2 = _JpegBitWriter()
+    pending_eob = 0
+
+    def flush_eob():
+        nonlocal pending_eob
+        while pending_eob:
+            n = min(pending_eob, 0x7FFF)
+            r = n.bit_length() - 1
+            w2.write(*ac_huff[r << 4])
+            if r:
+                w2.write(n - (1 << r), r)
+            pending_eob -= n
+
+    for blk in blocks:
+        zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        if last_nz == 0:
+            pending_eob += 1
+            continue
+        flush_eob()
+        run = 0
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                w2.write(*ac_huff[0xF0])
+                run -= 16
+            s = category(zz[i])
+            w2.write(*ac_huff[(run << 4) | s])
+            w2.write(coeff_bits(zz[i], s), s)
+            run = 0
+        if last_nz < 63:
+            pending_eob += 1
+    flush_eob()
+    ac_scan = w2.flush()
+
+    sof = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+    ) + _jpeg_seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_AC_PROG_BITS[1:]) + bytes(_JPEG_AC_PROG_VALS),
+    )
+    sos_dc = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0)))
+    sos_ac = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 1, 63, 0)))
+    return (
+        b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + sof + dht
+        + sos_dc + dc_scan + sos_ac + ac_scan + b"\xff\xd9"
+    )
+
+
+def _jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """The SAME DC grid as :func:`_jpeg_bytes`, encoded progressively
+    (SOF2, DC scan + AC band scan) — decodes to identical pixels, so the
+    progressive row shares the grayscale oracle."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [8] + [16] * 63
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            dc = ((5 * bx + 11 * by + doc_id) % 201) - 100
+            blocks.append([dc] + [0] * 63)
+    return _jpeg_encode_progressive_gray(bw * 8, bh * 8, blocks, q)
+
+
+def synth_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_jpeg_progressive_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")

@@ -495,10 +495,10 @@ def test_jpeg_decoder_rejects_unsupported():
     with pytest.raises(ValueError, match="SOI"):
         _jpeg_decode_gray(b"NOPE")
     good = bytearray(_jpeg_bytes(3))
-    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    # flip SOF0 -> SOF1 (extended sequential): must raise, not mis-decode
     idx = good.find(b"\xff\xc0")
-    good[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    good[idx + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF0"):
         _jpeg_decode_gray(bytes(good))
     with pytest.raises(ValueError):
         _jpeg_decode_gray(_jpeg_bytes(3)[:-4])  # truncated: no EOI
@@ -709,3 +709,58 @@ def test_jpeg_restart_intervals_roundtrip():
     bad[i + 1] = 0xD5
     with pytest.raises(ValueError, match="RST"):
         _jpeg_decode_gray(bytes(bad))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2, spectral selection, maximal EOB runs, custom
+    AC Huffman table) and baseline encodings of the same coefficients
+    must decode bit-identically — transmission order is the only
+    difference when Ah=Al=0."""
+    import random
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+        _jpeg_encode_progressive_gray,
+    )
+
+    q = [8] + [16] * 63
+    rnd = random.Random(6)
+    for _ in range(5):
+        bw, bh = rnd.randrange(2, 6), rnd.randrange(2, 4)
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = rnd.randrange(-40, 41)
+            if rnd.random() < 0.3:
+                for _ in range(rnd.randrange(1, 6)):
+                    blk[rnd.randrange(1, 64)] = rnd.randrange(-9, 10)
+            blocks.append(blk)
+        base = _jpeg_decode_gray(_jpeg_encode_gray(bw * 8, bh * 8, blocks, q))
+        prog = _jpeg_decode_gray(
+            _jpeg_encode_progressive_gray(bw * 8, bh * 8, blocks, q)
+        )
+        assert base == prog
+    # all-AC-empty grid: one EOBn run spanning every block
+    blocks = [[rnd.randrange(-40, 41)] + [0] * 63 for _ in range(24)]
+    assert _jpeg_decode_gray(_jpeg_encode_gray(48, 32, blocks, q)) == (
+        _jpeg_decode_gray(_jpeg_encode_progressive_gray(48, 32, blocks, q))
+    )
+
+
+def test_jpeg_progressive_rejects_successive_approximation():
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_progressive_bytes,
+    )
+
+    data = bytearray(_jpeg_progressive_bytes(3))
+    # second SOS = the AC scan; its last header byte is Ah<<4 | Al
+    first_sos = data.find(b"\xff\xda")
+    second_sos = data.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > 0
+    data[second_sos + 4 + 2 * data[second_sos + 4] + 3] = 0x01  # Al = 1
+    with pytest.raises(ValueError, match="successive approximation"):
+        _jpeg_decode_gray(bytes(data))
