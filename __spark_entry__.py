@@ -2496,6 +2496,27 @@ def _multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Dat
     return decode_jpeg(synth_jpeg_progressive(docs))
 
 
+def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the co-supplier kNN graph (each
+    supplier keeps its 5 strongest order-sharing partners — the raw
+    co-occurrence graph is a clique at this entity count, the kNN
+    sparsifier is what real similarity pipelines run) via
+    degree-ordered compact-forward counting
+    (operators/graphs.py): orientation bounds every node's out-degree so
+    the wedge join is O(m^1.5) worst-case-optimal regardless of hub
+    skew; a LEFT SEMI join closes wedges. Orientation-invariant result,
+    so the oracle verifies with the simple id-ordered 3-way join."""
+    from kafka_custom_transforms_spark.operators.graphs import (
+        cooccurrence_pair_counts,
+        knn_graph,
+        triangle_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = cooccurrence_pair_counts(li, "l_orderkey", "l_suppkey")
+    return triangle_stats(knn_graph(counts, k=5))
+
+
 def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, same story as the BMP row: RIFF chunk walking +
     16-bit PCM parsing with stdlib struct; exact integer mean |amplitude|
@@ -3749,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_420_decode": _multimodal_jpeg_420_decode,
         "stream_multimodal_decode": _stream_multimodal_decode,
         "multimodal_jpeg_progressive_decode": _multimodal_jpeg_progressive_decode,
+        "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -5877,6 +5899,51 @@ def oracle_sql() -> dict[str, str]:
                    cast(n * 1000 // 8000 as bigint) as duration_ms,
                    cast(sa * 1000 // n as bigint) as mean_abs_milli
             from sums
+        """,
+        "graph_triangles_cosupplier": """
+            with gi as (
+              select distinct l_orderkey as g, l_suppkey as i from lineitem
+            ),
+            pc as (
+              select x.i as a, y.i as b, count(*) as c
+              from gi x join gi y on x.g = y.g and x.i < y.i
+              group by x.i, y.i
+            ),
+            directed as (
+              select a as n, b as p, c from pc
+              union all
+              select b as n, a as p, c from pc
+            ),
+            kept as (
+              select n, p from directed
+              qualify row_number() over (partition by n
+                                         order by c desc, p asc) <= 5
+            ),
+            e as (
+              select distinct least(n, p) as a, greatest(n, p) as b from kept
+            ),
+            deg as (
+              select n, count(*) as d from (
+                select a as n from e union all select b as n from e
+              ) group by n
+            ),
+            tri as (
+              select count(*) as t from e e1
+              join e e2 on e2.a = e1.b
+              join e e3 on e3.a = e1.a and e3.b = e2.b
+            ),
+            agg as (
+              select count(*) as n_nodes, sum(d * (d - 1)) // 2 as n_wedges
+              from deg
+            ),
+            ne as (select count(*) as n_edges from e)
+            select cast(n_nodes as bigint) as n_nodes,
+                   cast(n_edges as bigint) as n_edges,
+                   cast(n_wedges as bigint) as n_wedges,
+                   cast(t as bigint) as n_triangles,
+                   cast(case when n_wedges > 0 then 3 * t * 1000 // n_wedges
+                        else 0 end as bigint) as clustering_milli
+            from agg, ne, tri
         """,
         "multimodal_jpeg_progressive_decode": """
             with ids as (

@@ -64,7 +64,12 @@ BENCH_QUERIES = (
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "multimodal_jpeg_420_decode",
+    "multimodal_jpeg_progressive_decode",
 )
+
+# The headline set r1-r3 benched; rows added later are reported separately
+# so cross-round totals stay apples-to-apples.
+R3_COMPARABLE = BENCH_QUERIES[:27]
 
 
 def main() -> None:
@@ -91,6 +96,7 @@ def main() -> None:
         spread[name] = [min(samples), max(samples)]
 
     total = round(sum(timings.values()), 3)
+    r3_subset = round(sum(timings[n] for n in R3_COMPARABLE), 3)
     # Diagnostics (cold-run times, min/max spread) go to stderr and a sidecar
     # file: round 3's record shows the driver captures only the stdout TAIL,
     # so a single long line gets its head (and the opening brace) truncated
@@ -113,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_r3_subset": r3_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -481,6 +481,9 @@ def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
         # q11: the global-revenue scalar (one aggregate row) cross-joined
         # into the per-part HAVING compare — bounded by construction
         "q11_top_part_value",
+        # triangle stats: three 1-row aggregates cross-joined into the
+        # single summary row — bounded by construction
+        "graph_triangles_cosupplier",
     }
     SKIP = {
         n
