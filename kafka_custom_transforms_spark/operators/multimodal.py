@@ -710,6 +710,14 @@ def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+    # The decoder performs its LAST dictionary add while reading the
+    # flushed code above (its adds run one emission behind ours), so if
+    # that add lands exactly on 2^width it reads EOI one bit wider than
+    # the in-loop rule would write it — mirror that growth here or the
+    # wider read runs past the zero padding (found by hypothesis:
+    # min_code=2, 11 symbols whose 10th add fills slot 15).
+    if next_code >= (1 << width) and width < 12:
+        width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
