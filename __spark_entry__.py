@@ -2496,6 +2496,23 @@ def _multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Dat
     return decode_jpeg(synth_jpeg_progressive(docs))
 
 
+def _multimodal_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL progressive JPEG decode: successive approximation (the
+    standard 6-scan script — DC at Al=1, AC first scans at Al=2, AC
+    refinement to Al=1, DC refinement bit, final AC refinement). Every
+    coefficient is reassembled across three precision levels and must
+    still produce the analytic dc+128 block means. The AC
+    correction-bit machinery is pinned separately by the hypothesis
+    equality property against baseline decode."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_sa,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_jpeg_sa(docs))
+
+
 def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the co-supplier kNN graph (each
     supplier keeps its 5 strongest order-sharing partners — the raw
@@ -3770,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_420_decode": _multimodal_jpeg_420_decode,
         "stream_multimodal_decode": _stream_multimodal_decode,
         "multimodal_jpeg_progressive_decode": _multimodal_jpeg_progressive_decode,
+        "multimodal_jpeg_sa_decode": _multimodal_jpeg_sa_decode,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -5955,6 +5973,31 @@ def oracle_sql() -> dict[str, str]:
             blocks as (
               select i.doc_id, i.bw, i.bh,
                      ((5 * bx.bx + 11 * by.by + i.doc_id) % 201) - 100 as dc
+              from ids i,
+                   lateral (select unnest(range(0, i.bw)) as bx) bx,
+                   lateral (select unnest(range(0, i.bh)) as by) by
+            ),
+            sums as (
+              select doc_id, bw, bh, sum(dc + 128) as s
+              from blocks group by doc_id, bw, bh
+            )
+            select doc_id,
+                   cast(bw * 8 as int) as width,
+                   cast(bh * 8 as int) as height,
+                   cast(bw * bh as int) as n_blocks,
+                   cast(s * 1000 // (bw * bh) as bigint) as mean_gray_milli
+            from sums
+        """,
+        "multimodal_jpeg_sa_decode": """
+            with ids as (
+              select doc_id,
+                     cast(1 + doc_id % 3 as int) as bw,
+                     cast(1 + doc_id % 2 as int) as bh
+              from documents
+            ),
+            blocks as (
+              select i.doc_id, i.bw, i.bh,
+                     ((7 * bx.bx + 13 * by.by + 3 * i.doc_id) % 201) - 100 as dc
               from ids i,
                    lateral (select unnest(range(0, i.bw)) as bx) bx,
                    lateral (select unnest(range(0, i.bh)) as by) by

@@ -9,13 +9,14 @@ zlib IDAT, all five scanline filters), ``decode_gif`` (block walk + full
 GIF-variant LZW inflate), ``decode_wav`` (RIFF chunk walk + 16-bit PCM)
 ``decode_mp4`` (ISO BMFF box walk to ftyp/mvhd), and ``decode_jpeg``
 / ``decode_jpeg_color`` / ``decode_jpeg_420`` (DCT JPEG: baseline AND
-progressive (spectral selection), grayscale, YCbCr 4:4:4 and 4:2:0
+full progressive — spectral selection and successive approximation
+(Ah/Al point transforms, DC refinement bits, AC correction-bit
+refinement scans) — grayscale, YCbCr 4:4:4 and 4:2:0
 subsampled, DRI restart markers — Huffman entropy decode, dequant,
 zigzag, IDCT, chroma upsampling, BT.601 conversion), all
 oracle-verified against analytically recomputed features. The generic
 ``decode_payload`` stays a deterministic stand-in for codecs that
-genuinely need external libraries (H.264 video; successive-approximation
-JPEG refinement): it
+genuinely need external libraries (H.264 video): it
 hashes the full payload (features are functions of the bytes, not the
 length) and raises ``NotImplementedError`` if a real codec is requested.
 Swap ``_fake_decode`` for PIL/torchaudio/pyav inside the same
@@ -1274,10 +1275,7 @@ def _jpeg_decode_planes(data):
                 cid, sel = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cid, sel >> 4, sel & 0x0F))
             ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            if a != 0:
-                raise ValueError(
-                    "successive approximation (Ah/Al != 0) unsupported"
-                )
+            ah, al = a >> 4, a & 0x0F
             # entropy segment: up to the next non-RST, non-stuffing marker
             ep = pos
             while ep + 1 < len(data):
@@ -1286,7 +1284,7 @@ def _jpeg_decode_planes(data):
                 ):
                     break
                 ep += 1
-            scans.append((scan_comps, ss, se, data[pos:ep]))
+            scans.append((scan_comps, ss, se, ah, al, data[pos:ep]))
             pos = ep
     if width is None or not scans:
         raise ValueError("missing SOF or SOS")
@@ -1305,7 +1303,7 @@ def _jpeg_decode_planes(data):
     ci_of = {cid: i for i, (cid, _, _) in enumerate(comp_order)}
     n_mcu_x, n_mcu_y = width // (8 * hmax), height // (8 * vmax)
 
-    for scan_comps, ss, se, seg in scans:
+    for scan_comps, ss, se, ah, al, seg in scans:
         spos = acc = nbits = 0
 
         def read(length):
@@ -1358,10 +1356,19 @@ def _jpeg_decode_planes(data):
             rst_state["m"] = m + 1
 
         def decode_dc(cid, dc_sel, blk):
+            if ah:
+                # DC refinement: one raw bit per block, OR'd into the
+                # stored (two's-complement) value at bit Al — works for
+                # negative DCs because the first scan used an ARITHMETIC
+                # shift (floor), so low bits are the true two's-complement
+                # bits (spec G.1.2.1 / libjpeg decode_mcu_DC_refine).
+                if read(1):
+                    blk[0] |= 1 << al
+                return
             dct = huff[(0, dc_sel)]
             s = read_huff(dct)
             preds[cid] += extend(read(s), s) if s else 0
-            blk[0] = preds[cid]
+            blk[0] = preds[cid] << al
 
         def decode_ac_band(ac_sel, blk, k0, k1):
             """Deposit zigzag band [k0, k1] into blk (natural order).
@@ -1390,9 +1397,66 @@ def _jpeg_decode_planes(data):
                 k += run
                 if k > k1:
                     raise ValueError("AC run past band end")
-                blk[_JPEG_ZIGZAG[k]] = extend(read(size), size)
+                # first scan at point transform Al deposits value << Al;
+                # the encoder divided magnitudes by 2^Al toward zero
+                blk[_JPEG_ZIGZAG[k]] = extend(read(size), size) << al
                 k += 1
             return False
+
+        def decode_ac_refine(ac_sel, blk, k0, k1):
+            """AC successive-approximation refinement for one block's
+            band (spec G.1.2.3 / libjpeg decode_mcu_AC_refine): each
+            already-significant coefficient reads one correction bit
+            (applied toward larger magnitude only if its Al bit is still
+            0); newly-significant coefficients arrive as (run, size=1)
+            symbols whose runs count ZERO-HISTORY positions only; blocks
+            inside an EOB run still consume correction bits for their
+            remaining significant coefficients."""
+            nonlocal eobrun
+            act = huff[(1, ac_sel)]
+            p1, m1 = 1 << al, -1 << al
+
+            def correct(zi):
+                if read(1) and not (blk[zi] & p1):
+                    blk[zi] += p1 if blk[zi] >= 0 else m1
+
+            k = k0
+            if eobrun == 0:
+                while k <= k1:
+                    rs = read_huff(act)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0 and run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += read(run)
+                        break
+                    if size == 0:
+                        newval = 0  # ZRL: 16 zero-history positions
+                    elif size == 1:
+                        newval = p1 if read(1) else m1
+                    else:
+                        raise ValueError("refinement size must be 1")
+                    while k <= k1:
+                        zi = _JPEG_ZIGZAG[k]
+                        if blk[zi] != 0:
+                            correct(zi)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if size:
+                        if k > k1:
+                            raise ValueError("refinement run past band end")
+                        blk[_JPEG_ZIGZAG[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= k1:
+                    zi = _JPEG_ZIGZAG[k]
+                    if blk[zi] != 0:
+                        correct(zi)
+                    k += 1
+                eobrun -= 1
 
         interleaved = len(scan_comps) > 1
         if interleaved:
@@ -1424,6 +1488,8 @@ def _jpeg_decode_planes(data):
                     decode_dc(cid, dc_sel, blk)
                     if se > 0:
                         decode_ac_band(ac_sel, blk, 1, se)
+                elif ah:
+                    decode_ac_refine(ac_sel, blk, ss, se)
                 else:
                     decode_ac_band(ac_sel, blk, ss, se)
 
@@ -1750,38 +1816,45 @@ _JPEG_AC_PROG_VALS = tuple(
 _JPEG_AC_PROG_BITS = (0,) + (0,) * 8 + (len(_JPEG_AC_PROG_VALS),) + (0,) * 7
 
 
-def _jpeg_encode_progressive_gray(width, height, blocks, qtable):
-    """PROGRESSIVE grayscale JFIF (SOF2, spectral selection, Ah=Al=0):
-    scan 1 carries every block's DC coefficient, scan 2 the full AC band
-    1..63 with MAXIMAL EOB-run coding (consecutive AC-empty blocks
-    collapse into one EOBn symbol + extension bits, as real progressive
-    encoders do). A progressive file with the same coefficients decodes
-    bit-identically to its baseline sibling — the transmission order is
-    the only difference."""
-    import struct
+def _jpeg_category(v):
+    return v.bit_length() if v > 0 else (-v).bit_length()
 
-    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_huff = _jpeg_huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
 
-    def category(v):
-        return v.bit_length() if v > 0 else (-v).bit_length()
+def _jpeg_coeff_bits(v, s):
+    return v if v >= 0 else v + (1 << s) - 1
 
-    def coeff_bits(v, s):
-        return v if v >= 0 else v + (1 << s) - 1
 
-    # scan 1: DC only
-    w1 = _JpegBitWriter()
-    prev_dc = 0
+def _jpeg_write_dc_first_scan(blocks, al, dc_huff):
+    """DC first scan at point transform Al: DPCM over the ARITHMETIC-
+    shifted values dc >> Al (floor — spec G.1.2.1), so a later DC
+    refinement scan can OR the dropped two's-complement bits back in."""
+    w = _JpegBitWriter()
+    prev = 0
     for blk in blocks:
-        diff = blk[0] - prev_dc
-        prev_dc = blk[0]
-        s = category(diff)
-        w1.write(*dc_huff[s])
+        v = blk[0] >> al
+        diff = v - prev
+        prev = v
+        s = _jpeg_category(diff)
+        w.write(*dc_huff[s])
         if s:
-            w1.write(coeff_bits(diff, s), s)
-    dc_scan = w1.flush()
-    # scan 2: AC band 1..63 with maximal EOB runs
-    w2 = _JpegBitWriter()
+            w.write(_jpeg_coeff_bits(diff, s), s)
+    return w.flush()
+
+
+def _jpeg_write_dc_refine_scan(blocks, al):
+    """DC refinement: one raw bit per block — bit Al of the stored
+    two's-complement DC value."""
+    w = _JpegBitWriter()
+    for blk in blocks:
+        w.write((blk[0] >> al) & 1, 1)
+    return w.flush()
+
+
+def _jpeg_write_ac_first_scan(blocks, ss, se, al, ac_huff):
+    """AC first scan for band [ss, se] at point transform Al: magnitudes
+    divided by 2^Al TOWARD ZERO (spec G.1.2.2 — sign preserved, unlike
+    the DC floor shift), with maximal cross-block EOB-run coding."""
+    w = _JpegBitWriter()
     pending_eob = 0
 
     def flush_eob():
@@ -1789,34 +1862,106 @@ def _jpeg_encode_progressive_gray(width, height, blocks, qtable):
         while pending_eob:
             n = min(pending_eob, 0x7FFF)
             r = n.bit_length() - 1
-            w2.write(*ac_huff[r << 4])
+            w.write(*ac_huff[r << 4])
             if r:
-                w2.write(n - (1 << r), r)
+                w.write(n - (1 << r), r)
             pending_eob -= n
 
     for blk in blocks:
         zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        t = [0] * 64
+        for i in range(ss, se + 1):
+            a = (-zz[i] if zz[i] < 0 else zz[i]) >> al
+            t[i] = -a if zz[i] < 0 else a
+        last_nz = max((i for i in range(ss, se + 1) if t[i]), default=0)
         if last_nz == 0:
             pending_eob += 1
             continue
         flush_eob()
         run = 0
-        for i in range(1, last_nz + 1):
-            if zz[i] == 0:
+        for i in range(ss, last_nz + 1):
+            if t[i] == 0:
                 run += 1
                 continue
             while run > 15:
-                w2.write(*ac_huff[0xF0])
+                w.write(*ac_huff[0xF0])
                 run -= 16
-            s = category(zz[i])
-            w2.write(*ac_huff[(run << 4) | s])
-            w2.write(coeff_bits(zz[i], s), s)
+            s = _jpeg_category(t[i])
+            w.write(*ac_huff[(run << 4) | s])
+            w.write(_jpeg_coeff_bits(t[i], s), s)
             run = 0
-        if last_nz < 63:
+        if last_nz < se:
             pending_eob += 1
     flush_eob()
-    ac_scan = w2.flush()
+    return w.flush()
+
+
+def _jpeg_write_ac_refine_scan(blocks, ss, se, al, ac_huff):
+    """AC successive-approximation refinement scan (spec G.1.2.3,
+    structured after libjpeg's encode_mcu_AC_refine): already-significant
+    coefficients contribute one buffered correction bit (magnitude bit
+    Al), newly-significant ones (shifted magnitude exactly 1) are coded
+    as (zero-history-run, size=1) + sign bit; runs past the last newly-
+    significant coefficient collapse into cross-block EOB runs whose
+    buffered correction bits ride along after the EOBn symbol."""
+    w = _JpegBitWriter()
+    eobrun = 0
+    run_bits: list = []  # correction bits owed under the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.write(*ac_huff[r << 4])
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in run_bits:
+            w.write(b, 1)
+        run_bits.clear()
+
+    for blk in blocks:
+        zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
+        absv = [(-z if z < 0 else z) >> al for z in zz]
+        eob = 0  # last newly-significant position in the band
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list = []  # correction bits since the last emitted symbol
+        for k in range(ss, se + 1):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                emit_eobrun()
+                w.write(*ac_huff[0xF0])
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if temp > 1:
+                br.append(temp & 1)
+                continue
+            emit_eobrun()
+            w.write(*ac_huff[(r << 4) | 1])
+            w.write(0 if zz[k] < 0 else 1, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            run_bits.extend(br)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    return w.flush()
+
+
+def _jpeg_progressive_headers(width, height, qtable):
+    import struct
 
     sof = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)))
     dht = _jpeg_seg(
@@ -1825,11 +1970,57 @@ def _jpeg_encode_progressive_gray(width, height, blocks, qtable):
         0xC4,
         bytes([0x10]) + bytes(_JPEG_AC_PROG_BITS[1:]) + bytes(_JPEG_AC_PROG_VALS),
     )
-    sos_dc = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0)))
-    sos_ac = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 1, 63, 0)))
+    return b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + sof + dht
+
+
+def _jpeg_sos_gray(ss, se, ah, al):
+    return _jpeg_seg(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+
+def _jpeg_encode_progressive_gray(width, height, blocks, qtable):
+    """PROGRESSIVE grayscale JFIF (SOF2, spectral selection, Ah=Al=0):
+    scan 1 carries every block's DC coefficient, scan 2 the full AC band
+    1..63 with MAXIMAL EOB-run coding (consecutive AC-empty blocks
+    collapse into one EOBn symbol + extension bits, as real progressive
+    encoders do). A progressive file with the same coefficients decodes
+    bit-identically to its baseline sibling — the transmission order is
+    the only difference."""
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
     return (
-        b"\xff\xd8" + _jpeg_dqt_seg(0, qtable) + sof + dht
-        + sos_dc + dc_scan + sos_ac + ac_scan + b"\xff\xd9"
+        _jpeg_progressive_headers(width, height, qtable)
+        + _jpeg_sos_gray(0, 0, 0, 0)
+        + _jpeg_write_dc_first_scan(blocks, 0, dc_huff)
+        + _jpeg_sos_gray(1, 63, 0, 0)
+        + _jpeg_write_ac_first_scan(blocks, 1, 63, 0, ac_huff)
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_encode_progressive_sa_gray(width, height, blocks, qtable):
+    """FULL progressive grayscale JFIF: spectral selection AND successive
+    approximation, using the standard 6-scan script libjpeg generates for
+    one component — DC at Al=1, two AC first scans at Al=2 (band split
+    1-5 / 6-63), an AC refinement to Al=1, the DC refinement bit, and the
+    final AC refinement to full precision. Decodes bit-identically to the
+    baseline encoding of the same coefficients."""
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    return (
+        _jpeg_progressive_headers(width, height, qtable)
+        + _jpeg_sos_gray(0, 0, 0, 1)
+        + _jpeg_write_dc_first_scan(blocks, 1, dc_huff)
+        + _jpeg_sos_gray(1, 5, 0, 2)
+        + _jpeg_write_ac_first_scan(blocks, 1, 5, 2, ac_huff)
+        + _jpeg_sos_gray(6, 63, 0, 2)
+        + _jpeg_write_ac_first_scan(blocks, 6, 63, 2, ac_huff)
+        + _jpeg_sos_gray(1, 63, 2, 1)
+        + _jpeg_write_ac_refine_scan(blocks, 1, 63, 1, ac_huff)
+        + _jpeg_sos_gray(0, 0, 1, 0)
+        + _jpeg_write_dc_refine_scan(blocks, 0)
+        + _jpeg_sos_gray(1, 63, 1, 0)
+        + _jpeg_write_ac_refine_scan(blocks, 1, 63, 0, ac_huff)
+        + b"\xff\xd9"
     )
 
 
@@ -1855,6 +2046,35 @@ def synth_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {"doc_id": ids, "data": [_jpeg_progressive_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def _jpeg_sa_bytes(doc_id: int) -> bytes:
+    """A DC grid (different formula from :func:`_jpeg_bytes` so the row
+    is independent) encoded with the full 6-scan successive-approximation
+    script: the DC value reaches the coefficient store through THREE
+    scans (DC first at Al=1, DC refinement bit, plus the AC scans' EOB
+    machinery) yet must still decode to exactly dc+128 per block."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [8] + [16] * 63
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            dc = ((7 * bx + 13 * by + 3 * doc_id) % 201) - 100
+            blocks.append([dc] + [0] * 63)
+    return _jpeg_encode_progressive_sa_gray(bw * 8, bh * 8, blocks, q)
+
+
+def synth_jpeg_sa(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_jpeg_sa_bytes(int(i)) for i in ids]}
             )
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")

@@ -124,6 +124,40 @@ def test_jpeg_420_planes_roundtrip(data):
                 assert planes[ci][(2 * sy + 1) * w + 2 * sx + 1] == want
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 3),
+    data=st.data(),
+)
+def test_jpeg_successive_approximation_equals_baseline(bw, bh, data):
+    """The 6-scan successive-approximation script must reconstruct every
+    coefficient bit-exactly: hypothesis drives magnitudes across each
+    Al boundary (newly-significant per scan, correction bits on both
+    signs, EOB-run-only blocks) and compares against the baseline decode
+    of the same blocks."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_encode_progressive_sa_gray,
+    )
+
+    blocks = []
+    for _ in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = data.draw(st.integers(-120, 120))
+        for pos in data.draw(
+            st.lists(st.integers(1, 63), min_size=0, max_size=12, unique=True)
+        ):
+            blk[pos] = data.draw(
+                st.integers(-40, 40).filter(lambda v: v != 0)
+            )
+        blocks.append(blk)
+    base = _jpeg_decode_gray(_jpeg_encode_gray(bw * 8, bh * 8, blocks, QY))
+    sa = _jpeg_decode_gray(
+        _jpeg_encode_progressive_sa_gray(bw * 8, bh * 8, blocks, QY)
+    )
+    assert base == sa
+
+
 def test_jpeg_synth_decode_self_consistency():
     """The shipped synth files decode identically twice (pure function)
     and a one-bit flip inside the entropy segment never passes silently:

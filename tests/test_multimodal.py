@@ -748,19 +748,78 @@ def test_jpeg_progressive_equals_baseline():
     )
 
 
-def test_jpeg_progressive_rejects_successive_approximation():
+def test_jpeg_successive_approximation_equals_baseline():
+    """The standard 6-scan successive-approximation script (DC at Al=1,
+    AC first scans at Al=2, AC refinement to Al=1, DC refinement bit,
+    final AC refinement to Al=0) must reassemble every coefficient
+    exactly: identical pixels to the baseline encoding. Magnitudes are
+    chosen to cross every SA boundary (newly-significant at each Al
+    level, correction bits 0 and 1, negatives on both paths)."""
+    import random
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+        _jpeg_encode_progressive_sa_gray,
+    )
+
+    q = [8] + [16] * 63
+    rnd = random.Random(9)
+    magnitudes = [1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 16, 17, 31, 32, 33]
+    for _ in range(8):
+        bw, bh = rnd.randrange(1, 6), rnd.randrange(1, 4)
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = rnd.randrange(-120, 121)
+            for _ in range(rnd.randrange(0, 14)):
+                blk[rnd.randrange(1, 64)] = rnd.choice(magnitudes) * rnd.choice(
+                    (-1, 1)
+                )
+            blocks.append(blk)
+        base = _jpeg_decode_gray(_jpeg_encode_gray(bw * 8, bh * 8, blocks, q))
+        sa = _jpeg_decode_gray(
+            _jpeg_encode_progressive_sa_gray(bw * 8, bh * 8, blocks, q)
+        )
+        assert base == sa
+    # all-AC-empty grid: the refinement scans are pure EOB runs
+    blocks = [[rnd.randrange(-120, 121)] + [0] * 63 for _ in range(24)]
+    assert _jpeg_decode_gray(_jpeg_encode_gray(48, 32, blocks, q)) == (
+        _jpeg_decode_gray(_jpeg_encode_progressive_sa_gray(48, 32, blocks, q))
+    )
+
+
+def test_jpeg_sa_refinement_rejects_bad_size():
+    """A refinement scan symbol with size > 1 is structurally invalid
+    (only correction bits and sign bits exist at Ah > 0)."""
     import pytest
 
     from kafka_custom_transforms_spark.operators.multimodal import (
         _jpeg_decode_gray,
-        _jpeg_progressive_bytes,
+        _jpeg_encode_progressive_sa_gray,
     )
 
-    data = bytearray(_jpeg_progressive_bytes(3))
-    # second SOS = the AC scan; its last header byte is Ah<<4 | Al
-    first_sos = data.find(b"\xff\xda")
-    second_sos = data.find(b"\xff\xda", first_sos + 2)
-    assert second_sos > 0
-    data[second_sos + 4 + 2 * data[second_sos + 4] + 3] = 0x01  # Al = 1
-    with pytest.raises(ValueError, match="successive approximation"):
-        _jpeg_decode_gray(bytes(data))
+    q = [8] + [16] * 63
+    blocks = [[50] + [0] * 62 + [9]]
+    data = bytearray(_jpeg_encode_progressive_sa_gray(8, 8, blocks, q))
+    # find the first refinement SOS (Ah=2, Al=1) and corrupt its first
+    # entropy byte until the decoder sees a size>1 symbol or other
+    # structural damage — any outcome must be a ValueError, never a
+    # silent wrong decode or an index crash
+    import itertools
+
+    sos_positions = [
+        i for i in range(len(data) - 1) if data[i] == 0xFF and data[i + 1] == 0xDA
+    ]
+    refine_sos = sos_positions[3]  # scans: DC, AC1-5, AC6-63, ACrefine...
+    seglen = (data[refine_sos + 2] << 8) | data[refine_sos + 3]
+    entropy_start = refine_sos + 2 + seglen
+    saw_error = False
+    for flip in itertools.islice(itertools.count(1), 255):
+        mutated = bytearray(data)
+        mutated[entropy_start] ^= flip
+        try:
+            _jpeg_decode_gray(bytes(mutated))
+        except ValueError:
+            saw_error = True
+    assert saw_error
