@@ -775,6 +775,19 @@ def _dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs.select("doc_id", lines.alias("lines")), lines_col="lines")
 
 
+def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/dedup.py:duplicate_spans):
+    the k-token-gram re-expression of suffix-array training-data dedup
+    (Lee et al. 2022) — every 8-token window hashed with the cross-engine
+    md5 prefix, windows repeated anywhere in the corpus counted per
+    document as duplicated spans with a per-mille coverage ratio. The
+    oracle reruns the identical pipeline in SQL."""
+    from kafka_custom_transforms_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8)
+
+
 def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: single-table filter + aggregate — the canonical
     pushdown showcase (both date bounds, the discount band, and the
@@ -3788,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_multimodal_decode": _stream_multimodal_decode,
         "multimodal_jpeg_progressive_decode": _multimodal_jpeg_progressive_decode,
         "multimodal_jpeg_sa_decode": _multimodal_jpeg_sa_decode,
+        "dedup_substring_spans": _dedup_substring_spans,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4453,6 +4467,32 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id,
                    cast(coalesce(h.n_bloom_grams, 0) as bigint) as n_bloom_grams
             from documents t left join hits h using (doc_id)
+        """,
+        "dedup_substring_spans": """
+            with toks as (
+              select doc_id, string_split(text, ' ') as t from documents
+            ),
+            spans as (
+              select doc_id, greatest(len(t) - 8 + 1, 0) as n_spans from toks
+            ),
+            grams as (
+              select doc_id,
+                     ('0x' || substr(md5(array_to_string(t[i.i : i.i + 8 - 1], ' ')), 1, 15))::bigint as h
+              from toks, lateral (select unnest(range(1, len(t) - 8 + 2)) as i) i
+              where len(t) >= 8
+            ),
+            gd as (select doc_id, h, count(*) as m from grams group by 1, 2),
+            gc as (select h, sum(m) as n_occ from gd group by 1),
+            dup as (
+              select gd.doc_id, sum(gd.m) as dup_spans
+              from gd join gc using (h) where gc.n_occ >= 2 group by 1
+            )
+            select s.doc_id, s.n_spans,
+                   cast(coalesce(d.dup_spans, 0) as bigint) as dup_spans,
+                   cast(case when s.n_spans > 0
+                        then coalesce(d.dup_spans, 0) * 1000 // s.n_spans
+                        else 0 end as bigint) as dup_ratio_milli
+            from spans s left join dup d using (doc_id)
         """,
         "dedup_lines_global": """
             with toks as (select doc_id, string_split(text, ' ') as w from documents),

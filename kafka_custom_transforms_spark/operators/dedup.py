@@ -878,3 +878,66 @@ def semantic_dup_pairs(
         .filter(F.col("cos") >= F.lit(threshold))
         .select("a_id", "b_id", "cid")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span duplication, the k-token-gram re-expression of
+    suffix-array training-data dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): every length-``k`` token
+    window in the corpus is hashed, and a window whose hash occurs more
+    than once ANYWHERE (other documents or elsewhere in the same one)
+    marks its position as a duplicated span. Returns one row per document:
+    ``n_spans`` (token windows), ``dup_spans`` (duplicated ones), and
+    ``dup_ratio_milli`` — the per-mille of the document covered by
+    corpus-repeated spans, the signal used to cut boilerplate and
+    cross-document contamination before training.
+
+    Scale design (100 TB): the gram relation has one row per TOKEN — the
+    same order of magnitude the suffix-array approach sorts — but never
+    materializes strings past the map stage: each window is folded to a
+    60-bit md5 prefix (cross-engine exact, so the DuckDB oracle reruns the
+    identical pipeline). Skew is handled by aggregating per (doc, gram)
+    FIRST: a document repeating one slogan 10^6 times contributes ONE row
+    to the global count, so the per-gram shuffle sees distinct (doc, gram)
+    pairs and the heavy-hitter join fan-out is bounded by document count,
+    not occurrence count; both groupBys partial-aggregate map-side. Four
+    shuffles total: (doc,gram), gram, the count join-back, doc.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(
+        F.col(id_col), F.greatest(n - k + 1, F.lit(0)).alias("n_spans"), windows.alias("ws")
+    ).localCheckpoint(eager=False)
+    grams = base.select(id_col, F.explode("ws").alias("h"))
+    per_doc_gram = grams.groupBy(id_col, "h").agg(F.count("*").alias("m"))
+    per_gram = per_doc_gram.groupBy("h").agg(F.sum("m").alias("n_occ"))
+    dup_per_doc = (
+        per_doc_gram.join(per_gram.filter(F.col("n_occ") >= 2), "h")
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("dup_spans"))
+    )
+    return (
+        base.select(id_col, "n_spans")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.expr(
+                "cast(case when n_spans > 0 then"
+                " coalesce(dup_spans, 0) * 1000 div n_spans else 0 end as bigint)"
+            ).alias("dup_ratio_milli"),
+        )
+    )

@@ -348,3 +348,34 @@ def test_shingler_rejects_unknown_route(docs):
 
     with pytest.raises(ValueError, match="shingler"):
         dedup.shingle_sets(docs, "doc_id", "text", 3, shingler="magic").collect()
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """4-token windows over a toy corpus with a known shared span: the
+    repeated window marks positions in BOTH documents, a within-doc
+    repeat counts twice, and short documents report zero spans."""
+    rows = [
+        (1, "a b c d x y z w"),      # 5 windows; "a b c d" shared with doc 2
+        (2, "q a b c d r s"),        # 4 windows; "a b c d" at position 2
+        (3, "m m m m m m m"),        # 4 windows, ALL identical -> all dup
+        (4, "too short"),            # < 4 tokens -> 0 spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio_milli)
+        for r in dedup.duplicate_spans(df, k=4).collect()
+    }
+    assert got[1] == (5, 1, 200)
+    assert got[2] == (4, 1, 250)
+    assert got[3] == (4, 4, 1000)
+    assert got[4] == (0, 0, 0)
+
+
+def test_duplicate_spans_partial_aggregates_and_no_window(spark, sf_dir):
+    """Scale shape: every aggregate partial-aggregates map-side (skew-safe
+    under heavy-hitter grams) and there is no Window operator anywhere —
+    the per-doc pre-aggregation bounds join fan-out by document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dedup.duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Window" not in plan
