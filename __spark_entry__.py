@@ -2526,6 +2526,22 @@ def _multimodal_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg(synth_jpeg_sa(docs))
 
 
+def _multimodal_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 metadata extraction (operators/multimodal.py:parse_h264):
+    Annex-B start-code walk, emulation-prevention removal, and a full
+    Exp-Golomb SPS parse (baseline AND High-profile header branches,
+    frame-cropping arithmetic) — resolution, profile, level, NAL/IDR
+    counts, all analytically recomputable from the doc id. Frame decode
+    stays with the documented external-codec stub."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        parse_h264,
+        synth_h264,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_h264(synth_h264(docs))
+
+
 def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the co-supplier kNN graph (each
     supplier keeps its 5 strongest order-sharing partners — the raw
@@ -3802,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive_decode": _multimodal_jpeg_progressive_decode,
         "multimodal_jpeg_sa_decode": _multimodal_jpeg_sa_decode,
         "dedup_substring_spans": _dedup_substring_spans,
+        "multimodal_h264_metadata": _multimodal_h264_metadata,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4467,6 +4484,16 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id,
                    cast(coalesce(h.n_bloom_grams, 0) as bigint) as n_bloom_grams
             from documents t left join hits h using (doc_id)
+        """,
+        "multimodal_h264_metadata": """
+            select doc_id,
+                   cast((2 + doc_id % 9) * 16 - 2 * (doc_id % 3) as int) as width,
+                   cast((2 + doc_id % 5) * 16 - 2 * (doc_id % 2) as int) as height,
+                   cast(case when doc_id % 2 = 0 then 100 else 66 end as int) as profile_idc,
+                   cast(10 * (3 + doc_id % 3) as int) as level_idc,
+                   cast(3 + doc_id % 3 as int) as n_nal_units,
+                   cast(1 as int) as n_idr_slices
+            from documents
         """,
         "dedup_substring_spans": """
             with toks as (

@@ -2078,3 +2078,308 @@ def synth_jpeg_sa(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+# H.264/AVC: the metadata layer is REAL byte-level parsing — Annex-B
+# start-code walking, emulation-prevention de/encoding, and a full
+# Exp-Golomb SPS decode (both the baseline and High-profile header
+# branches, every pic_order_cnt_type, scaling-list skipping, frame
+# cropping arithmetic) — the same surface ffprobe reads to answer
+# "what resolution/profile is this stream" without touching a single
+# macroblock. Only FRAME decode (CABAC/CAVLC entropy + inter
+# prediction) remains behind the documented external-codec stub.
+
+H264_PARSED_SCHEMA = (
+    "doc_id bigint, width int, height int, profile_idc int, level_idc int, "
+    "n_nal_units int, n_idr_slices int"
+)
+
+
+def _h264_ep_insert(rbsp: bytes) -> bytes:
+    """Emulation prevention (spec 7.4.1): inside a NAL payload any
+    00 00 {00,01,02,03} becomes 00 00 03 xx so start codes can't appear."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _h264_ep_remove(payload: bytes) -> bytes:
+    """Inverse of :func:`_h264_ep_insert`: drop the 03 in 00 00 03."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(payload):
+        b = payload[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+class _H264BitReader:
+    """MSB-first bit reader with Exp-Golomb ue(v)/se(v) (spec 9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("SPS truncated")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _H264BitWriter:
+    def __init__(self):
+        self.bits: list = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp_trailing(self) -> bytes:
+        self.u(1, 1)
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            out.append(int("".join(map(str, self.bits[i : i + 8])), 2))
+        return bytes(out)
+
+
+def _h264_skip_scaling_list(r: _H264BitReader, size: int) -> None:
+    """scaling_list() (spec 7.3.2.1.1.1): only the delta stream length
+    matters for skipping."""
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        if nxt != 0:
+            last = nxt
+
+
+def _h264_parse_sps(rbsp: bytes) -> dict:
+    """Sequence Parameter Set (spec 7.3.2.1.1) through the frame-cropping
+    arithmetic: returns profile_idc, level_idc and the DISPLAY width and
+    height (crop units scale with chroma format and field coding)."""
+    r = _H264BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # sps_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.u(1):
+                    _h264_skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()  # offset_for_ref_frame
+    elif poc_type != 2:
+        raise ValueError(f"bad pic_order_cnt_type {poc_type}")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    mb_w = r.ue() + 1
+    map_h = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # vui ignored (not needed for geometry)
+    if chroma_format_idc == 0:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    elif chroma_format_idc == 1:
+        unit_x, unit_y = 2, 2 * (2 - frame_mbs_only)
+    elif chroma_format_idc == 2:
+        unit_x, unit_y = 2, 2 - frame_mbs_only
+    else:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    width = mb_w * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * map_h * 16 - unit_y * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS crop removes the whole frame")
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def _h264_annexb_nals(data: bytes):
+    """Yield (nal_unit_type, payload) for each Annex-B NAL (3- or 4-byte
+    start codes); payload excludes the header byte and still carries
+    emulation-prevention bytes."""
+    i = 0
+    n = len(data)
+    starts = []
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no Annex-B start codes")
+    for si, s in enumerate(starts):
+        e = starts[si + 1] - 3 if si + 1 < len(starts) else n
+        # a 4-byte start code leaves one zero before the next 00 00 01
+        while e > s and data[e - 1] == 0:
+            e -= 1
+        hdr = data[s]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        yield hdr & 0x1F, data[s + 1 : e]
+
+
+def _h264_bytes(doc_id: int) -> bytes:
+    """Deterministic Annex-B stream: SPS (alternating baseline/High
+    profile to exercise both header branches) + PPS + one IDR slice stub
+    + (doc_id % 3) non-IDR stubs. Geometry from the id: mb grid
+    (2+id%9) x (2+id%5), right/bottom crop id%3 / id%2 chroma units."""
+    mb_w, mb_h = 2 + doc_id % 9, 2 + doc_id % 5
+    crop_r, crop_b = doc_id % 3, doc_id % 2
+    high = doc_id % 2 == 0
+    w = _H264BitWriter()
+    w.u(100 if high else 66, 8)
+    w.u(0, 8)
+    w.u(10 * (3 + doc_id % 3), 8)  # level 30/40/50
+    w.ue(0)  # sps_id
+    if high:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime bypass
+        w.u(0, 1)  # no scaling matrix
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps flag
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui absent
+    sps = _h264_ep_insert(w.rbsp_trailing())
+    pps = _h264_ep_insert(bytes((0xC8, 0x42)))  # opaque stub payload
+    out = bytearray(b"\x00\x00\x00\x01" + bytes([0x67]) + sps)
+    out += b"\x00\x00\x00\x01" + bytes([0x68]) + pps
+    filler = bytes(((doc_id * 31 + i) % 251) for i in range(20))
+    out += b"\x00\x00\x01" + bytes([0x65]) + _h264_ep_insert(filler)  # IDR
+    for s in range(doc_id % 3):
+        body = bytes(((doc_id * 17 + s * 7 + i) % 249) for i in range(12))
+        out += b"\x00\x00\x01" + bytes([0x41]) + _h264_ep_insert(body)
+    return bytes(out)
+
+
+def synth_h264(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_h264_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def parse_h264(df: DataFrame) -> DataFrame:
+    """Arrow-batched H.264 metadata extraction: walk the Annex-B stream,
+    strip emulation prevention from the SPS, and run the Exp-Golomb
+    header parse — resolution, profile, level, NAL/IDR counts. Frame
+    decode stays with the external-codec stub (:func:`decode_payload`)."""
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        sps = None
+        n_nal = n_idr = 0
+        for typ, payload in _h264_annexb_nals(bytes(data)):
+            n_nal += 1
+            if typ == 7 and sps is None:
+                sps = _h264_parse_sps(_h264_ep_remove(payload))
+            elif typ == 5:
+                n_idr += 1
+        if sps is None:
+            raise ValueError("no SPS NAL in stream")
+        return (
+            sps["width"], sps["height"], sps["profile_idc"], sps["level_idc"],
+            n_nal, n_idr,
+        )
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "profile_idc": [f[2] for f in feats],
+                    "level_idc": [f[3] for f in feats],
+                    "n_nal_units": [f[4] for f in feats],
+                    "n_idr_slices": [f[5] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=H264_PARSED_SCHEMA)

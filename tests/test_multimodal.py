@@ -823,3 +823,106 @@ def test_jpeg_sa_refinement_rejects_bad_size():
         except ValueError:
             saw_error = True
     assert saw_error
+
+
+def test_h264_sps_parser_branches():
+    """Header branches the deterministic synth never emits: poc_type 0
+    and 1, interlaced (frame_mbs_only=0 doubles height and the crop
+    unit), 4:2:2 chroma, and a High-profile SPS carrying real scaling
+    lists — the parser must walk every one to the same geometry."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _H264BitWriter,
+        _h264_parse_sps,
+    )
+
+    def sps(profile=66, chroma=1, poc=2, frame_mbs_only=1, crops=(0, 0, 0, 0),
+            scaling=False, mb_w=4, mb_h=3):
+        w = _H264BitWriter()
+        w.u(profile, 8)
+        w.u(0, 8)
+        w.u(31, 8)
+        w.ue(0)
+        if profile == 100:
+            w.ue(chroma)
+            w.ue(0)
+            w.ue(0)
+            w.u(0, 1)
+            w.u(1 if scaling else 0, 1)
+            if scaling:
+                for i in range(8):
+                    w.u(1, 1)  # every list present
+                    # delta_scale stream: next_scale hits 0 immediately
+                    w.ue(16)  # se(-8): (8 - 8) % 256 == 0 ends the list
+        w.ue(0)
+        w.ue(poc)
+        if poc == 0:
+            w.ue(4)
+        elif poc == 1:
+            w.u(0, 1)
+            w.ue(2)  # se(+1) offset_for_non_ref_pic
+            w.ue(1)  # se(-1)? (value irrelevant, must parse)
+            w.ue(2)  # num_ref_frames_in_pic_order_cnt_cycle = 2
+            w.ue(3)
+            w.ue(4)
+        w.ue(1)
+        w.u(0, 1)
+        w.ue(mb_w - 1)
+        w.ue(mb_h - 1)
+        w.u(frame_mbs_only, 1)
+        if not frame_mbs_only:
+            w.u(0, 1)
+        w.u(1, 1)
+        if any(crops):
+            w.u(1, 1)
+            for c in crops:
+                w.ue(c)
+        else:
+            w.u(0, 1)
+        w.u(0, 1)
+        return w.rbsp_trailing()
+
+    base = _h264_parse_sps(sps())
+    assert (base["width"], base["height"]) == (64, 48)
+    assert _h264_parse_sps(sps(poc=0)) == base
+    assert _h264_parse_sps(sps(poc=1)) == base
+    hi = _h264_parse_sps(sps(profile=100, scaling=True))
+    assert (hi["width"], hi["height"], hi["profile_idc"]) == (64, 48, 100)
+    # interlaced: map units are field pairs -> height doubles, crop unit 4
+    il = _h264_parse_sps(sps(frame_mbs_only=0, crops=(0, 0, 0, 1)))
+    assert (il["width"], il["height"]) == (64, 96 - 4)
+    # 4:2:2: vertical crop unit is 1 luma row smaller than 4:2:0
+    c422 = _h264_parse_sps(sps(profile=100, chroma=2, crops=(1, 1, 1, 1)))
+    assert (c422["width"], c422["height"]) == (64 - 4, 48 - 2)
+
+
+def test_h264_byte_sensitivity():
+    """Flipping header bits never passes silently: geometry changes or
+    the parse raises; truncating the stream raises."""
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _h264_annexb_nals,
+        _h264_bytes,
+        _h264_ep_remove,
+        _h264_parse_sps,
+    )
+
+    data = _h264_bytes(7)
+    nals = list(_h264_annexb_nals(data))
+    sps_payload = _h264_ep_remove(nals[0][1])
+    base = _h264_parse_sps(sps_payload)
+    changed = 0
+    for bit in range(24, 40):  # inside the Exp-Golomb geometry region
+        mut = bytearray(sps_payload)
+        mut[bit // 8] ^= 0x80 >> (bit % 8)
+        try:
+            got = _h264_parse_sps(bytes(mut))
+            if got != base:
+                changed += 1
+        except ValueError:
+            changed += 1
+    assert changed > 0
+    with pytest.raises(ValueError):
+        _h264_parse_sps(sps_payload[:3])
+    with pytest.raises(ValueError, match="start codes"):
+        list(_h264_annexb_nals(b"\x12\x34\x56\x78"))
