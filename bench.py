@@ -65,6 +65,10 @@ BENCH_QUERIES = (
     "multimodal_jpeg_color_decode",
     "multimodal_jpeg_420_decode",
     "multimodal_jpeg_progressive_decode",
+    # round-4 second batch
+    "multimodal_jpeg_sa_decode",
+    "multimodal_h264_metadata",
+    "dedup_substring_spans",
 )
 
 # The headline set r1-r3 benched; rows added later are reported separately
