@@ -2542,6 +2542,26 @@ def _multimodal_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_h264(synth_h264(docs))
 
 
+def _multimodal_h264_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 FRAME decode — the I_PCM subset
+    (operators/multimodal.py:decode_h264_ipcm): Annex-B walk, SPS/PPS
+    activation, the complete slice-header parse, and the macroblock
+    loop with pcm_alignment_zero_bit, extracting raw Y/Cb/Cr samples
+    and applying the SPS frame-cropping window. I_PCM (spec 7.4.5,
+    mb_type 25) is the uncompressed-macroblock mode every conformant
+    encoder must fall back to, so this is a genuine standard subset;
+    only CAVLC/CABAC residual entropy stays external. The oracle
+    recomputes the exact channel sums from the sample-generation
+    formulas analytically (never parsing a byte)."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_h264_ipcm,
+        synth_h264_ipcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_h264_ipcm(synth_h264_ipcm(docs))
+
+
 def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the co-supplier kNN graph (each
     supplier keeps its 5 strongest order-sharing partners — the raw
@@ -3819,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_sa_decode": _multimodal_jpeg_sa_decode,
         "dedup_substring_spans": _dedup_substring_spans,
         "multimodal_h264_metadata": _multimodal_h264_metadata,
+        "multimodal_h264_frame_decode": _multimodal_h264_frame_decode,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4494,6 +4515,51 @@ def oracle_sql() -> dict[str, str]:
                    cast(3 + doc_id % 3 as int) as n_nal_units,
                    cast(1 as int) as n_idr_slices
             from documents
+        """,
+        "multimodal_h264_frame_decode": """
+            with dims as (
+              select doc_id,
+                     1 + doc_id % 3 as mbw,
+                     1 + doc_id % 2 as mbh,
+                     1 + doc_id % 2 as nf,
+                     16 * (1 + doc_id % 3) - 2 * (doc_id % 2) as w,
+                     16 * (1 + doc_id % 2)
+                       - 2 * (case when doc_id % 3 = 0 then 1 else 0 end) as h
+              from documents
+            ),
+            luma as (
+              select d.doc_id,
+                     sum((d.doc_id * 5 + f.f * 11 + x.x * 3 + y.y * 7) % 256)
+                       as sum_y
+              from dims d,
+                   lateral (select unnest(range(0, d.nf)) as f) f,
+                   lateral (select unnest(range(0, d.w)) as x) x,
+                   lateral (select unnest(range(0, d.h)) as y) y
+              group by 1
+            ),
+            chroma as (
+              select d.doc_id,
+                     sum((d.doc_id * 3 + f.f * 5 + x.x * 2 + y.y * 3) % 256)
+                       as sum_cb,
+                     sum((d.doc_id * 7 + f.f * 3 + x.x + y.y * 2) % 256)
+                       as sum_cr
+              from dims d,
+                   lateral (select unnest(range(0, d.nf)) as f) f,
+                   lateral (select unnest(range(0, d.w // 2)) as x) x,
+                   lateral (select unnest(range(0, d.h // 2)) as y) y
+              group by 1
+            )
+            select d.doc_id,
+                   cast(d.w as int) as width,
+                   cast(d.h as int) as height,
+                   cast(d.nf as int) as n_frames,
+                   cast(d.nf * d.mbw * d.mbh as int) as n_mbs,
+                   cast(l.sum_y as bigint) as sum_y,
+                   cast(c.sum_cb as bigint) as sum_cb,
+                   cast(c.sum_cr as bigint) as sum_cr
+            from dims d
+            join luma l using (doc_id)
+            join chroma c using (doc_id)
         """,
         "dedup_substring_spans": """
             with toks as (

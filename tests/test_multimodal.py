@@ -881,10 +881,14 @@ def test_h264_sps_parser_branches():
         w.u(0, 1)
         return w.rbsp_trailing()
 
+    def geom(d):
+        return (d["width"], d["height"], d["profile_idc"], d["level_idc"])
+
     base = _h264_parse_sps(sps())
     assert (base["width"], base["height"]) == (64, 48)
-    assert _h264_parse_sps(sps(poc=0)) == base
-    assert _h264_parse_sps(sps(poc=1)) == base
+    # poc_type only changes which header fields exist, never geometry
+    assert geom(_h264_parse_sps(sps(poc=0))) == geom(base)
+    assert geom(_h264_parse_sps(sps(poc=1))) == geom(base)
     hi = _h264_parse_sps(sps(profile=100, scaling=True))
     assert (hi["width"], hi["height"], hi["profile_idc"]) == (64, 48, 100)
     # interlaced: map units are field pairs -> height doubles, crop unit 4
@@ -926,3 +930,150 @@ def test_h264_byte_sensitivity():
         _h264_parse_sps(sps_payload[:3])
     with pytest.raises(ValueError, match="start codes"):
         list(_h264_annexb_nals(b"\x12\x34\x56\x78"))
+
+
+def test_h264_ipcm_frame_decode_exact():
+    """The I_PCM slice decoder reconstructs every raw sample: channel
+    sums over the cropped window match the generation formulas exactly
+    for a spread of geometries (1-3 x 1-2 MBs, both crop branches,
+    1 and 2 IDR pictures)."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _h264_annexb_nals,
+        _h264_decode_ipcm_slice,
+        _h264_ep_remove,
+        _h264_ipcm_bytes,
+        _h264_ipcm_cb,
+        _h264_ipcm_cr,
+        _h264_ipcm_geometry,
+        _h264_ipcm_y,
+        _h264_parse_pps,
+        _h264_parse_sps,
+    )
+
+    for doc_id in range(12):
+        mb_w, mb_h, crop_r, crop_b, n_frames = _h264_ipcm_geometry(doc_id)
+        w_exp = 16 * mb_w - 2 * crop_r
+        h_exp = 16 * mb_h - 2 * crop_b
+        sps = pps = None
+        frames = 0
+        sum_y = sum_cb = sum_cr = 0
+        for hdr, payload in _h264_annexb_nals(_h264_ipcm_bytes(doc_id)):
+            rbsp = _h264_ep_remove(payload)
+            if hdr == 7:
+                sps = _h264_parse_sps(rbsp)
+            elif hdr == 8:
+                pps = _h264_parse_pps(rbsp)
+            elif hdr == 5:
+                y, cb, cr = _h264_decode_ipcm_slice(rbsp, sps, pps, 0x65)
+                cl, _, ct, _ = sps["crop_px"]
+                fw = sps["mb_width"] * 16
+                for row in range(ct, ct + h_exp):
+                    sum_y += sum(y[row * fw + cl : row * fw + cl + w_exp])
+                cfw = fw // 2
+                for row in range(ct // 2, ct // 2 + h_exp // 2):
+                    s = row * cfw + cl // 2
+                    sum_cb += sum(cb[s : s + w_exp // 2])
+                    sum_cr += sum(cr[s : s + w_exp // 2])
+                frames += 1
+        assert (sps["width"], sps["height"], frames) == (w_exp, h_exp, n_frames)
+        want_y = sum(
+            _h264_ipcm_y(doc_id, f, x, yy)
+            for f in range(n_frames)
+            for yy in range(h_exp)
+            for x in range(w_exp)
+        )
+        want_cb = sum(
+            _h264_ipcm_cb(doc_id, f, x, yy)
+            for f in range(n_frames)
+            for yy in range(h_exp // 2)
+            for x in range(w_exp // 2)
+        )
+        want_cr = sum(
+            _h264_ipcm_cr(doc_id, f, x, yy)
+            for f in range(n_frames)
+            for yy in range(h_exp // 2)
+            for x in range(w_exp // 2)
+        )
+        assert (sum_y, sum_cb, sum_cr) == (want_y, want_cb, want_cr)
+
+
+def test_h264_ipcm_rejects_unsupported():
+    """CABAC PPS, non-I_PCM macroblocks, truncated PCM samples, and a
+    missing stop bit all raise instead of decoding garbage."""
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _H264BitWriter,
+        _h264_annexb_nals,
+        _h264_decode_ipcm_slice,
+        _h264_ep_remove,
+        _h264_ipcm_bytes,
+        _h264_parse_pps,
+        _h264_parse_sps,
+    )
+
+    nals = [
+        (h, _h264_ep_remove(p))
+        for h, p in _h264_annexb_nals(_h264_ipcm_bytes(3))
+    ]
+    sps = _h264_parse_sps(nals[0][1])
+    pps = _h264_parse_pps(nals[1][1])
+    slice_rbsp = nals[2][1]
+
+    cabac = _H264BitWriter()
+    cabac.ue(0)
+    cabac.ue(0)
+    cabac.u(1, 1)  # entropy_coding_mode = CABAC
+    with pytest.raises(ValueError, match="CABAC"):
+        _h264_parse_pps(cabac.rbsp_trailing())
+
+    # first macroblock's mb_type starts right after the fixed-layout
+    # 15-bit slice header (ue(0)x3=3b, slice_type ue(7)=7b, frame_num
+    # 4b, idr ue(0)+flags 3b, qp_delta 1b -> bit 18); flip its first
+    # bit: ue(25) becomes a shorter code != 25
+    mut = bytearray(slice_rbsp)
+    mut[2] ^= 0x20
+    with pytest.raises(ValueError, match="mb_type|Golomb|truncated"):
+        _h264_decode_ipcm_slice(bytes(mut), sps, pps, 0x65)
+
+    with pytest.raises(ValueError, match="truncated"):
+        _h264_decode_ipcm_slice(slice_rbsp[:100], sps, pps, 0x65)
+
+    with pytest.raises(ValueError, match="stop bit"):
+        _h264_decode_ipcm_slice(slice_rbsp[:-1] + b"\x00", sps, pps, 0x65)
+
+
+def test_h264_ipcm_pcm_byte_flip_changes_sums(spark):
+    """End-to-end through the Spark operator: decode is exact, and
+    flipping one PCM sample byte in the payload changes exactly the
+    affected channel sum."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_h264_ipcm,
+        synth_h264_ipcm,
+    )
+
+    base = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    out = decode_h264_ipcm(synth_h264_ipcm(base)).orderBy("doc_id").collect()
+    assert len(out) == 8
+    assert all(r.width > 0 and r.sum_y > 0 for r in out)
+    # corrupt one byte near the end of doc 2's stream: doc 2 has no
+    # frame cropping, so every PCM sample is inside the visible window
+    # and the flip MUST reach a channel sum (doc 1's right-edge crop
+    # would legally swallow a flip there — that cropping is itself
+    # covered by test_h264_ipcm_frame_decode_exact)
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _h264_ipcm_bytes,
+    )
+
+    raw = bytearray(_h264_ipcm_bytes(2))
+    raw[-10] ^= 0x55
+    df = spark.createDataFrame([(2, bytes(raw))], "doc_id bigint, data binary")
+    flipped = decode_h264_ipcm(df).collect()[0]
+    ref = [r for r in out if r.doc_id == 2][0]
+    assert (flipped.sum_y, flipped.sum_cb, flipped.sum_cr) != (
+        ref.sum_y,
+        ref.sum_cb,
+        ref.sum_cr,
+    )
