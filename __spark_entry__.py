@@ -2562,6 +2562,43 @@ def _multimodal_h264_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_h264_ipcm(synth_h264_ipcm(docs))
 
 
+def _audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio DSP over REAL decoded PCM
+    (operators/multimodal.py:audio_features): RIFF chunk walk, 16-bit
+    sample decode, per-frame energy (exact sum of squares, 160-sample
+    frames, final partial frame kept), global zero-crossing count, and
+    the peak-energy frame with a deterministic tie-break — the
+    silence/noise filter stage of an audio training-data pipeline.
+    Integer-exact, so the oracle recomputes every feature from the
+    sample-generation formula (window functions over generated series)
+    without touching a byte."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(synth_wav(docs))
+
+
+def _multimodal_mp4_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 sample-table parse
+    (operators/multimodal.py:decode_mp4_tracks): the full
+    moov/trak/mdia/minf/stbl walk, stts run-length expansion into total
+    decode duration, stsz in BOTH its uniform and per-sample forms, and
+    the stts/stsz sample-count cross-check a real demuxer performs.
+    This is the layer a video pipeline schedules frame work from. All
+    features are exact integers recomputed by the oracle from the
+    generation formulas."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        decode_mp4_tracks,
+        synth_mp4_tracks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp4_tracks(synth_mp4_tracks(docs))
+
+
 def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the co-supplier kNN graph (each
     supplier keeps its 5 strongest order-sharing partners — the raw
@@ -3840,6 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _dedup_substring_spans,
         "multimodal_h264_metadata": _multimodal_h264_metadata,
         "multimodal_h264_frame_decode": _multimodal_h264_frame_decode,
+        "audio_frame_features": _audio_frame_features,
+        "multimodal_mp4_tracks": _multimodal_mp4_tracks,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4515,6 +4554,91 @@ def oracle_sql() -> dict[str, str]:
                    cast(3 + doc_id % 3 as int) as n_nal_units,
                    cast(1 as int) as n_idr_slices
             from documents
+        """,
+        "multimodal_mp4_tracks": """
+            with dims as (
+              select doc_id,
+                     10 + doc_id % 20 as n,
+                     (10 + doc_id % 20) // 2 as a,
+                     100 + doc_id % 7 as d1,
+                     200 + doc_id % 11 as d2,
+                     1000 + (doc_id % 3) * 500 as ts
+              from documents
+            ),
+            dur as (
+              select doc_id, n, ts,
+                     a * d1 + (n - a) * d2 as duration_units
+              from dims
+            ),
+            persample as (
+              select d.doc_id,
+                     sum(500 + (13 * d.doc_id + 29 * i.i) % 1000) as total,
+                     max(500 + (13 * d.doc_id + 29 * i.i) % 1000) as mx
+              from dims d,
+                   lateral (select unnest(range(0, d.n)) as i) i
+              where d.doc_id % 4 <> 0
+              group by 1
+            )
+            select d.doc_id,
+                   cast(d.ts as int) as media_timescale,
+                   cast(d.n as int) as n_samples,
+                   cast(d.duration_units as bigint) as duration_units,
+                   cast(d.duration_units * 1000 // d.ts as bigint)
+                     as duration_ms,
+                   cast(case when d.doc_id % 4 = 0
+                        then (800 + d.doc_id % 100) * d.n
+                        else p.total end as bigint) as total_bytes,
+                   cast(case when d.doc_id % 4 = 0
+                        then 800 + d.doc_id % 100
+                        else p.mx end as int) as max_sample_bytes
+            from dur d
+            left join persample p using (doc_id)
+        """,
+        "audio_frame_features": """
+            with dims as (
+              select doc_id, 400 + doc_id % 50 as n from documents
+            ),
+            samp as (
+              select d.doc_id, i.i as i,
+                     ((37 * i.i + 11 * d.doc_id) % 4096) - 2048 as s
+              from dims d, lateral (select unnest(range(0, d.n)) as i) i
+            ),
+            zc as (
+              select doc_id,
+                     sum(case when prev_neg is not null
+                              and prev_neg <> neg then 1 else 0 end) as zc
+              from (
+                select doc_id, (s < 0) as neg,
+                       lag(s < 0) over (partition by doc_id order by i)
+                         as prev_neg
+                from samp
+              ) group by doc_id
+            ),
+            fr as (
+              select doc_id, i // 160 as fi, sum(s * s) as e
+              from samp group by 1, 2
+            ),
+            pk as (
+              select doc_id, fi, e,
+                     row_number() over (partition by doc_id
+                                        order by e desc, fi asc) as rn
+              from fr
+            ),
+            agg as (
+              select doc_id, count(*) as n_frames, sum(e) as sum_sq
+              from fr group by doc_id
+            )
+            select d.doc_id,
+                   cast(d.n as int) as n_samples,
+                   cast(a.n_frames as int) as n_frames,
+                   cast(z.zc as bigint) as zero_crossings,
+                   cast(a.sum_sq as bigint) as sum_sq,
+                   cast(p.fi as int) as peak_frame_idx,
+                   cast(p.e as bigint) as peak_frame_energy
+            from dims d
+            join agg a using (doc_id)
+            join zc z using (doc_id)
+            join pk p on p.doc_id = d.doc_id and p.rn = 1
         """,
         "multimodal_h264_frame_decode": """
             with dims as (

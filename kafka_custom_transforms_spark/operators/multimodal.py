@@ -2701,3 +2701,262 @@ def decode_h264_ipcm(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=H264_FRAME_SCHEMA)
+
+
+# Audio feature extraction over REAL decoded PCM — the DSP layer a
+# training-data pipeline runs after decode to filter silence/noise and
+# segment speech. Every feature is an exact integer (energies are sums
+# of squares, activity is sample-sign changes), so the DuckDB oracle
+# reproduces them bit-for-bit from the synth formula and any misread of
+# the RIFF layout, sample width, or framing mismatches.
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples int, n_frames int, zero_crossings bigint, "
+    "sum_sq bigint, peak_frame_idx int, peak_frame_energy bigint"
+)
+
+AUDIO_FRAME_SIZE = 160  # 20 ms at the synth's 8 kHz; final partial frame kept
+
+
+def audio_features(df: DataFrame, frame_size: int = AUDIO_FRAME_SIZE) -> DataFrame:
+    """Framewise audio features from real WAV bytes: RIFF chunk walk
+    (same rules as :func:`decode_wav` — mono 16-bit PCM only), then
+    per-frame energy (exact sum of squares over non-overlapping
+    ``frame_size``-sample frames, last partial frame included), global
+    zero-crossing count (sign change between consecutive samples, zero
+    counted as non-negative), and the peak-energy frame (ties -> lowest
+    index). mapInPandas keeps it shuffle-free at any corpus size."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def _one(data: bytes) -> tuple:
+        riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, rate, frames = 12, None, None
+        while pos + 8 <= len(data):
+            cid, clen = struct.unpack_from("<4sI", data, pos)
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+                if (fmt, ch, bits) != (1, 1, 16):
+                    raise ValueError("only mono 16-bit PCM supported")
+            elif cid == b"data":
+                frames = data[body : body + clen]
+            pos = body + clen + (clen & 1)
+        if rate is None or frames is None:
+            raise ValueError("missing fmt or data chunk")
+        n = len(frames) // 2
+        samples = struct.unpack(f"<{n}h", frames[: 2 * n])
+        zc = sum(
+            1
+            for i in range(1, n)
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+        n_frames = (n + frame_size - 1) // frame_size
+        peak_idx, peak_e, total = 0, -1, 0
+        for fi in range(n_frames):
+            e = sum(
+                s * s for s in samples[fi * frame_size : (fi + 1) * frame_size]
+            )
+            total += e
+            if e > peak_e:
+                peak_idx, peak_e = fi, e
+        return (n, n_frames, zc, total, peak_idx, max(peak_e, 0))
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_samples": [f[0] for f in feats],
+                    "n_frames": [f[1] for f in feats],
+                    "zero_crossings": [f[2] for f in feats],
+                    "sum_sq": [f[3] for f in feats],
+                    "peak_frame_idx": [f[4] for f in feats],
+                    "peak_frame_energy": [f[5] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# MP4 sample tables: the layer a video pipeline actually schedules work
+# from — stts (decode timestamps, run-length encoded) and stsz (sample
+# sizes, uniform or per-sample) inside the full trak/mdia/minf/stbl
+# hierarchy. Real box walking end to end; frame-content decode is the
+# documented external-codec boundary (now narrowed to entropy-coded
+# residuals by decode_h264_ipcm).
+
+MP4_TRACK_SCHEMA = (
+    "doc_id bigint, media_timescale int, n_samples int, "
+    "duration_units bigint, duration_ms bigint, total_bytes bigint, "
+    "max_sample_bytes int"
+)
+
+
+def _mp4_track_bytes(doc_id: int) -> bytes:
+    """ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{stbl{stts,
+    stsz}}}}}. n = 10 + id%20 samples in two stts runs (deltas
+    100+id%7 / 200+id%11); stsz is uniform (id%4==0) or per-sample
+    size(i) = 500 + (13*id + 29*i) % 1000."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(body), typ) + body
+
+    n = 10 + doc_id % 20
+    d1, d2 = 100 + doc_id % 7, 200 + doc_id % 11
+    a = n // 2
+    stts = box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 2)
+        + struct.pack(">II", a, d1)
+        + struct.pack(">II", n - a, d2),
+    )
+    if doc_id % 4 == 0:
+        stsz = box(
+            b"stsz",
+            b"\x00\x00\x00\x00" + struct.pack(">II", 800 + doc_id % 100, n),
+        )
+    else:
+        sizes = [500 + (13 * doc_id + 29 * i) % 1000 for i in range(n)]
+        stsz = box(
+            b"stsz",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    ts = 1000 + (doc_id % 3) * 500
+    dur = a * d1 + (n - a) * d2
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, ts, dur)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    stbl = box(b"stbl", stts + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 60,
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd_src = _mp4_bytes(doc_id)  # reuse the verified mvhd writer
+    # mvhd sits at moov body start: ftyp is 20 bytes, moov header 8
+    mvhd = mvhd_src[28:]
+    moov = box(b"moov", mvhd + trak)
+    ftyp = struct.pack(">I4s4sI4s", 20, b"ftyp", b"isom", 512, b"isom")
+    return ftyp + moov
+
+
+def synth_mp4_tracks(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    def _gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "data": [_mp4_track_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+
+
+def decode_mp4_tracks(df: DataFrame) -> DataFrame:
+    """Parse REAL sample tables: walk moov/trak/mdia/{mdhd,minf/stbl/
+    {stts,stsz}}, expand stts run-length entries into total duration,
+    read stsz in both its uniform and per-sample forms, and cross-check
+    the two tables' sample counts (a real demuxer must — they disagree
+    in corrupt files). Exact integers only."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def _boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", data, pos)
+            body = pos + 8
+            if size == 0:
+                yield typ, body, end
+                return
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", data, body)
+                body += 8
+                if size < 16:
+                    raise ValueError("bad largesize box")
+            elif size < 8:
+                raise ValueError("bad box size")
+            yield typ, body, pos + size
+            pos += size
+
+    def _find(data, start, end, typ):
+        for t, b, e in _boxes(data, start, end):
+            if t == typ:
+                return b, e
+        return None
+
+    def _one(data: bytes) -> tuple:
+        moov = _find(data, 0, len(data), b"moov")
+        if moov is None:
+            raise ValueError("missing moov")
+        trak = _find(data, *moov, b"trak")
+        if trak is None:
+            raise ValueError("missing trak")
+        mdia = _find(data, *trak, b"mdia")
+        mdhd = _find(data, *mdia, b"mdhd")
+        b, _ = mdhd
+        if data[b]:
+            (ts,) = struct.unpack_from(">I", data, b + 20)
+        else:
+            (ts,) = struct.unpack_from(">I", data, b + 12)
+        minf = _find(data, *mdia, b"minf")
+        stbl = _find(data, *minf, b"stbl")
+        stts = _find(data, *stbl, b"stts")
+        stsz = _find(data, *stbl, b"stsz")
+        if stts is None or stsz is None:
+            raise ValueError("missing stts or stsz")
+        b, e = stts
+        (n_ent,) = struct.unpack_from(">I", data, b + 4)
+        if b + 8 + 8 * n_ent > e:
+            raise ValueError("stts overruns its box")
+        n_stts, dur = 0, 0
+        for i in range(n_ent):
+            cnt, delta = struct.unpack_from(">II", data, b + 8 + 8 * i)
+            n_stts += cnt
+            dur += cnt * delta
+        b, e = stsz
+        uniform, n = struct.unpack_from(">II", data, b + 4)
+        if uniform:
+            total, mx = uniform * n, uniform
+        else:
+            if b + 12 + 4 * n > e:
+                raise ValueError("stsz overruns its box")
+            sizes = struct.unpack_from(f">{n}I", data, b + 12)
+            total, mx = sum(sizes), max(sizes) if sizes else 0
+        if n != n_stts:
+            raise ValueError(f"stsz/stts sample counts disagree: {n} vs {n_stts}")
+        return (ts, n, dur, dur * 1000 // ts, total, mx)
+
+    def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            feats = [_one(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_timescale": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "duration_units": [f[2] for f in feats],
+                    "duration_ms": [f[3] for f in feats],
+                    "total_bytes": [f[4] for f in feats],
+                    "max_sample_bytes": [f[5] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=MP4_TRACK_SCHEMA)

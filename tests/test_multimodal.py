@@ -1077,3 +1077,114 @@ def test_h264_ipcm_pcm_byte_flip_changes_sums(spark):
         ref.sum_cb,
         ref.sum_cr,
     )
+
+
+def test_audio_features_exact_and_byte_sensitive(spark):
+    """Frame energies, zero crossings, and the peak frame are exact
+    integers from the real PCM; flipping one sample byte moves sum_sq;
+    a partial final frame is its own frame; stereo input raises."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _wav_bytes,
+        audio_features,
+    )
+
+    n = 170  # one full 160-sample frame + a 10-sample partial frame
+    good = _wav_bytes(5, n)
+    samples = [((37 * i + 11 * 5) % 4096) - 2048 for i in range(n)]
+    rows = audio_features(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [5], "data": [good]}))
+    ).collect()
+    r = rows[0]
+    assert (r.n_samples, r.n_frames) == (n, 2)
+    assert r.sum_sq == sum(s * s for s in samples)
+    assert r.zero_crossings == sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    e0 = sum(s * s for s in samples[:160])
+    e1 = sum(s * s for s in samples[160:])
+    assert (r.peak_frame_idx, r.peak_frame_energy) == (
+        (0, e0) if e0 >= e1 else (1, e1)
+    )
+
+    flipped = bytearray(good)
+    flipped[44] ^= 0x10  # low byte of sample 0
+    r2 = audio_features(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [5], "data": [bytes(flipped)]})
+        )
+    ).collect()[0]
+    assert r2.sum_sq != r.sum_sq
+
+    stereo = bytearray(_wav_bytes(1, 10))
+    struct.pack_into("<H", stereo, 22, 2)
+    with pytest.raises(Exception):
+        audio_features(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1], "data": [bytes(stereo)]})
+            )
+        ).collect()
+
+
+def test_mp4_tracks_parses_real_sample_tables(spark):
+    """stts runs must be expanded and stsz read in both forms from the
+    real boxes; a count mismatch between the two tables raises, as does
+    an stsz whose declared entries overrun the box."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _mp4_track_bytes,
+        decode_mp4_tracks,
+    )
+
+    # doc 4: uniform stsz branch; doc 5: per-sample branch
+    rows = {
+        r.doc_id: r
+        for r in decode_mp4_tracks(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": [4, 5],
+                     "data": [_mp4_track_bytes(4), _mp4_track_bytes(5)]}
+                )
+            )
+        ).collect()
+    }
+    n4, n5 = 14, 15
+    assert rows[4].n_samples == n4
+    assert rows[4].total_bytes == (800 + 4) * n4
+    assert rows[4].max_sample_bytes == 804
+    sizes5 = [500 + (13 * 5 + 29 * i) % 1000 for i in range(n5)]
+    assert rows[5].total_bytes == sum(sizes5)
+    assert rows[5].max_sample_bytes == max(sizes5)
+    a5, d15, d25 = n5 // 2, 100 + 5 % 7, 200 + 5 % 11
+    dur5 = a5 * d15 + (n5 - a5) * d25
+    assert rows[5].duration_units == dur5
+    assert rows[5].duration_ms == dur5 * 1000 // rows[5].media_timescale
+
+    # corrupt the stts sample count of doc 5 -> tables disagree -> raise
+    raw = bytearray(_mp4_track_bytes(5))
+    idx = raw.find(b"stts") + 12  # first entry's sample_count
+    cnt = struct.unpack_from(">I", raw, idx)[0]
+    struct.pack_into(">I", raw, idx, cnt + 1)
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "data": [bytes(raw)]})
+    )
+    with pytest.raises(Exception, match="disagree"):
+        decode_mp4_tracks(bad).collect()
+
+    # stsz that declares more entries than its box holds -> raise
+    raw2 = bytearray(_mp4_track_bytes(5))
+    idx2 = raw2.find(b"stsz") + 12  # sample_count field (uniform=0 first)
+    struct.pack_into(">I", raw2, idx2, 10_000)
+    bad2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "data": [bytes(raw2)]})
+    )
+    with pytest.raises(Exception, match="overruns"):
+        decode_mp4_tracks(bad2).collect()
