@@ -2599,6 +2599,21 @@ def _multimodal_mp4_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mp4_tracks(synth_mp4_tracks(docs))
 
 
+def _lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM likelihood (operators/text.py:
+    lm_likelihood) — the CCNet-style quality filter: MLE bigram
+    probabilities trained on the corpus itself, documents scored by
+    how predictable their token transitions are. Exact per-mille
+    integer probabilities (no floats, no log-space cross-engine
+    drift); the count table equi-joins on the bigram key (AQE splits
+    hot stopword bigrams) instead of broadcasting, because vocab² can
+    exceed any broadcast budget at corpus scale."""
+    from kafka_custom_transforms_spark.operators.text import lm_likelihood
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_likelihood(docs)
+
+
 def _graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the co-supplier kNN graph (each
     supplier keeps its 5 strongest order-sharing partners — the raw
@@ -3879,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_h264_frame_decode": _multimodal_h264_frame_decode,
         "audio_frame_features": _audio_frame_features,
         "multimodal_mp4_tracks": _multimodal_mp4_tracks,
+        "lm_quality_score": _lm_quality_score,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4554,6 +4570,44 @@ def oracle_sql() -> dict[str, str]:
                    cast(3 + doc_id % 3 as int) as n_nal_units,
                    cast(1 as int) as n_idr_slices
             from documents
+        """,
+        "lm_quality_score": """
+            with toks as (
+              select doc_id, string_split(text, ' ') as t from documents
+            ),
+            doc_bg as (
+              select doc_id,
+                     t[i.i] || ' ' || t[i.i + 1] as bg,
+                     count(*) as m
+              from toks,
+                   lateral (select unnest(range(1, len(t))) as i) i
+              where len(t) >= 2
+              group by 1, 2
+            ),
+            bg_counts as (
+              select bg, sum(m) as c_bg from doc_bg group by 1
+            ),
+            ctx as (
+              select string_split(bg, ' ')[1] as w1, sum(c_bg) as c_ctx
+              from bg_counts group by 1
+            ),
+            scored as (
+              select d.doc_id,
+                     sum(d.m) as n_bigrams,
+                     sum(d.m * ((b.c_bg * 1000) // c.c_ctx)) as lm_sum_pm
+              from doc_bg d
+              join bg_counts b using (bg)
+              join ctx c on string_split(d.bg, ' ')[1] = c.w1
+              group by 1
+            )
+            select doc_id,
+                   cast(coalesce(s.n_bigrams, 0) as bigint) as n_bigrams,
+                   cast(coalesce(s.lm_sum_pm, 0) as bigint) as lm_sum_pm,
+                   cast(case when coalesce(s.n_bigrams, 0) > 0
+                        then (s.lm_sum_pm * 1000) // s.n_bigrams
+                        else 0 end as bigint) as lm_avg_micro
+            from documents
+            left join scored s using (doc_id)
         """,
         "multimodal_mp4_tracks": """
             with dims as (

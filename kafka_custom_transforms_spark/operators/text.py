@@ -355,3 +355,75 @@ def tfidf_top_terms(
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+def lm_likelihood(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram LM likelihood score — the CCNet-style
+    quality signal: train MLE bigram probabilities on the corpus itself,
+    then score every document by how predictable its token transitions
+    are (low scores flag noise/boilerplate-free diverse text, high
+    scores flag repetitive or templated content). Per-bigram probability
+    is the exact per-mille integer ``(1000 * c(w1,w2)) div c(w1·)``
+    where ``c(w1·)`` is the context count, so the score is deterministic
+    under any partitioning and the DuckDB oracle reproduces it bit for
+    bit — no floats, no log-space cross-engine drift.
+
+    Scale design (100 TB): three data-sized shuffles — the per-doc
+    bigram pre-aggregation (bounds hot-bigram multiplicity before
+    anything wide), the count-table equi-join on the bigram key (M:1;
+    AQE skew-join splits hot stopword bigrams), and the final per-doc
+    sum. The context-count table is derived by re-aggregating the
+    already-shrunk bigram count table, never the raw token stream. The
+    count table joins (never broadcasts — vocab² can exceed any
+    broadcast budget); ``c*1000`` stays inside int64 up to ~9e15
+    bigram occurrences (~10 PB of text), far past the design point.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bg = df.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.sum("m").alias("c_bg"))
+    ctx_counts = (
+        bg_counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_ctx"))
+    )
+    enriched = bg_counts.withColumn(
+        "w1", F.split(F.col("bg"), " ")[0]
+    ).join(ctx_counts, "w1")
+    scored = (
+        doc_bg.join(enriched, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(
+                F.col("m") * F.expr("(c_bg * 1000L) div c_ctx")
+            ).alias("lm_sum_pm"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_sum_pm", F.lit(0)).cast("long").alias("lm_sum_pm"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("(lm_sum_pm * 1000L) div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lm_avg_micro"),
+        )
+    )
