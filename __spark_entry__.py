@@ -3740,7 +3740,10 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
     dec = lambda c: F.col(c).cast("decimal(18,2)")
-    picked = sel.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp")).filter(
+    # no broadcast hint on stats: it is one row per Brand#23 part, derived
+    # from the FACT table — at the 100 TB design point that can exceed the
+    # broadcast limit; AQE picks broadcast at small scale on its own
+    picked = sel.join(stats, F.col("l_partkey") == F.col("sp")).filter(
         F.lit(5) * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty")
     )
     return picked.agg(

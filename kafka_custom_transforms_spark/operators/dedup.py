@@ -73,13 +73,19 @@ def dedup_exact(
     window task. ``skew_safe=False`` keeps the window-function form
     (``row_number() over (partition by keys order by order_by) = 1``) —
     same result (test-pinned equality when ``order_by`` is a total order
-    within each key group; with ties both forms keep an arbitrary one of
-    the tied rows, as does the oracle's QUALIFY).
+    within each key group). When ``order_by`` is NOT a total order within
+    a key group, BOTH forms break the tie by a stable full-row hash
+    (``xxhash64`` over every column), so the survivor is a deterministic
+    function of the data — identical run-to-run and between the two
+    forms — rather than whichever tied row an executor saw first.
     """
 
     def _transform(df: DataFrame) -> DataFrame:
+        tie = F.xxhash64(*[F.col(c) for c in df.columns])
         if skew_safe:
-            order_struct = F.struct(*[F.col(c) for c in order_by])
+            order_struct = F.struct(
+                *[F.col(c) for c in order_by], tie.alias("_tie")
+            )
             row_struct = F.struct(*[F.col(c) for c in df.columns])
             out = (
                 df.groupBy(*[F.col(k) for k in keys])
@@ -87,7 +93,7 @@ def dedup_exact(
                 .select("_survivor.*")
             )
         else:
-            w = Window.partitionBy(*keys).orderBy(*order_by)
+            w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by], tie)
             out = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)

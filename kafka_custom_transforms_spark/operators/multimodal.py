@@ -520,6 +520,8 @@ def decode_wav(df: DataFrame) -> DataFrame:
         while pos + 8 <= len(data):
             cid, clen = struct.unpack_from("<4sI", data, pos)
             body = pos + 8
+            if body + clen > len(data):
+                raise ValueError("truncated RIFF chunk")
             if cid == b"fmt ":
                 fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
                 if (fmt, ch, bits) != (1, 1, 16):
@@ -1059,6 +1061,9 @@ class _JpegBitWriter:
             if b == 0xFF:
                 self.out.append(0x00)
             self.nbits -= 8
+        # keep only the unemitted bits (bounds bigint growth to < 8 bits
+        # of slack instead of the whole segment)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -1222,7 +1227,9 @@ def _jpeg_decode_planes(data):
     comp_order = []
     restart_interval = 0
     progressive = False
-    scans = []  # (scan_comps [(cid, dc_sel, ac_sel)], Ss, Se, entropy bytes)
+    # (scan_comps [(cid, dc_sel, ac_sel)], Ss, Se, Ah, Al,
+    #  huff-tables-at-SOS, restart-interval-at-SOS, entropy bytes)
+    scans = []
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1284,7 +1291,14 @@ def _jpeg_decode_planes(data):
                 ):
                     break
                 ep += 1
-            scans.append((scan_comps, ss, se, ah, al, data[pos:ep]))
+            # snapshot the entropy state AT SOS TIME: real encoders (e.g.
+            # libjpeg progressive output) routinely redefine DHT table ids
+            # and may change DRI between scans, so decoding every buffered
+            # scan with the final walker state would be silently wrong
+            scans.append(
+                (scan_comps, ss, se, ah, al, dict(huff), restart_interval,
+                 data[pos:ep])
+            )
             pos = ep
     if width is None or not scans:
         raise ValueError("missing SOF or SOS")
@@ -1303,7 +1317,7 @@ def _jpeg_decode_planes(data):
     ci_of = {cid: i for i, (cid, _, _) in enumerate(comp_order)}
     n_mcu_x, n_mcu_y = width // (8 * hmax), height // (8 * vmax)
 
-    for scan_comps, ss, se, ah, al, seg in scans:
+    for scan_comps, ss, se, ah, al, huff, restart_interval, seg in scans:
         spos = acc = nbits = 0
 
         def read(length):
@@ -1321,6 +1335,10 @@ def _jpeg_decode_planes(data):
                 nbits += 8
             v = (acc >> (nbits - length)) & ((1 << length) - 1)
             nbits -= length
+            # truncate to the live bits: without this the accumulator
+            # grows 8 bits per consumed byte and bigint shifts turn the
+            # scan into O(n^2) on megabyte-scale entropy segments
+            acc &= (1 << nbits) - 1
             return v
 
         def read_huff(table):
@@ -1493,43 +1511,60 @@ def _jpeg_decode_planes(data):
                 else:
                     decode_ac_band(ac_sel, blk, ss, se)
 
-    # dequant + IDCT + write planes, then upsample
-    subplanes = [[0] * (cw * ch) for cw, ch in dims]
+    # dequant + IDCT + write planes, then upsample — numpy-vectorized
+    # across every block of a component at once.  Bit-exactness vs the
+    # reference per-pixel loop is preserved because each numpy statement
+    # applies the SAME IEEE-754 double op elementwise in the SAME
+    # left-to-right order the scalar loop used: the separable IDCT
+    # accumulates u (then v) sequentially as whole-array fused steps,
+    # rounding is np.rint (round-half-even, = Python round on floats),
+    # and the DC-only shortcut in _jpeg_idct_2d was already defined to
+    # equal the general loop bitwise, so running every block through the
+    # general path changes nothing.  Entropy decode above stays
+    # sequential Python (Huffman is inherently serial); this stage was
+    # the per-pixel hot loop.
+    import numpy as np
+
+    cosm = np.asarray(_jpeg_idct_cos(), dtype=np.float64)  # [x][u]
+    cvec = np.asarray(_jpeg_idct_c(), dtype=np.float64)
+    subplanes = []
     for ci, (cid, h, v) in enumerate(comp_order):
-        q = qtables[comp_q[cid]]
-        cw, _ = dims[ci]
+        q = np.asarray(qtables[comp_q[cid]], dtype=np.float64)
+        cw, ch = dims[ci]
         gw, gh = grid[ci]
-        plane = subplanes[ci]
-        for by in range(gh):
-            for bx in range(gw):
-                raw = coef_store[ci][by * gw + bx]
-                coefs = [raw[i] * q[i] for i in range(64)]
-                block = _jpeg_idct_2d(coefs)
-                for yy in range(8):
-                    for xx in range(8):
-                        val = int(round(block[yy * 8 + xx])) + 128
-                        plane[(by * 8 + yy) * cw + (bx * 8 + xx)] = (
-                            0 if val < 0 else (255 if val > 255 else val)
-                        )
+        # (nblocks, v, u) natural-order dequantized coefficients; the
+        # products are < 2^23 so int -> double is exact
+        coefs = (
+            np.asarray(coef_store[ci], dtype=np.float64) * q
+        ).reshape(gh * gw, 8, 8)
+        # row pass: tmp[b, v, x] = (sum_u c[u]*coef[b,v,u]*cos[x][u]) / 2
+        tmp = np.zeros((gh * gw, 8, 8))
+        for u in range(8):
+            tmp += (cvec[u] * coefs[:, :, u])[:, :, None] * cosm[:, u]
+        tmp /= 2.0
+        # col pass: out[b, y, x] = (sum_v c[v]*tmp[b,v,x]*cos[y][v]) / 2
+        out = np.zeros((gh * gw, 8, 8))
+        for vv in range(8):
+            out += (cvec[vv] * tmp[:, vv, :])[:, None, :] * cosm[:, vv][
+                None, :, None
+            ]
+        out /= 2.0
+        vals = np.clip(np.rint(out).astype(np.int64) + 128, 0, 255)
+        # (gh, gw, 8, 8) -> (gh, 8, gw, 8) -> (ch, cw) row-major plane
+        subplanes.append(
+            vals.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(ch, cw)
+        )
     planes = []
     for ci, (cw, ch) in enumerate(dims):
         sub = subplanes[ci]
         if (cw, ch) == (width, height):
-            planes.append(sub)
+            planes.append(sub.ravel().tolist())
             continue
-        full = [0] * (width * height)
-        if (2 * cw, 2 * ch) == (width, height):
-            for sy in range(ch):
-                row = sub[sy * cw : (sy + 1) * cw]
-                wide = [v for v in row for _ in (0, 1)]
-                full[(2 * sy) * width : (2 * sy + 1) * width] = wide
-                full[(2 * sy + 1) * width : (2 * sy + 2) * width] = wide
-        else:
-            for y in range(height):
-                row = (y * ch // height) * cw
-                for x in range(width):
-                    full[y * width + x] = sub[row + (x * cw // width)]
-        planes.append(full)
+        # sample replication: full(x, y) = sub(x*cw//width, y*ch//height);
+        # integer fancy-indexing reproduces the scalar mapping exactly
+        ys = np.arange(height, dtype=np.int64) * ch // height
+        xs = np.arange(width, dtype=np.int64) * cw // width
+        planes.append(sub[ys[:, None], xs[None, :]].ravel().tolist())
     return width, height, planes
 
 
@@ -1562,20 +1597,27 @@ def _jpeg_ycbcr_to_rgb(y, cb, cr):
 def _jpeg_decode_rgb(data):
     """Three-component wrapper: decode YCbCr planes and convert to RGB
     per pixel; (width, height, r_plane, g_plane, b_plane)."""
+    import numpy as np
+
     width, height, planes = _jpeg_decode_planes(data)
     if len(planes) != 3:
         raise ValueError("expected a color JPEG, got 1 component")
-    yp, cbp, crp = planes
-    rp, gp, bp = [0] * len(yp), [0] * len(yp), [0] * len(yp)
-    # memoize per file: sample triples repeat heavily (flat blocks repeat
-    # them 64x), and the cache cannot exceed the pixel count
-    cache: dict = {}
-    for i in range(len(yp)):
-        k = (yp[i], cbp[i], crp[i])
-        v = cache.get(k)
-        if v is None:
-            v = cache[k] = _jpeg_ycbcr_to_rgb(*k)
-        rp[i], gp[i], bp[i] = v
+    # vectorized BT.601: each numpy statement applies the scalar
+    # _jpeg_ycbcr_to_rgb op sequence elementwise (ints are exact in
+    # doubles; floor(x + 0.5) is the same IEEE op), so every value is
+    # bit-identical to the per-pixel reference function
+    y = np.asarray(planes[0], dtype=np.float64)
+    cb = np.asarray(planes[1], dtype=np.float64) - 128.0
+    cr = np.asarray(planes[2], dtype=np.float64) - 128.0
+
+    def cl(a):
+        return np.clip(
+            np.floor(a + 0.5), 0.0, 255.0
+        ).astype(np.int64).tolist()
+
+    rp = cl(y + 1.402 * cr)
+    gp = cl(y - 0.344136 * cb - 0.714136 * cr)
+    bp = cl(y + 1.772 * cb)
     return width, height, rp, gp, bp
 
 
@@ -2737,6 +2779,8 @@ def audio_features(df: DataFrame, frame_size: int = AUDIO_FRAME_SIZE) -> DataFra
         while pos + 8 <= len(data):
             cid, clen = struct.unpack_from("<4sI", data, pos)
             body = pos + 8
+            if body + clen > len(data):
+                raise ValueError("truncated RIFF chunk")
             if cid == b"fmt ":
                 fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
                 if (fmt, ch, bits) != (1, 1, 16):
@@ -2942,6 +2986,8 @@ def decode_mp4_tracks(df: DataFrame) -> DataFrame:
             total, mx = sum(sizes), max(sizes) if sizes else 0
         if n != n_stts:
             raise ValueError(f"stsz/stts sample counts disagree: {n} vs {n_stts}")
+        if ts == 0:
+            raise ValueError("bad mdhd timescale")
         return (ts, n, dur, dur * 1000 // ts, total, mx)
 
     def _decode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":

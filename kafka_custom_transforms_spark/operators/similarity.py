@@ -38,14 +38,17 @@ def topk_neighbors(
     vec_col: str = "embedding",
     include_self: bool = False,
     dim: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k.
 
     The cosine is unrolled into a flat codegen expression only when the base
     table is large enough to amortize the one-time Janino/JIT compile of the
     ~600-node tree (see :data:`UNROLL_MIN_ROWS`); the interpreted fold is
-    bit-equal, so results never depend on the choice."""
-    cos_dim = _auto_cos_dim(base, dim)
+    bit-equal, so results never depend on the choice. ``n_rows`` is an
+    optional corpus-size hint; without it the size is estimated from plan
+    statistics — no Spark job either way."""
+    cos_dim = _auto_cos_dim(base, dim, n_rows)
     b = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
@@ -60,12 +63,33 @@ def topk_neighbors(
     )
 
 
-def _auto_cos_dim(base: DataFrame, dim: int | None) -> int | None:
+def _auto_cos_dim(
+    base: DataFrame, dim: int | None, n_rows: int | None = None
+) -> int | None:
     """Unroll the cosine only when the base corpus amortizes the compile
-    cost (one cheap count; see UNROLL_MIN_ROWS). None stays None."""
+    cost (see UNROLL_MIN_ROWS). None stays None.
+
+    Decides WITHOUT running a Spark job: callers that know the corpus
+    size pass ``n_rows``; otherwise rows are estimated from Catalyst's
+    ``optimizedPlan().stats().sizeInBytes`` (a plan statistic — for a
+    parquet scan, the file span to read) divided by the vector payload
+    (8 bytes per dimension). An estimate is exactly right here: both
+    branches evaluate the identical left-fold and are bit-equal, so the
+    choice is purely a compile-vs-throughput trade and a scan-sized
+    heuristic cannot affect results. The old form ran ``base.count()``
+    on every top-k call — a wasted full scan per query at 100 TB."""
     if dim is None:
         return None
-    return dim if base.count() >= UNROLL_MIN_ROWS else None
+    if n_rows is None:
+        try:
+            size = int(
+                base._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes().toString()
+            )
+            n_rows = size // max(8 * dim, 1)
+        except Exception:  # stats unavailable: take the cheap branch
+            return None
+    return dim if n_rows >= UNROLL_MIN_ROWS else None
 
 
 def _hyperplane_weight(plane: int, dim: int) -> float:
@@ -193,12 +217,13 @@ def lsh_topk_neighbors(
     vec_col: str = "embedding",
     tables: int = 8,
     bits_per_table: int = 6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only candidates sharing an SRP bucket with the query
     in at least one table, then exact-cosine rank. Same output schema as
     :func:`topk_neighbors`; recall < 1 by design — tests measure it against
     the brute-force baseline."""
-    cos_dim = _auto_cos_dim(base, dim)
+    cos_dim = _auto_cos_dim(base, dim, n_rows)
     bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)
     qb = hyperplane_buckets(queries, dim, id_col, vec_col, tables, bits_per_table)
     cand = (

@@ -180,3 +180,35 @@ def test_two_level_degenerates_to_flat_below_threshold(emb):
         for r in similarity._assign_cells_two_level(vecs, centroids, nc, None).collect()
     )
     assert flat == two
+
+
+def test_topk_plan_construction_runs_no_job(emb, queries_df, monkeypatch):
+    """Pin VERDICT r4 item 7: building the exact top-k plan must not run
+    a Spark job (the old _auto_cos_dim called base.count() on every call
+    — a wasted full scan per query at 100 TB). Any action during plan
+    construction trips the monkeypatched methods."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("plan construction ran a Spark job")
+
+    for action in ("count", "collect", "take", "head", "first", "toPandas"):
+        monkeypatch.setattr(DataFrame, action, _boom)
+    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    out.explain(extended=False)  # plan materializes without any action
+    monkeypatch.undo()
+    assert len(_rows(out)) > 0
+
+
+def test_auto_cos_dim_hint_and_estimate(emb):
+    """n_rows hint decides directly; the no-hint path must agree with an
+    explicit count (plan-statistics estimate picks the same branch for a
+    small parquet scan) and never run a job."""
+    assert similarity._auto_cos_dim(emb, 64, n_rows=10) is None
+    assert (
+        similarity._auto_cos_dim(emb, 64, n_rows=similarity.UNROLL_MIN_ROWS)
+        == 64
+    )
+    assert similarity._auto_cos_dim(emb, None) is None
+    # sf0.001/sf0.01 embeddings are far below 500k rows: estimate says fold
+    assert similarity._auto_cos_dim(emb, 64) is None
