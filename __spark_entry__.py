@@ -3828,13 +3828,71 @@ def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic merges-table BPE tokenization of every document
+    (operators/tokenize.py): Arrow-batched subword encode against the
+    frozen 24-merge table, per-doc token count + word count + the first
+    five tokens of the stream. The DuckDB oracle replays the encode loop
+    itself — a recursive CTE fuses the lowest-rank adjacent pair one
+    occurrence per recursion step, the exact one-at-a-time formulation
+    the operator docstring proves equivalent to the batch pass — so the
+    hash check covers merge ORDER, not just counts."""
+    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_bpe(docs, "text")
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("first_tokens"),
+    )
+
+
+# ORDER MATTERS: the correctness driver hashes the FIRST 50 keys of
+# queries() in dict order. The window rotates each round so every
+# registry entry eventually lands in an official CORRECTNESS record:
+# the 13 SMT reference-parity rows stay pinned every round; the other
+# 37 slots hold rows that have NOT yet appeared in any CORRECTNESS_r*
+# file (round-5 rotation: the round-4 codec/engine additions first,
+# then a breadth sample across the remaining never-recorded families).
+# tests/test_oracle_parity.py still covers ALL entries;
+# tests/test_registry_order.py pins this window.
+CORRECTNESS_WINDOW = [
+    # reference-parity core — pinned every round
+    "smt_drop_struct", "smt_drop_subtree", "smt_drop_json_schema",
+    "smt_drop_json_udf", "smt_hoist_struct", "smt_hoist_null_inner",
+    "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
+    "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
+    "smt_mixed_chain",
+    # round-4 additions never yet in an official record
+    "multimodal_gif_decode", "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
+    "multimodal_jpeg_progressive_decode", "multimodal_jpeg_sa_decode",
+    "stream_multimodal_decode", "dedup_substring_spans",
+    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
+    "audio_frame_features", "multimodal_mp4_tracks",
+    "lm_quality_score", "graph_triangles_cosupplier",
+    "q9_product_profit", "q11_top_part_value",
+    "q17_small_quantity_revenue", "q20_part_shipment_suppliers",
+    "q21_waiting_suppliers",
+    # breadth sample of other never-recorded rows
+    "multimodal_wav_decode", "multimodal_mp4_decode",
+    "dedup_incremental", "pack_texts", "text_repetition",
+    "text_normalize", "tfidf_top_terms",
+    "pagerank_doc_tree", "knn_label_vote",
+    "q2_min_cost_parts", "q5_local_supplier_volume",
+    "grouping_sets_docs", "cube_docs",
+    "fuzzy_match_customers", "pseudonymize_events",
+    "arrow_vector_norms", "linear_score_embeddings",
+    "tokenize_bpe_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys in
-    # dict order, so the window below leads with the SMT parity rows, the
-    # ANN/dedup families, the TPC-H plan-shape sweep, the pipelines, and
-    # the streaming rows. tests/test_oracle_parity.py still covers ALL
-    # entries; tests/test_registry_order.py pins this window.
-    return {
+    q = {
         "smt_drop_struct": _smt_drop_struct,
         "smt_drop_subtree": _smt_drop_subtree,
         "smt_drop_json_schema": _smt_drop_json_schema,
@@ -3898,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_features": _audio_frame_features,
         "multimodal_mp4_tracks": _multimodal_mp4_tracks,
         "lm_quality_score": _lm_quality_score,
+        "tokenize_bpe_docs": _tokenize_bpe_docs,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4011,6 +4070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_users": _setops_users,
         "scalar_funcs": _scalar_funcs,
         "topn_pagination": _topn_pagination,
+    }
+    window = set(CORRECTNESS_WINDOW)
+    return {
+        **{k: q[k] for k in CORRECTNESS_WINDOW},
+        **{k: v for k, v in q.items() if k not in window},
     }
 
 
@@ -4432,6 +4496,63 @@ _DECON_SQL = """
         """
 
 
+def _bpe_oracle_sql() -> str:
+    """Recursive-CTE replay of the BPE encode loop over the frozen merges
+    table (operators/tokenize.py): each recursion step fuses the FIRST
+    occurrence of the LOWEST-rank adjacent pair; terminal rows are the
+    words with no fusable pair left. Pairs are compared as
+    l || US || r strings (chr(31) cannot occur in the corpus)."""
+    from kafka_custom_transforms_spark.operators.tokenize import BPE_MERGES
+
+    mv = ", ".join(
+        f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(BPE_MERGES)
+    )
+    return f"""
+        WITH RECURSIVE
+        merges(l, r, rnk) AS (VALUES {mv}),
+        words AS (
+          SELECT doc_id, wi, ws[wi] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(ws))) AS wi) t
+          WHERE ws[wi] <> ''
+        ),
+        bpe(doc_id, wi, syms) AS (
+          SELECT doc_id, wi,
+            list_transform(generate_series(1, length(w)), i -> w[i])
+          FROM words
+          UNION ALL
+          SELECT doc_id, wi,
+            syms[1:k-1] || [syms[k] || syms[k+1]] || syms[k+2:]
+          FROM (
+            SELECT doc_id, wi, syms, prs,
+              (SELECT min(m.rnk) FROM merges m
+                WHERE list_contains(prs, m.l || chr(31) || m.r)) AS br
+            FROM (SELECT doc_id, wi, syms,
+                    list_transform(generate_series(1, len(syms) - 1),
+                                   i -> syms[i] || chr(31) || syms[i+1]) AS prs
+                  FROM bpe)) s
+          CROSS JOIN LATERAL (SELECT list_position(s.prs,
+              (SELECT m2.l || chr(31) || m2.r FROM merges m2
+                WHERE m2.rnk = s.br)) AS k) u
+          WHERE s.br IS NOT NULL
+        ),
+        final AS (
+          SELECT doc_id, wi, syms FROM bpe
+          WHERE (SELECT min(m.rnk) FROM merges m WHERE list_contains(
+              list_transform(generate_series(1, len(syms) - 1),
+                             i -> syms[i] || chr(31) || syms[i+1]),
+              m.l || chr(31) || m.r)) IS NULL
+        )
+        SELECT doc_id,
+          sum(len(syms))::BIGINT AS n_tokens,
+          count(*)::BIGINT AS n_words,
+          array_to_string(flatten(list(syms ORDER BY wi))[1:5], ' ')
+            AS first_tokens
+        FROM final GROUP BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = _COSINE_EXPR.format(a="a.v", b="b.v")
     qcos = _COSINE_EXPR.format(a="q.v", b="e.v")
@@ -4442,6 +4563,7 @@ def oracle_sql() -> dict[str, str]:
         f"cast(embedding[{j + 1}] as double) * ({w!r})" for j, w in enumerate(_lw)
     )
     return {
+        "tokenize_bpe_docs": _bpe_oracle_sql(),
         "linear_score_embeddings": f"""
             select vec_id,
                    cast(floor(({_lin_margin}) * 1000000) as bigint) as margin_ppm,

@@ -198,6 +198,19 @@ def _bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
     return header + bytes(rows)
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Round-robin the id projection across the session's full default
+    parallelism before payload synthesis. The synth+decode stages are
+    CPU-bound Python per row, but the upstream documents table is tiny
+    (one parquet file -> 1-2 input partitions), so without this the whole
+    decode family runs on 1-2 cores of a 32-core session. Shuffling ONLY
+    the id column (a long per row) costs ~nothing at any scale; at 100 TB
+    a real binary column would already arrive in many partitions and the
+    caller would decode it directly rather than synthesize."""
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism)
+
+
 def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, data) with a deterministic real BMP per row; geometry
     8+id%9 x 6+id%7 keeps payloads tiny while exercising every row
@@ -217,7 +230,7 @@ def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_bmp(df: DataFrame) -> DataFrame:
@@ -360,7 +373,7 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_png(df: DataFrame) -> DataFrame:
@@ -502,7 +515,7 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_wav(df: DataFrame) -> DataFrame:
@@ -595,7 +608,7 @@ def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_mp4_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_mp4(df: DataFrame) -> DataFrame:
@@ -829,7 +842,7 @@ def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_gif(df: DataFrame) -> DataFrame:
@@ -1646,7 +1659,7 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_jpeg_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_jpeg(df: DataFrame) -> DataFrame:
@@ -1710,7 +1723,7 @@ def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_jpeg_color_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_jpeg_color(df: DataFrame) -> DataFrame:
@@ -1811,7 +1824,7 @@ def synth_jpeg_420(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_jpeg_420_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_jpeg_420(df: DataFrame) -> DataFrame:
@@ -2090,7 +2103,7 @@ def synth_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_jpeg_progressive_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def _jpeg_sa_bytes(doc_id: int) -> bytes:
@@ -2119,7 +2132,7 @@ def synth_jpeg_sa(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_jpeg_sa_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 # H.264/AVC: the metadata layer is REAL byte-level parsing — Annex-B
@@ -2399,7 +2412,7 @@ def synth_h264(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_h264_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def parse_h264(df: DataFrame) -> DataFrame:
@@ -2680,7 +2693,7 @@ def synth_h264_ipcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_h264_ipcm_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_h264_ipcm(df: DataFrame) -> DataFrame:
@@ -2910,7 +2923,7 @@ def synth_mp4_tracks(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "data": [_mp4_track_bytes(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
+    return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
 def decode_mp4_tracks(df: DataFrame) -> DataFrame:

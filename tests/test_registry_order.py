@@ -1,43 +1,56 @@
 """Pin the registry's first-50 window: the correctness driver hashes the
-FIRST 50 keys of queries() in dict order (verified in the round-3 verdict),
-so the high-value rows — SMT parity, ANN full oracles, dedup families,
-TPC-H sweep, pipelines, streams — must lead, and every key must have a
-callable plus (almost always) an oracle."""
+FIRST 50 keys of queries() in dict order (verified in the round-3 verdict).
+The window ROTATES each round so every registry entry eventually gets an
+official CORRECTNESS record: the 13 SMT reference-parity rows stay pinned
+every round, and the other 37 slots hold rows never yet recorded in any
+committed CORRECTNESS_r*.json."""
+
+import glob
+import json
+import os
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_FIRST_50 = [
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SMT_CORE = [
     "smt_drop_struct", "smt_drop_subtree", "smt_drop_json_schema",
     "smt_drop_json_udf", "smt_hoist_struct", "smt_hoist_null_inner",
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_semantic",
-    "dedup_clusters", "dedup_survivors", "dedup_lines_global",
-    "q1_pricing_summary", "q3_shipping_priority", "q13_order_distribution",
-    "q15_top_supplier", "q16_supplier_variety", "q18_large_orders",
-    "q19_disjunctive_revenue", "q22_idle_balances",
-    "pipeline_training_batches", "pipeline_entity_resolution",
-    "funnel_stages", "sketch_distinct_users", "pack_docs",
-    "mixture_sample_docs", "importance_score_docs",
-    "multimodal_png_decode", "multimodal_bmp_decode",
-    "events_sessionize", "events_sessionize_stream",
-    "stream_dedup_watermark", "stream_interval_join",
-    "stream_decontaminate", "stream_static_enrich", "stream_leaderboard",
-    "statestore_read_counts",
 ]
 
 
-def test_first_50_window():
+def test_window_is_the_first_50_keys():
     keys = list(entry_mod.queries().keys())
-    assert keys[:50] == EXPECTED_FIRST_50
+    assert len(entry_mod.CORRECTNESS_WINDOW) == 50
+    assert keys[:50] == entry_mod.CORRECTNESS_WINDOW
 
 
-def test_first_50_all_have_oracles():
+def test_window_leads_with_smt_parity_core():
+    assert entry_mod.CORRECTNESS_WINDOW[:13] == SMT_CORE
+
+
+def test_window_fill_rows_are_never_officially_recorded():
+    """Every non-SMT slot must be a row absent from ALL committed
+    CORRECTNESS_r*.json files — the whole point of the rotation. When a
+    new round's record lands, rotate the window before this goes red."""
+    recorded: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            recorded |= set(json.load(f).keys())
+    stale = [
+        k for k in entry_mod.CORRECTNESS_WINDOW[13:] if k in recorded
+    ]
+    assert stale == [], stale
+
+
+def test_first_50_all_have_oracles_or_documented_weak():
+    """Rows without an oracle get the driver's weaker rows-only check;
+    keep them rare and intentional inside the window."""
     oracles = entry_mod.oracle_sql()
-    missing = [k for k in EXPECTED_FIRST_50 if k not in oracles]
+    missing = [k for k in entry_mod.CORRECTNESS_WINDOW if k not in oracles]
     assert missing == [], missing
 
 
@@ -45,3 +58,4 @@ def test_no_duplicate_keys_and_all_callable():
     q = entry_mod.queries()
     assert len(q) == len(set(q))
     assert all(callable(v) for v in q.values())
+    assert len(set(entry_mod.CORRECTNESS_WINDOW)) == 50

@@ -1,0 +1,131 @@
+"""BPE tokenizer tests: known encodings against the frozen merges table,
+equivalence of the one-at-a-time merge loop with the batch left-to-right
+pass (the property the DuckDB oracle's recursive CTE relies on), Spark
+column parity with the pure function, and packing integration — real
+subword token counts flowing into pack_sequences."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kafka_custom_transforms_spark.operators.tokenize import (
+    BPE_MERGES,
+    bpe_encode,
+    bpe_token_counts,
+    tokenize_bpe,
+)
+
+
+def test_known_encodings():
+    assert bpe_encode("column") == ["co", "lu", "m", "n"]
+    assert bpe_encode("customer") == ["cu", "st", "o", "mer"]
+    assert bpe_encode("hash") == ["hash"]
+    assert bpe_encode("batch") == ["batch"]
+    assert bpe_encode("join") == ["join"]
+    assert bpe_encode("filter") == ["f", "i", "l", "t", "er"]
+    assert bpe_encode("a") == ["a"]
+    assert bpe_encode("") == []
+
+
+def test_merge_rank_order_matters():
+    # 'scan': s+c is NOT a merge; a+n (rank 19) fires before c+an exists,
+    # then c+an (20), then s+can (21) — the full chain must run in rank
+    # order to converge to one token.
+    assert bpe_encode("scan") == ["scan"]
+    # 'sc' alone has no applicable merge at all
+    assert bpe_encode("sc") == ["s", "c"]
+
+
+def _batch_encode(word, merges):
+    """Reference batch formulation: merge ALL left-to-right non-overlapping
+    occurrences of the best-ranked present pair per round."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        present = [
+            ranks[p]
+            for p in zip(syms, syms[1:])
+            if p in ranks
+        ]
+        if not present:
+            break
+        a, b = merges[min(present)]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=24))
+def test_one_at_a_time_equals_batch(word):
+    assert bpe_encode(word) == _batch_encode(word, BPE_MERGES)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="abc", max_size=16),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.text(alphabet="abc", min_size=1, max_size=2),
+        ),
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_equivalence_holds_for_arbitrary_merge_tables(word, merges):
+    merges = tuple(merges)
+    assert bpe_encode(word, merges) == _batch_encode(word, merges)
+
+
+def test_tokenize_column_matches_pure_function(spark):
+    rows = [(0, "customer join a filter"), (1, "hash  batch"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in tokenize_bpe(df, "text").collect()
+    }
+    for doc_id, text in rows:
+        want = []
+        for w in text.split(" "):
+            if w:
+                want.extend(bpe_encode(w))
+        assert got[doc_id] == want
+
+
+def test_token_counts_and_packing_integration(spark, sf_dir):
+    """End-to-end: BPE token counts budget a real packing run — every
+    packed sequence's occupancy ends exactly at the sum of its members'
+    BPE counts and never exceeds the context window."""
+    from kafka_custom_transforms_spark.operators.packing import pack_sequences
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    counted = bpe_token_counts(docs, "text")
+    row = counted.select(
+        F.min("n_bpe_tokens").alias("lo"), F.max("n_bpe_tokens").alias("hi")
+    ).collect()[0]
+    assert row.lo >= 1  # every doc has words
+    assigned = pack_sequences(
+        counted, tokens_col="n_bpe_tokens", context_len=256, n_buckets=8
+    ).collect()
+    by_seq: dict = {}
+    for r in assigned:
+        by_seq.setdefault((r.bucket, r.seq), []).append(r)
+    assert len(assigned) == 200
+    for members in by_seq.values():
+        members.sort(key=lambda r: r.pack_offset)
+        fill = 0
+        for m in members:
+            assert m.pack_offset == fill
+            fill += m.n_bpe_tokens
+        assert fill <= 256 or len(members) == 1  # oversize doc sits alone
