@@ -3851,6 +3851,43 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING (operators/tokenize.py bpe_train): 8
+    rounds of most-frequent-adjacent-pair learning over the corpus
+    vocabulary (corpus touched once for the word-frequency aggregate;
+    every round is vocabulary-sized Catalyst work — merge application is
+    one string replace() whose JVM left-to-right non-overlapping
+    semantics equal the BPE batch pass, bit-identical in DuckDB). The
+    oracle unrolls the same 8 rounds as chained CTEs, so counts, ties,
+    and merge ORDER are all hash-checked."""
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        learned.rename(columns={"left": "lhs", "right": "rhs"}),
+        schema="step int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data composition: BPE subword counts
+    (operators/tokenize.py) budget the hash-sharded first-fit packer
+    (operators/packing.py) — the realistic loader pipeline, where the
+    packing decision is driven by the tokenizer's actual token counts
+    rather than whitespace words. md5 bucket hash so the DuckDB oracle
+    replays BOTH loops (BPE encode + first-fit recursion) in one
+    WITH RECURSIVE block."""
+    from kafka_custom_transforms_spark.operators.packing import pack_sequences
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = bpe_token_counts(docs, "text").select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
+
+
 # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys of
 # queries() in dict order. The window rotates each round so every
 # registry entry eventually lands in an official CORRECTNESS record:
@@ -3957,6 +3994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_tracks": _multimodal_mp4_tracks,
         "lm_quality_score": _lm_quality_score,
         "tokenize_bpe_docs": _tokenize_bpe_docs,
+        "pack_bpe_docs": _pack_bpe_docs,
+        "bpe_train_docs": _bpe_train_docs,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4142,14 +4181,9 @@ where len(a.s) > 0 and len(b.s) > 0
 
 # Greedy first-fit packing recomputed per bucket with a recursive CTE —
 # identical semantics to operators/packing.pack_sequences(bucket_hash="md5").
-_PACK_CTE = """
-            with recursive base as (
-              select doc_id,
-                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
-                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
-                          % 8 as int) as bucket
-              from documents
-            ),
+# first-fit packing recursion over a `base(doc_id, n_tokens, bucket)`
+# relation — shared by the whitespace-count and BPE-count pack oracles
+_PACK_STEP_CTE = """
             t as (
               select *, row_number() over (partition by bucket order by doc_id) as rn
               from base
@@ -4170,6 +4204,16 @@ _PACK_CTE = """
               from p join t on t.bucket = p.bucket and t.rn = p.rn + 1
             )
 """
+
+_PACK_CTE = """
+            with recursive base as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 14))::BIGINT
+                          % 8 as int) as bucket
+              from documents
+            ),
+""" + _PACK_STEP_CTE
 
 # Gopher repetition signals over an arbitrary doc relation {src}
 _REPETITION_SQL = """
@@ -4496,19 +4540,20 @@ _DECON_SQL = """
         """
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_cte() -> str:
     """Recursive-CTE replay of the BPE encode loop over the frozen merges
     table (operators/tokenize.py): each recursion step fuses the FIRST
-    occurrence of the LOWEST-rank adjacent pair; terminal rows are the
-    words with no fusable pair left. Pairs are compared as
-    l || US || r strings (chr(31) cannot occur in the corpus)."""
+    occurrence of the LOWEST-rank adjacent pair; terminal rows (CTE
+    ``final``) are the words with no fusable pair left. Pairs are
+    compared as l || US || r strings (chr(31) cannot occur in the
+    corpus). Returns the CTE list only (no WITH RECURSIVE, no final
+    SELECT) so oracles can compose it."""
     from kafka_custom_transforms_spark.operators.tokenize import BPE_MERGES
 
     mv = ", ".join(
         f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(BPE_MERGES)
     )
     return f"""
-        WITH RECURSIVE
         merges(l, r, rnk) AS (VALUES {mv}),
         words AS (
           SELECT doc_id, wi, ws[wi] AS w
@@ -4544,12 +4589,92 @@ def _bpe_oracle_sql() -> str:
                              i -> syms[i] || chr(31) || syms[i+1]),
               m.l || chr(31) || m.r)) IS NULL
         )
+    """
+
+
+def _bpe_oracle_sql() -> str:
+    return "WITH RECURSIVE " + _bpe_cte() + """
         SELECT doc_id,
           sum(len(syms))::BIGINT AS n_tokens,
           count(*)::BIGINT AS n_words,
           array_to_string(flatten(list(syms ORDER BY wi))[1:5], ' ')
             AS first_tokens
         FROM final GROUP BY doc_id
+    """
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled replay of bpe_train: round k counts adjacent pairs over
+    segmentation k-1 (kept as the same two-char-boundary string the
+    Spark side uses — see operators/tokenize.py _BOUND for why the
+    boundary is split across the merge pattern's edges), picks
+    (max count, then lexicographically smallest pair), and applies the
+    merge with replace() — DuckDB's replace is the same left-to-right
+    non-overlapping scan as the JVM's."""
+    b1, b2 = "chr(30)", "chr(31)"
+    bb = f"{b1} || {b2}"
+    parts = [
+        f"""
+        vocab0 AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq FROM (
+            SELECT ws[wi] AS w
+            FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+            CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(1, len(ws))) AS wi) t
+            WHERE ws[wi] <> '') GROUP BY w
+        ),
+        seg0 AS MATERIALIZED (
+          SELECT freq, {bb} || array_to_string(
+            list_transform(generate_series(1, length(w)), i -> w[i]),
+            {bb}) || {bb} AS seg
+          FROM vocab0
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+        cnt{k} AS MATERIALIZED (
+          SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
+            SELECT freq, syms[i + 1] AS l, syms[i + 2] AS r
+            FROM (SELECT freq, string_split(seg, {bb}) AS syms
+                  FROM seg{k - 1})
+            CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(1, len(syms) - 3)) AS i) t
+          ) GROUP BY l, r
+        ),
+        best{k} AS MATERIALIZED (SELECT l, r, cnt FROM cnt{k}
+                    ORDER BY cnt DESC, l, r LIMIT 1),
+        seg{k} AS MATERIALIZED (
+          SELECT freq, replace(seg,
+              {b2} || (SELECT l FROM best{k}) || {bb}
+                    || (SELECT r FROM best{k}) || {b1},
+              {b2} || (SELECT l || r FROM best{k}) || {b1}) AS seg
+          FROM seg{k - 1}
+        )""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k - 1} AS step, l AS lhs, r AS rhs, cnt AS pair_count "
+        f"FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + unions
+
+
+def _pack_bpe_oracle_sql() -> str:
+    """Composition oracle: BPE token counts (recursive encode CTE) feed
+    the first-fit packing recursion — both loops replayed in one
+    WITH RECURSIVE block."""
+    return "WITH RECURSIVE " + _bpe_cte() + """,
+        counts AS (
+          SELECT doc_id, sum(len(syms))::BIGINT AS n_tokens
+          FROM final GROUP BY doc_id
+        ),
+        base AS (
+          SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+                 cast(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 14))::BIGINT
+                      % 8 AS int) AS bucket
+          FROM documents d LEFT JOIN counts c USING (doc_id)
+        ),
+    """ + _PACK_STEP_CTE + """
+        SELECT doc_id, n_tokens, bucket, seq, pack_offset FROM p
     """
 
 
@@ -4564,6 +4689,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "tokenize_bpe_docs": _bpe_oracle_sql(),
+        "pack_bpe_docs": _pack_bpe_oracle_sql(),
+        "bpe_train_docs": _bpe_train_oracle_sql(),
         "linear_score_embeddings": f"""
             select vec_id,
                    cast(floor(({_lin_margin}) * 1000000) as bigint) as margin_ppm,

@@ -59,8 +59,10 @@ BENCH_QUERIES = (
     "importance_score_docs",
     # round-4 engine addition
     "dedup_substring_spans",
-    # round-5 engine addition
+    # round-5 engine additions
     "tokenize_bpe_docs",
+    "pack_bpe_docs",
+    "bpe_train_docs",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -82,8 +84,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:29]
-DECODE_QUERIES = BENCH_QUERIES[29:]
+ENGINE_QUERIES = BENCH_QUERIES[:31]
+DECODE_QUERIES = BENCH_QUERIES[31:]
 
 
 def main() -> None:

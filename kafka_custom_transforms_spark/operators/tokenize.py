@@ -43,7 +43,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["BPE_MERGES", "bpe_encode", "tokenize_bpe", "bpe_token_counts"]
+__all__ = [
+    "BPE_MERGES",
+    "bpe_encode",
+    "tokenize_bpe",
+    "bpe_token_counts",
+    "bpe_train",
+]
 
 # Trained offline (see module docstring) — 24 merges keeps most corpus
 # words multi-token so merge ORDER stays observable; rank = index.
@@ -114,6 +120,116 @@ def tokenize_bpe(
         return texts.map(one)
 
     return df.withColumn(out, _enc(F.col(text_col)))
+
+
+# Two-character symbol boundary for the segmentation string. The merge
+# for pair (l, r) is applied as ONE string replace:
+#
+#     C2 · l · C1 C2 · r · C1   ->   C2 · lr · C1
+#
+# i.e. the pattern consumes only the INNER halves of the two flanking
+# boundaries, leaving the outer C1 (left) and C2 (right) in place for the
+# neighboring pairs. This matters for back-to-back occurrences
+# ([a,n,a,n] with pair (a,n)): with a single-char boundary the pattern
+# must consume the shared separator, so replace() — which resumes AFTER
+# the inserted text — silently skips every second occurrence and diverges
+# from the BPE batch pass. With the split boundary the next occurrence's
+# leading C2 is still unscanned, so one replace() pass merges exactly the
+# left-to-right non-overlapping occurrences = the batch merge
+# (test_bpe_train_matches_reference pins this against an independent
+# trainer, including the banana/bandana back-to-back case).
+# A false match inside a symbol is impossible: C2 occurs only
+# immediately before a symbol start and C1 only immediately after a
+# symbol end, so "C2·l·C1" can only match the whole symbol l.
+_B1, _B2 = "\x1e", "\x1f"
+_BOUND = _B1 + _B2
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> "pd.DataFrame":
+    """Learn a BPE merges table from a corpus (Sennrich et al. 2016
+    training): each round counts adjacent symbol pairs over the current
+    segmentation, weighted by word frequency, and fuses the most
+    frequent pair — ties broken by the lexicographically smallest
+    (left, right), the same deterministic rule that produced the frozen
+    :data:`BPE_MERGES`. Returns a pandas DataFrame
+    ``(step, left, right, pair_count)`` with exactly ``n_merges`` rows
+    (fewer only if the vocabulary runs out of pairs).
+
+    Scale design (100 TB): the corpus is touched ONCE — a word-frequency
+    aggregate (one shuffle, map-side partials). Every training round then
+    operates on the VOCABULARY table (orders of magnitude smaller than
+    the corpus), fully in Catalyst:
+
+    - a word's segmentation is kept as a boundary-joined STRING
+      (``C1C2 sym C1C2 sym ... C1C2``), so applying the round's merge is
+      ONE ``replace(seg, C2·l·C1C2·r·C1, C2·lr·C1)`` whose left-to-right
+      non-overlapping scan equals the BPE batch-merge pass exactly (see
+      the :data:`_BOUND` comment for why the boundary must be split
+      across the pattern edges);
+    - pair counting is ``arrays_zip(slice, slice)`` + explode + one
+      vocabulary-sized groupBy per round;
+    - the only driver traffic is ONE (pair, count) row per round — the
+      merges table itself, which is the training OUTPUT, not data.
+
+    Words containing either boundary byte are dropped (guard, not
+    semantics: RS/US never occur in text corpora)."""
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(
+            (F.col("w") != "")
+            & (~F.col("w").contains(_B1))
+            & (~F.col("w").contains(_B2))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # initial segmentation: every character a symbol
+        .withColumn(
+            "seg",
+            F.concat(
+                F.lit(_BOUND),
+                F.array_join(F.split(F.col("w"), ""), _BOUND),
+                F.lit(_BOUND),
+            ),
+        )
+        .select("freq", "seg")
+    )
+    vocab = vocab.localCheckpoint(eager=True)  # vocab-sized; rounds reuse it
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        syms = F.split(F.col("seg"), _BOUND)
+        # split produces leading/trailing empties: real symbols are 2..n-1
+        n = F.size(syms)
+        pairs = F.arrays_zip(
+            F.slice(syms, 2, n - 3).alias("l"),
+            F.slice(syms, 3, n - 3).alias("r"),
+        )
+        best = (
+            vocab.select(F.col("freq"), F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, l, r, cnt))
+        vocab = vocab.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(_B2 + l + _BOUND + r + _B1),
+                F.lit(_B2 + l + r + _B1),
+            ),
+        ).localCheckpoint(eager=True)
+    return pd.DataFrame(
+        merges, columns=["step", "left", "right", "pair_count"]
+    )
 
 
 def bpe_token_counts(

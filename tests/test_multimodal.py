@@ -1188,3 +1188,56 @@ def test_mp4_tracks_parses_real_sample_tables(spark):
     )
     with pytest.raises(Exception, match="overruns"):
         decode_mp4_tracks(bad2).collect()
+
+
+def test_progressive_decode_uses_per_scan_dht_snapshot():
+    """Real progressive encoders (libjpeg) redefine DHT table ids between
+    scans. The decoder must decode each scan with the tables in force AT
+    ITS SOS, not the file's final state: here the DC table id 0 is
+    redefined AFTER the DC scan to a permuted-values table, so decoding
+    the DC scan with the final state would map every category symbol to
+    the wrong bit count and produce garbage (or an invalid-code error)."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+        _jpeg_huff_codes,
+        _jpeg_progressive_headers,
+        _jpeg_seg,
+        _jpeg_sos_gray,
+        _jpeg_write_ac_first_scan,
+        _jpeg_write_dc_first_scan,
+        _JPEG_AC_PROG_BITS,
+        _JPEG_AC_PROG_VALS,
+    )
+
+    q = [8] + [16] * 63
+    blocks = []
+    for k in range(6):  # 3x2 grid, mixed DC and a few AC coefficients
+        blk = [0] * 64
+        blk[0] = (37 * k) % 101 - 50
+        blk[1] = k % 3 - 1
+        blk[8] = (k * 7) % 5 - 2
+        blocks.append(blk)
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    # DHT with the DC values REVERSED: same code lengths, category symbol
+    # k now decodes as 11-k — valid table, wrong meaning for scan 1
+    permuted_dht = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS[1:])
+        + bytes(reversed(_JPEG_DC_VALS)),
+    )
+    payload = (
+        _jpeg_progressive_headers(24, 16, q)
+        + _jpeg_sos_gray(0, 0, 0, 0)
+        + _jpeg_write_dc_first_scan(blocks, 0, dc_huff)
+        + permuted_dht  # redefines DC id 0 BETWEEN scans
+        + _jpeg_sos_gray(1, 63, 0, 0)
+        + _jpeg_write_ac_first_scan(blocks, 1, 63, 0, ac_huff)
+        + b"\xff\xd9"
+    )
+    assert _jpeg_decode_gray(payload) == _jpeg_decode_gray(
+        _jpeg_encode_gray(24, 16, blocks, q)
+    )

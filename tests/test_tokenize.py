@@ -129,3 +129,66 @@ def test_token_counts_and_packing_integration(spark, sf_dir):
             assert m.pack_offset == fill
             fill += m.n_bpe_tokens
         assert fill <= 256 or len(members) == 1  # oversize doc sits alone
+
+
+def _reference_train(word_freqs, n_merges):
+    """Offline Sennrich trainer: most frequent pair, ties broken by the
+    lexicographically smallest (left, right)."""
+    words = {w: list(w) for w in word_freqs}
+    out = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + word_freqs[w]
+        if not pc:
+            break
+        top = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == top)
+        out.append((a, b, top))
+        for w, syms in words.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return out
+
+
+def test_bpe_train_matches_reference(spark):
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    texts = [
+        "banana bandana banana",
+        "ananas banana cabana",
+        "cab cab bandana ananas",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    want = _reference_train(wf, 6)
+    got = bpe_train(df, "text", n_merges=6)
+    assert [
+        (r.left, r.right, r.pair_count) for r in got.itertuples()
+    ] == want
+    assert list(got.step) == list(range(len(want)))
+
+
+def test_bpe_train_feeds_encode(spark):
+    """Learned merges slot straight into the encoder: rank = step."""
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    df = spark.createDataFrame(
+        [("banana banana bandana",)], "text string"
+    )
+    learned = bpe_train(df, "text", n_merges=4)
+    merges = tuple(zip(learned.left, learned.right))
+    enc = bpe_encode("banana", merges)
+    assert enc == _batch_encode("banana", merges)
+    assert len(enc) < len("banana")  # merges actually fired
