@@ -3851,6 +3851,71 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of schema-drifted JSON — the
+    semi-structured use case the engine-surface checklist (§2.4) calls
+    open-schema handling: three payload shapes (flat, nested, array) are
+    derived deterministically per event, parsed with ``parse_json`` into
+    one VARIANT column, and the value is recovered with typed
+    ``variant_get`` paths coalesced across shapes. The oracle recomputes
+    the same values from the base columns with DuckDB JSON functions —
+    checking the variant path extraction end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    shape = F.pmod(F.col("event_id"), F.lit(3))
+    j = (
+        F.when(shape == 0, F.concat(F.lit('{"k": '), k, F.lit("}")))
+        .when(
+            shape == 1,
+            F.concat(F.lit('{"nested": {"k": '), k, F.lit("}}")),
+        )
+        .otherwise(
+            F.concat(F.lit('{"arr": ['), k, F.lit(", "), k + 1, F.lit("]}"))
+        )
+    )
+    v = F.parse_json(j)
+    got = F.coalesce(
+        F.expr("variant_get(v, '$.k', 'long')"),
+        F.expr("variant_get(v, '$.nested.k', 'long')"),
+        F.expr("variant_get(v, '$.arr[0]', 'long')"),
+    )
+    return (
+        ev.withColumn("v", v)
+        .withColumn("got", got)
+        .withColumn("shape", shape)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("got").alias("sum_k"),
+            F.sum(F.when(F.col("shape") == 0, 1).otherwise(0))
+            .cast("long").alias("n_flat"),
+            F.sum(F.when(F.col("shape") == 1, 1).otherwise(0))
+            .cast("long").alias("n_nested"),
+            F.sum(F.when(F.col("shape") == 2, 1).otherwise(0))
+            .cast("long").alias("n_arr"),
+        )
+    )
+
+
+def _sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the operator-chain form of the
+    order-priority rollup — FROM |> WHERE |> AGGREGATE ... GROUP BY.
+    Same semantics as the classic form (the oracle is the classic SQL),
+    demonstrating the new query surface end-to-end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        FROM orders_v
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     cast(sum(cast(o_totalprice AS decimal(18,2)))
+                          AS double) AS total_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )
+
+
 def _bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE TRAINING (operators/tokenize.py bpe_train): 8
     rounds of most-frequent-adjacent-pair learning over the corpus
@@ -3996,6 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bpe_docs": _tokenize_bpe_docs,
         "pack_bpe_docs": _pack_bpe_docs,
         "bpe_train_docs": _bpe_train_docs,
+        "variant_events": _variant_events,
+        "sql_pipe_syntax": _sql_pipe_syntax,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4691,6 +4758,26 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_bpe_docs": _bpe_oracle_sql(),
         "pack_bpe_docs": _pack_bpe_oracle_sql(),
         "bpe_train_docs": _bpe_train_oracle_sql(),
+        "variant_events": """
+            select event_type,
+                   count(*)::BIGINT as n,
+                   sum(cast(props->>'$.k' as bigint))::BIGINT as sum_k,
+                   sum(case when event_id % 3 = 0 then 1 else 0 end)::BIGINT
+                     as n_flat,
+                   sum(case when event_id % 3 = 1 then 1 else 0 end)::BIGINT
+                     as n_nested,
+                   sum(case when event_id % 3 = 2 then 1 else 0 end)::BIGINT
+                     as n_arr
+            from events group by event_type
+        """,
+        "sql_pipe_syntax": """
+            select o_orderpriority,
+                   count(*)::BIGINT as n_orders,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                     as total_price
+            from orders where o_orderstatus <> 'F'
+            group by o_orderpriority
+        """,
         "linear_score_embeddings": f"""
             select vec_id,
                    cast(floor(({_lin_margin}) * 1000000) as bigint) as margin_ppm,
