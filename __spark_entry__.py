@@ -3851,6 +3851,42 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization inside a REAL Structured Streaming job: documents
+    arrive as a file stream, each micro-batch runs the Arrow-batched
+    subword encode (a stateless pandas_udf — stream-legal in append mode;
+    micro-batch boundaries cannot change per-row results), appending
+    per-doc token stats to a checkpointed parquet sink. Shares the batch
+    row's recursive-CTE oracle — stream/batch parity for the tokenizer,
+    i.e. the INGEST shape of a training-data pipeline."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
+
+    d = tempfile.mkdtemp(prefix="kcts-bpe-stream-")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.parquet(d + "/staged")
+    stream_docs = spark.readStream.schema(docs.schema).parquet(d + "/staged")
+    toks = tokenize_bpe(stream_docs, "text")
+    out = toks.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("first_tokens"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", d + "/sink")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink")
+
+
 def _variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT ingestion of schema-drifted JSON — the
     semi-structured use case the engine-surface checklist (§2.4) calls
@@ -4063,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": _bpe_train_docs,
         "variant_events": _variant_events,
         "sql_pipe_syntax": _sql_pipe_syntax,
+        "stream_tokenize_bpe": _stream_tokenize_bpe,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4756,6 +4793,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "tokenize_bpe_docs": _bpe_oracle_sql(),
+        "stream_tokenize_bpe": _bpe_oracle_sql(),
         "pack_bpe_docs": _pack_bpe_oracle_sql(),
         "bpe_train_docs": _bpe_train_oracle_sql(),
         "variant_events": """
