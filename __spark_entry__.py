@@ -2462,6 +2462,46 @@ def _multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_420(synth_jpeg_420(docs))
 
 
+def _run_available_now(spark, staged_df, transform, prefix):
+    """Stage a bounded input to parquet, stream it back with an
+    availableNow trigger, apply ``transform`` to the streaming frame, and
+    return the materialized checkpointed sink. Shared scaffolding for
+    every stream/batch-parity row (decode, tokenize). The temp dirs live
+    until process exit: the returned DataFrame reads the sink lazily."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    staged_df.write.parquet(d + "/staged")
+    stream = spark.readStream.schema(staged_df.schema).parquet(d + "/staged")
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", d + "/sink")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(d + "/sink")
+
+
+def _bpe_doc_stats(df: DataFrame) -> DataFrame:
+    """Shared projection of tokenize_bpe output -> per-doc stats row
+    (used by the batch AND streaming tokenizer rows; must stay in sync
+    with _bpe_oracle_sql)."""
+    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
+
+    toks = tokenize_bpe(df, "text")
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("first_tokens"),
+    )
+
+
 def _stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode inside a REAL Structured Streaming job: document
     ids arrive as a file stream, each micro-batch synthesizes payloads
@@ -2470,27 +2510,15 @@ def _stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     change per-row results), appending to a checkpointed parquet sink.
     Same analytic oracle as the batch multimodal_png_decode row —
     stream/batch parity for the decode family."""
-    import tempfile
-
     from kafka_custom_transforms_spark.operators.multimodal import (
         decode_png,
         synth_png,
     )
 
-    d = tempfile.mkdtemp(prefix="kcts-mm-stream-")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs.write.parquet(d + "/staged")
-    stream_docs = spark.readStream.schema(docs.schema).parquet(d + "/staged")
-    out = decode_png(synth_png(stream_docs))
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", d + "/sink")
-        .option("checkpointLocation", d + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    return _run_available_now(
+        spark, docs, lambda st: decode_png(synth_png(st)), "kcts-mm-stream-"
     )
-    q.awaitTermination()
-    return spark.read.parquet(d + "/sink")
 
 
 def _multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3837,18 +3865,7 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence per recursion step, the exact one-at-a-time formulation
     the operator docstring proves equivalent to the batch pass — so the
     hash check covers merge ORDER, not just counts."""
-    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize_bpe(docs, "text")
-    return toks.select(
-        "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_tokens"),
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-        ).cast("long").alias("n_words"),
-        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("first_tokens"),
-    )
+    return _bpe_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3859,32 +3876,8 @@ def _stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token stats to a checkpointed parquet sink. Shares the batch
     row's recursive-CTE oracle — stream/batch parity for the tokenizer,
     i.e. the INGEST shape of a training-data pipeline."""
-    import tempfile
-
-    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
-
-    d = tempfile.mkdtemp(prefix="kcts-bpe-stream-")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.write.parquet(d + "/staged")
-    stream_docs = spark.readStream.schema(docs.schema).parquet(d + "/staged")
-    toks = tokenize_bpe(stream_docs, "text")
-    out = toks.select(
-        "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_tokens"),
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-        ).cast("long").alias("n_words"),
-        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("first_tokens"),
-    )
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", d + "/sink")
-        .option("checkpointLocation", d + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(d + "/sink")
+    return _run_available_now(spark, docs, _bpe_doc_stats, "kcts-bpe-stream-")
 
 
 def _variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4697,13 +4690,21 @@ def _bpe_cte() -> str:
 
 
 def _bpe_oracle_sql() -> str:
+    # LEFT JOIN back to documents: a word-less doc (empty/all-space text)
+    # yields no `words` rows, but the Spark side still emits
+    # (doc_id, 0, 0, '') — same guard _pack_bpe_oracle_sql uses
     return "WITH RECURSIVE " + _bpe_cte() + """
-        SELECT doc_id,
-          sum(len(syms))::BIGINT AS n_tokens,
-          count(*)::BIGINT AS n_words,
-          array_to_string(flatten(list(syms ORDER BY wi))[1:5], ' ')
-            AS first_tokens
-        FROM final GROUP BY doc_id
+        SELECT d.doc_id,
+          coalesce(s.n_tokens, 0) AS n_tokens,
+          coalesce(s.n_words, 0) AS n_words,
+          coalesce(s.first_tokens, '') AS first_tokens
+        FROM documents d LEFT JOIN (
+          SELECT doc_id,
+            sum(len(syms))::BIGINT AS n_tokens,
+            count(*)::BIGINT AS n_words,
+            array_to_string(flatten(list(syms ORDER BY wi))[1:5], ' ')
+              AS first_tokens
+          FROM final GROUP BY doc_id) s USING (doc_id)
     """
 
 

@@ -518,6 +518,34 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
+def _wav_pcm(data):
+    """Shared RIFF chunk walk for every WAV consumer: validate the
+    header, find fmt (mono 16-bit PCM only) and data, reject truncated
+    chunks, and return (sample_rate, samples tuple)."""
+    import struct
+
+    riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if body + clen > len(data):
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("only mono 16-bit PCM supported")
+        elif cid == b"data":
+            frames = data[body : body + clen]
+        pos = body + clen + (clen & 1)
+    if rate is None or frames is None:
+        raise ValueError("missing fmt or data chunk")
+    n = len(frames) // 2
+    return rate, struct.unpack(f"<{n}h", frames[: 2 * n])
+
+
 def decode_wav(df: DataFrame) -> DataFrame:
     """Parse REAL WAV bytes: walk RIFF chunks to fmt (rate, channels,
     bits) and data (PCM frames); integer mean |amplitude| in milli units.
@@ -526,26 +554,8 @@ def decode_wav(df: DataFrame) -> DataFrame:
     from collections.abc import Iterator as _It
 
     def _one(data: bytes) -> tuple:
-        riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError("not a WAV payload")
-        pos, rate, frames = 12, None, None
-        while pos + 8 <= len(data):
-            cid, clen = struct.unpack_from("<4sI", data, pos)
-            body = pos + 8
-            if body + clen > len(data):
-                raise ValueError("truncated RIFF chunk")
-            if cid == b"fmt ":
-                fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
-                if (fmt, ch, bits) != (1, 1, 16):
-                    raise ValueError("only mono 16-bit PCM supported")
-            elif cid == b"data":
-                frames = data[body : body + clen]
-            pos = body + clen + (clen & 1)
-        if rate is None or frames is None:
-            raise ValueError("missing fmt or data chunk")
-        n = len(frames) // 2
-        samples = struct.unpack(f"<{n}h", frames[: 2 * n])
+        rate, samples = _wav_pcm(data)
+        n = len(samples)
         sum_abs = sum(abs(s) for s in samples)
         return (rate, n, n * 1000 // rate, sum_abs * 1000 // max(n, 1))
 
@@ -2785,26 +2795,8 @@ def audio_features(df: DataFrame, frame_size: int = AUDIO_FRAME_SIZE) -> DataFra
     from collections.abc import Iterator as _It
 
     def _one(data: bytes) -> tuple:
-        riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError("not a WAV payload")
-        pos, rate, frames = 12, None, None
-        while pos + 8 <= len(data):
-            cid, clen = struct.unpack_from("<4sI", data, pos)
-            body = pos + 8
-            if body + clen > len(data):
-                raise ValueError("truncated RIFF chunk")
-            if cid == b"fmt ":
-                fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
-                if (fmt, ch, bits) != (1, 1, 16):
-                    raise ValueError("only mono 16-bit PCM supported")
-            elif cid == b"data":
-                frames = data[body : body + clen]
-            pos = body + clen + (clen & 1)
-        if rate is None or frames is None:
-            raise ValueError("missing fmt or data chunk")
-        n = len(frames) // 2
-        samples = struct.unpack(f"<{n}h", frames[: 2 * n])
+        _, samples = _wav_pcm(data)
+        n = len(samples)
         zc = sum(
             1
             for i in range(1, n)

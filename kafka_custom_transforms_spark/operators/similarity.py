@@ -86,6 +86,13 @@ def _auto_cos_dim(
                 base._jdf.queryExecution().optimizedPlan().stats()
                 .sizeInBytes().toString()
             )
+            # Catalyst reports UNKNOWN stats as defaultSizeInBytes
+            # (Long.MaxValue) — e.g. mapInPandas/RDD-backed plans. That is
+            # a sentinel, not a size: treat it as unknown and take the
+            # cheap fold branch rather than paying the codegen compile
+            # for what may be a tiny corpus.
+            if size >= 1 << 62:
+                return None
             n_rows = size // max(8 * dim, 1)
         except Exception:  # stats unavailable: take the cheap branch
             return None

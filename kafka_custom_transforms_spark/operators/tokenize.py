@@ -104,7 +104,11 @@ def tokenize_bpe(
 
     @pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+        # process-global cache keyed by the merges table: the udf body
+        # runs once per Arrow batch, but reused Python workers keep the
+        # module state, so Zipf-head words are encoded once per process,
+        # not once per batch
+        cache = _word_cache(merges)
 
         def one(text: str) -> list[str]:
             toks: list[str] = []
@@ -120,6 +124,11 @@ def tokenize_bpe(
         return texts.map(one)
 
     return df.withColumn(out, _enc(F.col(text_col)))
+
+
+@functools.lru_cache(maxsize=8)
+def _word_cache(merges: tuple[tuple[str, str], ...]) -> dict:
+    return {}
 
 
 # Two-character symbol boundary for the segmentation string. The merge

@@ -192,3 +192,27 @@ def test_bpe_train_feeds_encode(spark):
     enc = bpe_encode("banana", merges)
     assert enc == _batch_encode("banana", merges)
     assert len(enc) < len("banana")  # merges actually fired
+
+
+def test_wordless_doc_oracle_parity(spark):
+    """A doc with empty/all-space text must produce (0, 0, '') on BOTH
+    engines — the DuckDB oracle left-joins documents for exactly this
+    case (code-review r5 finding: the group-by alone drops the doc)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    rows = [(0, ""), (1, "   "), (2, "hash join")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_words, r.first_tokens)
+        for r in entry_mod._bpe_doc_stats(sdf).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.sql(
+        entry_mod._bpe_oracle_sql()
+    ).fetchall())
+    assert got == want
+    assert got[0][1:] == (0, 0, "") and got[1][1:] == (0, 0, "")

@@ -97,7 +97,15 @@ def main() -> None:
     print(f"bench_guard: current vs {base_name} (fail ratio > {THRESHOLD}x, "
           f"floor {ABS_FLOOR_SEC}s)")
     print("\n".join(lines))
-    print(f"  total: {cur['value']:.1f}s (was {base['value']:.1f}s)")
+    # Apples-to-apples summary: sum ONLY the queries both runs measured.
+    # Headline 'value' semantics changed across rounds (r4 folded decode
+    # rows in; r5 reports the engine subset), so comparing raw values
+    # across formats would fake a 2x jump either way.
+    shared = set(cur["queries"]) & set(base["queries"])
+    cur_t = sum(cur["queries"][q] for q in shared)
+    base_t = sum(base["queries"][q] for q in shared)
+    print(f"  shared-query total: {cur_t:.1f}s (was {base_t:.1f}s, "
+          f"{len(shared)} queries)")
     if failures:
         print(f"bench_guard: FAIL — regressed: {', '.join(failures)}")
         sys.exit(1)
