@@ -3868,6 +3868,29 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py minhash_store +
+    minhash_incremental): the new batch (doc_id % 3 != 0) is checked
+    against the persisted MinHash signature store of everything already
+    ingested (doc_id % 3 == 0) — banded-LSH candidates, then
+    estimated-Jaccard (signature agreement) verification needing ONLY the
+    signatures, so the store stays 256 B/doc at any corpus size. Base
+    hashes are md5-derived, so the DuckDB oracle recomputes the entire
+    pipeline: shingles -> universal-hash minima -> band collision (slice
+    equality) -> agreement fraction -> anti-join."""
+    from kafka_custom_transforms_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = minhash_store(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = minhash_store(docs.filter(F.col("doc_id") % 3 != 0))
+    return minhash_incremental(batch, store).select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def _stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization inside a REAL Structured Streaming job: documents
     arrive as a file stream, each micro-batch runs the Arrow-batched
@@ -4093,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_events": _variant_events,
         "sql_pipe_syntax": _sql_pipe_syntax,
         "stream_tokenize_bpe": _stream_tokenize_bpe,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
         "graph_triangles_cosupplier": _graph_triangles_cosupplier,
         "q9_product_profit": _q9_product_profit,
         "q11_top_part_value": _q11_top_part_value,
@@ -4763,6 +4787,52 @@ def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
     return "WITH " + ",".join(parts) + "\n" + unions
 
 
+def _minhash_incremental_oracle_sql() -> str:
+    """Full replay of the incremental near-dedup pipeline: md5-based
+    shingle hashes, 32 universal-hash minima per doc, band collision as
+    4-slot slice equality, agreement count >= 16 (est_threshold 0.5 in
+    exact integer form), anti-join for survivors."""
+    from kafka_custom_transforms_spark.functions.texthash import minhash_perms
+
+    perms = minhash_perms(32, 42)
+    plist = "[" + ", ".join(f"[{a}, {b}]" for a, b in perms) + "]"
+    return f"""
+        with toks as (
+          select doc_id, string_split(text, ' ') as w from documents
+        ),
+        sh as (
+          select doc_id, case when len(w) >= 3
+            then list_distinct(
+              [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+            else [] end as s
+          from toks
+        ),
+        hs as (
+          select doc_id, list_transform(s,
+            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) as h
+          from sh where len(s) > 0
+        ),
+        sig as (
+          select doc_id, list_transform({plist},
+            pr -> list_min(list_transform(h,
+                    x -> (pr[1] * x + pr[2]) % 2147483647))) as sig
+          from hs
+        ),
+        store as (select * from sig where doc_id % 3 = 0),
+        batch as (select * from sig where doc_id % 3 <> 0),
+        dropped as (
+          select distinct n.doc_id
+          from batch n join store s on
+            len(list_filter(range(8),
+                b -> n.sig[4*b+1 : 4*b+4] = s.sig[4*b+1 : 4*b+4])) > 0
+            and list_sum(list_transform(range(1, 33),
+                i -> case when n.sig[i] = s.sig[i] then 1 else 0 end)) >= 16
+        )
+        select doc_id from batch
+        where doc_id not in (select doc_id from dropped)
+    """
+
+
 def _pack_bpe_oracle_sql() -> str:
     """Composition oracle: BPE token counts (recursive encode CTE) feed
     the first-fit packing recursion — both loops replayed in one
@@ -4797,6 +4867,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_tokenize_bpe": _bpe_oracle_sql(),
         "pack_bpe_docs": _pack_bpe_oracle_sql(),
         "bpe_train_docs": _bpe_train_oracle_sql(),
+        "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
         "variant_events": """
             select event_type,
                    count(*)::BIGINT as n,

@@ -63,6 +63,7 @@ BENCH_QUERIES = (
     "tokenize_bpe_docs",
     "pack_bpe_docs",
     "bpe_train_docs",
+    "dedup_minhash_incremental",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -84,8 +85,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:31]
-DECODE_QUERIES = BENCH_QUERIES[31:]
+ENGINE_QUERIES = BENCH_QUERIES[:32]
+DECODE_QUERIES = BENCH_QUERIES[32:]
 
 
 def main() -> None:

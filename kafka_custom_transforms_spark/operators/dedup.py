@@ -947,3 +947,109 @@ def duplicate_spans(
             ).alias("dup_ratio_milli"),
         )
     )
+
+
+def minhash_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    seed: int = 42,
+    shingler: str = "arrow",
+) -> DataFrame:
+    """(id, sig) MinHash signature table — the PERSISTED side of
+    incremental near-dedup. ``num_perm`` longs per document (256 B at the
+    default 32), independent of document length: the store for a 100 TB
+    corpus is signature-sized, never text-sized, and grows append-only.
+
+    Base shingle hashes are md5-derived (``md5_hash60 % p`` — bit-identical
+    in DuckDB), NOT xxhash64, so the whole incremental pipeline is
+    oracle-checkable end-to-end; the universal-hash permutations
+    ``(a*h + b) mod p`` with p = 2^31-1 stay inside int64 under ANSI
+    mode. Same explode + per-permutation min-aggregate plan as the batch
+    signature pipeline (map-side partials collapse shingle rows before
+    the single shuffle on id)."""
+    sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
+    perms = minhash_perms(num_perm, seed)
+    p = F.lit(MERSENNE_P)
+    exploded = sets.select(
+        F.col("id"),
+        F.explode(
+            F.transform(F.col("sh"), lambda s: F.pmod(md5_hash60(s), p))
+        ).alias("h"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"),
+        )
+    )
+
+
+def minhash_incremental(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Survivor ids of a new batch checked against the signature STORE of
+    everything already ingested — the near-dup analogue of the exact
+    fingerprint anti-join (`dedup_incremental`): a batch doc is dropped
+    iff some store doc (a) collides in at least one LSH band and (b) has
+    estimated Jaccard (fraction of agreeing signature positions)
+    >= ``est_threshold``.
+
+    Estimated-Jaccard verification needs ONLY the signatures — no second
+    look at the original text — which is what makes the store
+    constant-size per doc and the check a pure signature join. Candidate
+    generation is the banded equi-join on (band, bucket-hash): uniform
+    keys, no skew, never all-pairs (the verify join runs on candidates
+    only). The band bucket uses xxhash64 internally, but band collision
+    equals slice equality up to a ~2^-64 hash collision, so the DuckDB
+    oracle reproduces the semantics from raw signature slices."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    def buckets(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(band_hashes(F.col("sig"), bands, r)).alias("b"),
+        ).select(
+            "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+        )
+
+    cand = (
+        buckets(batch_sigs).alias("n")
+        .join(buckets(store_sigs).alias("s"), ["band", "bh"])
+        .select(
+            F.col("n.id").alias("id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("s.sig").alias("sig_s"),
+        )
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_n"),
+            F.col("sig_s"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    dropped = (
+        cand.filter(est * F.lit(num_perm ** -1) >= F.lit(est_threshold))
+        .select("id")
+        .distinct()
+    )
+    return batch_sigs.join(dropped, "id", "left_anti").select("id")

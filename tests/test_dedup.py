@@ -379,3 +379,45 @@ def test_duplicate_spans_partial_aggregates_and_no_window(spark, sf_dir):
     plan = dedup.duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "Window" not in plan
+
+
+def test_minhash_incremental_drops_planted_near_dup(spark):
+    """A batch doc nearly identical to a store doc is dropped; an
+    unrelated doc survives; the store carries only (id, sig)."""
+    from kafka_custom_transforms_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    store_docs = spark.createDataFrame(
+        [(0, base)], "doc_id long, text string"
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            (1, base + " extra"),  # near-dup of store doc 0
+            (2, "completely different words about spark query engines ok"),
+        ],
+        "doc_id long, text string",
+    )
+    store = minhash_store(store_docs)
+    batch = minhash_store(batch_docs)
+    assert store.columns == ["id", "sig"]
+    assert len(store.first().sig) == 32
+    survivors = sorted(r.id for r in minhash_incremental(batch, store).collect())
+    assert survivors == [2]
+
+
+def test_minhash_incremental_empty_store_keeps_all(spark):
+    from kafka_custom_transforms_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = minhash_store(docs)
+    empty = batch.filter("id < 0")
+    assert sorted(r.id for r in minhash_incremental(batch, empty).collect()) == [1, 2]
