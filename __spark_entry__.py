@@ -2485,13 +2485,22 @@ def _run_available_now(spark, staged_df, transform, prefix):
     return spark.read.parquet(d + "/sink")
 
 
-def _bpe_doc_stats(df: DataFrame) -> DataFrame:
+def _bpe_doc_stats(
+    df: DataFrame,
+    merges: tuple | None = None,
+    byte_level: bool = False,
+) -> DataFrame:
     """Shared projection of tokenize_bpe output -> per-doc stats row
-    (used by the batch AND streaming tokenizer rows; must stay in sync
-    with _bpe_oracle_sql)."""
-    from kafka_custom_transforms_spark.operators.tokenize import tokenize_bpe
+    (used by the batch, streaming, and byte-level tokenizer rows; must
+    stay in sync with _bpe_oracle_sql)."""
+    from kafka_custom_transforms_spark.operators.tokenize import (
+        BPE_MERGES,
+        tokenize_bpe,
+    )
 
-    toks = tokenize_bpe(df, "text")
+    toks = tokenize_bpe(
+        df, "text", merges or BPE_MERGES, byte_level=byte_level
+    )
     return toks.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_tokens"),
@@ -3868,6 +3877,28 @@ def _tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _tokenize_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE (the GPT-2 formulation, Radford et al. 2019): a
+    word's initial symbols are its UTF-8 bytes mapped through the public
+    bytes_to_unicode table, so arbitrary unicode text tokenizes against
+    a finite 256-symbol base vocabulary instead of fragmenting into
+    unknown characters. Non-ASCII content is injected deterministically
+    (translate a->ä, e->é — both 2-byte UTF-8) and the merges table
+    carries two byte-pair ranks that re-fuse those codepoints, so the
+    hash check covers the byte mapping, multi-byte re-fusing, AND merge
+    order. The oracle replays the mapping as a 256-row hex-byte VALUES
+    table joined against hex(encode(word)) feeding the same recursive
+    merge CTE as the character-level row."""
+    from kafka_custom_transforms_spark.operators.tokenize import (
+        BPE_MERGES_BYTES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "ae", "äé")
+    )
+    return _bpe_doc_stats(docs, BPE_MERGES_BYTES, byte_level=True)
+
+
 def _dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (operators/dedup.py minhash_store +
     minhash_incremental): the new batch (doc_id % 3 != 0) is checked
@@ -4010,8 +4041,10 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry entry eventually lands in an official CORRECTNESS record:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold rows that have NOT yet appeared in any CORRECTNESS_r*
-# file (round-5 rotation: the round-4 codec/engine additions first,
-# then a breadth sample across the remaining never-recorded families).
+# file (round-6 rotation: the round-5 engine additions first, then the
+# streaming / source-connector / SQL-surface rows, then the remaining
+# scale-pattern rows; 21 never-recorded rows remain for round 7's
+# window — see SURVEY.md §12 registry-growth cap).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 CORRECTNESS_WINDOW = [
@@ -4021,27 +4054,27 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-4 additions never yet in an official record
-    "multimodal_gif_decode", "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
-    "multimodal_jpeg_progressive_decode", "multimodal_jpeg_sa_decode",
-    "stream_multimodal_decode", "dedup_substring_spans",
-    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
-    "audio_frame_features", "multimodal_mp4_tracks",
-    "lm_quality_score", "graph_triangles_cosupplier",
-    "q9_product_profit", "q11_top_part_value",
-    "q17_small_quantity_revenue", "q20_part_shipment_suppliers",
-    "q21_waiting_suppliers",
-    # breadth sample of other never-recorded rows
-    "multimodal_wav_decode", "multimodal_mp4_decode",
-    "dedup_incremental", "pack_texts", "text_repetition",
-    "text_normalize", "tfidf_top_terms",
-    "pagerank_doc_tree", "knn_label_vote",
-    "q2_min_cost_parts", "q5_local_supplier_volume",
-    "grouping_sets_docs", "cube_docs",
-    "fuzzy_match_customers", "pseudonymize_events",
-    "arrow_vector_norms", "linear_score_embeddings",
-    "tokenize_bpe_docs",
+    # round-5/6 engine additions never yet in an official record
+    "dedup_minhash_incremental", "pack_bpe_docs", "bpe_train_docs",
+    "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
+    "tokenize_bpe_bytes",
+    # streaming rows
+    "stream_outer_interval", "stream_python_source",
+    "stream_upsert_users", "sliding_counts", "session_window_native",
+    # source-connector rows
+    "python_source_envelope", "json_source_roundtrip",
+    "orc_source_roundtrip", "csv_source_roundtrip",
+    "xml_source_roundtrip", "schema_evolution_read",
+    "partitioned_source_prune", "corrupt_json_audit",
+    # SQL-surface rows
+    "sql_cte_summary", "param_sql_nation_spend", "sql_udf_doc_quality",
+    "sql_scripting_rollup", "udaf_median_chars", "udtf_chunk_docs",
+    "lateral_top_orders", "docs_tree_rollup", "collated_type_counts",
+    # scale-pattern / sketch / maintenance rows
+    "bucketed_join_orders", "salted_event_totals",
+    "pipeline_clean_corpus", "sketch_user_churn", "sketch_merge_daily",
+    "approx_quantile_orders", "contract_orders",
+    "events_gapfill_hourly",
 ]
 
 
@@ -4111,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_tracks": _multimodal_mp4_tracks,
         "lm_quality_score": _lm_quality_score,
         "tokenize_bpe_docs": _tokenize_bpe_docs,
+        "tokenize_bpe_bytes": _tokenize_bpe_bytes,
         "pack_bpe_docs": _pack_bpe_docs,
         "bpe_train_docs": _bpe_train_docs,
         "variant_events": _variant_events,
@@ -4661,32 +4695,74 @@ _DECON_SQL = """
         """
 
 
-def _bpe_cte() -> str:
-    """Recursive-CTE replay of the BPE encode loop over the frozen merges
-    table (operators/tokenize.py): each recursion step fuses the FIRST
-    occurrence of the LOWEST-rank adjacent pair; terminal rows (CTE
-    ``final``) are the words with no fusable pair left. Pairs are
-    compared as l || US || r strings (chr(31) cannot occur in the
-    corpus). Returns the CTE list only (no WITH RECURSIVE, no final
-    SELECT) so oracles can compose it."""
-    from kafka_custom_transforms_spark.operators.tokenize import BPE_MERGES
+def _bpe_cte(
+    merges: tuple | None = None,
+    byte_level: bool = False,
+    text_expr: str = "text",
+) -> str:
+    """Recursive-CTE replay of the BPE encode loop over a merges table
+    (operators/tokenize.py; default the frozen BPE_MERGES): each
+    recursion step fuses the FIRST occurrence of the LOWEST-rank
+    adjacent pair; terminal rows (CTE ``final``) are the words with no
+    fusable pair left. Pairs are compared as l || US || r strings
+    (chr(31) cannot occur in the corpus, and byte-level mapped symbols
+    are all printable or >= U+0100). ``byte_level=True`` replays the
+    GPT-2 formulation: a word's initial symbols are its UTF-8 bytes
+    mapped through bytes_to_unicode(), reproduced here as a 256-row
+    hex-byte -> symbol VALUES table joined against hex(encode(w)).
+    Returns the CTE list only (no WITH RECURSIVE, no final SELECT) so
+    oracles can compose it."""
+    from kafka_custom_transforms_spark.operators.tokenize import (
+        BPE_MERGES,
+        bytes_to_unicode,
+    )
+
+    if merges is None:
+        merges = BPE_MERGES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
     mv = ", ".join(
-        f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(BPE_MERGES)
+        f"('{q(a)}', '{q(b)}', {i})" for i, (a, b) in enumerate(merges)
     )
+    if byte_level:
+        bv = ", ".join(
+            f"('{b:02X}', '{q(c)}')" for b, c in bytes_to_unicode().items()
+        )
+        wsyms = f"""
+        b2u(h, sym) AS (VALUES {bv}),
+        wbytes AS (
+          SELECT doc_id, wi, bi, substr(hx, 2 * bi - 1, 2) AS h
+          FROM (SELECT doc_id, wi, hex(encode(w)) AS hx FROM words)
+          CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, length(hx) // 2)) AS bi) t
+        ),
+        wsyms AS (
+          SELECT doc_id, wi, list(sym ORDER BY bi) AS syms0
+          FROM wbytes JOIN b2u USING (h)
+          GROUP BY doc_id, wi
+        ),"""
+    else:
+        wsyms = """
+        wsyms AS (
+          SELECT doc_id, wi,
+            list_transform(generate_series(1, length(w)), i -> w[i])
+              AS syms0
+          FROM words
+        ),"""
     return f"""
         merges(l, r, rnk) AS (VALUES {mv}),
         words AS (
           SELECT doc_id, wi, ws[wi] AS w
-          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          FROM (SELECT doc_id, string_split({text_expr}, ' ') AS ws
+                FROM documents)
           CROSS JOIN LATERAL
             (SELECT unnest(generate_series(1, len(ws))) AS wi) t
           WHERE ws[wi] <> ''
-        ),
+        ),{wsyms}
         bpe(doc_id, wi, syms) AS (
-          SELECT doc_id, wi,
-            list_transform(generate_series(1, length(w)), i -> w[i])
-          FROM words
+          SELECT doc_id, wi, syms0 FROM wsyms
           UNION ALL
           SELECT doc_id, wi,
             syms[1:k-1] || [syms[k] || syms[k+1]] || syms[k+2:]
@@ -4713,11 +4789,15 @@ def _bpe_cte() -> str:
     """
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_oracle_sql(
+    merges: tuple | None = None,
+    byte_level: bool = False,
+    text_expr: str = "text",
+) -> str:
     # LEFT JOIN back to documents: a word-less doc (empty/all-space text)
     # yields no `words` rows, but the Spark side still emits
     # (doc_id, 0, 0, '') — same guard _pack_bpe_oracle_sql uses
-    return "WITH RECURSIVE " + _bpe_cte() + """
+    return "WITH RECURSIVE " + _bpe_cte(merges, byte_level, text_expr) + """
         SELECT d.doc_id,
           coalesce(s.n_tokens, 0) AS n_tokens,
           coalesce(s.n_words, 0) AS n_words,
@@ -4730,6 +4810,21 @@ def _bpe_oracle_sql() -> str:
               AS first_tokens
           FROM final GROUP BY doc_id) s USING (doc_id)
     """
+
+
+def _tokenize_bpe_bytes_oracle_sql() -> str:
+    """Byte-level oracle: same accent injection (translate a->ä, e->é),
+    byte-level merges table, and the GPT-2 byte mapping replayed in SQL
+    (_bpe_cte byte_level=True)."""
+    from kafka_custom_transforms_spark.operators.tokenize import (
+        BPE_MERGES_BYTES,
+    )
+
+    return _bpe_oracle_sql(
+        BPE_MERGES_BYTES,
+        byte_level=True,
+        text_expr="translate(text, 'ae', 'äé')",
+    )
 
 
 def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
@@ -4864,6 +4959,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "tokenize_bpe_docs": _bpe_oracle_sql(),
+        "tokenize_bpe_bytes": _tokenize_bpe_bytes_oracle_sql(),
         "stream_tokenize_bpe": _bpe_oracle_sql(),
         "pack_bpe_docs": _pack_bpe_oracle_sql(),
         "bpe_train_docs": _bpe_train_oracle_sql(),

@@ -28,14 +28,19 @@ Scale design (100 TB):
   the distributed equivalent of every worker memory-mapping merges.txt.
   No broadcast join, no shuffle: tokenization is a pure row-local map.
 - Arrow-batched ``pandas_udf``, never row-at-a-time Python.
-- Encoding cost is O(unique words), not O(words): a per-process word
-  cache makes repeated words (Zipf-distributed in any real corpus) a
-  dict hit. The cache is bounded per executor process and shared across
-  batches because workers are reused.
+- Encoding cost is O(unique words seen recently), not O(words): a
+  per-process word cache makes repeated words (Zipf-distributed in any
+  real corpus) a dict hit. The cache is an LRU bounded at
+  :data:`WORD_CACHE_MAX` entries and shared across batches because
+  Python workers are reused — Zipf-head words stay resident for the
+  executor's lifetime while a 100 TB web corpus's unbounded unique-token
+  tail (easily 10^8 per long-lived worker) evicts instead of
+  accumulating tens of GB of dict.
 """
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import pandas as pd
@@ -45,7 +50,10 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "BPE_MERGES",
+    "BPE_MERGES_BYTES",
     "bpe_encode",
+    "bpe_decode_bytes",
+    "bytes_to_unicode",
     "tokenize_bpe",
     "bpe_token_counts",
     "bpe_train",
@@ -62,12 +70,65 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# Byte-level variant of the frozen table: the printable-ASCII bytes map
+# to themselves under bytes_to_unicode(), so every character-level merge
+# above applies verbatim to ASCII text; the two extra ranks fuse the
+# mapped UTF-8 byte pairs of 'ä' (C3 A4 -> 'Ã','¤') and 'é'
+# (C3 A9 -> 'Ã','©') so multi-byte codepoints re-fuse into whole-
+# character tokens instead of fragmenting.
+BPE_MERGES_BYTES: tuple[tuple[str, str], ...] = BPE_MERGES + (
+    ("\xc3", "\xa4"), ("\xc3", "\xa9"),
+)
+
+
+@functools.lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte-to-unicode table (Radford et al. 2019, the public
+    gpt-2 ``encoder.py``): visually printable bytes map to themselves,
+    the rest to codepoints 256+n, giving a reversible 256-symbol
+    alphabet with no whitespace/control characters — BPE then operates
+    on mapped UTF-8 bytes, so ANY unicode text tokenizes with a finite
+    base vocabulary (no unknown-character fragmentation)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def bpe_decode_bytes(tokens: list[str]) -> str:
+    """Invert byte-level tokens back to the original text: concatenate,
+    map each symbol back to its byte, UTF-8 decode. Exact inverse of
+    ``bpe_encode(..., byte_level=True)`` for any input (merges only
+    concatenate symbols, never alter them)."""
+    inv = {c: b for b, c in bytes_to_unicode().items()}
+    return bytes(inv[c] for c in "".join(tokens)).decode("utf-8")
+
+
 def bpe_encode(
-    word: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+    word: str,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    byte_level: bool = False,
 ) -> list[str]:
-    """Encode one word to its BPE symbol list (pure, deterministic)."""
+    """Encode one word to its BPE symbol list (pure, deterministic).
+
+    ``byte_level=True`` starts from the word's mapped UTF-8 bytes
+    (:func:`bytes_to_unicode`) instead of its characters — the GPT-2
+    formulation; the merge loop itself is identical."""
     ranks = _rank_table(merges)
-    syms = list(word)
+    if byte_level:
+        table = bytes_to_unicode()
+        syms = [table[b] for b in word.encode("utf-8")]
+    else:
+        syms = list(word)
     while len(syms) > 1:
         best = None
         for i in range(len(syms) - 1):
@@ -94,21 +155,24 @@ def tokenize_bpe(
     text_col: str = "text",
     merges: tuple[tuple[str, str], ...] = BPE_MERGES,
     out: str = "bpe_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Add ``out``: array<string> of BPE tokens for ``text_col``.
 
     Words are the single-space split of the text (empty splits skipped —
     the same ``string_split(text, ' ')`` the oracle uses); each word's
     symbols are concatenated in order, so token COUNT is exact for
-    packing budgets and the token STREAM is what a loader would embed."""
+    packing budgets and the token STREAM is what a loader would embed.
+    ``byte_level=True`` tokenizes mapped UTF-8 bytes (GPT-2 style) so
+    arbitrary unicode text gets a finite base vocabulary."""
 
     @pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
-        # process-global cache keyed by the merges table: the udf body
-        # runs once per Arrow batch, but reused Python workers keep the
-        # module state, so Zipf-head words are encoded once per process,
-        # not once per batch
-        cache = _word_cache(merges)
+        # process-global cache keyed by (merges, byte_level): the udf
+        # body runs once per Arrow batch, but reused Python workers keep
+        # the module state, so Zipf-head words are encoded once per
+        # process, not once per batch
+        cache = _word_cache(merges, byte_level)
 
         def one(text: str) -> list[str]:
             toks: list[str] = []
@@ -117,7 +181,7 @@ def tokenize_bpe(
                     continue
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = bpe_encode(w, merges)
+                    got = cache[w] = bpe_encode(w, merges, byte_level)
                 toks.extend(got)
             return toks
 
@@ -126,9 +190,41 @@ def tokenize_bpe(
     return df.withColumn(out, _enc(F.col(text_col)))
 
 
+# Per-executor-process word-cache bound. At ~100 B/entry (word + token
+# list) the worst case is ~50 MB per Python worker — a rounding error in
+# executor memory, while still caching far past the Zipf knee of any
+# natural-language vocabulary.
+WORD_CACHE_MAX = 1 << 19  # 524,288 entries
+
+
+class _LRUWordCache(collections.OrderedDict):
+    """Bounded LRU: ``get`` refreshes recency, inserts past ``maxsize``
+    evict the least recently used word. Same ``get``/``__setitem__``
+    surface the encode loop uses on a plain dict."""
+
+    def __init__(self, maxsize: int) -> None:
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key not in self:
+            return default
+        self.move_to_end(key)
+        return super().__getitem__(key)
+
+    def __setitem__(self, key, value) -> None:
+        super().__setitem__(key, value)
+        if len(self) > self.maxsize:
+            self.popitem(last=False)
+
+
 @functools.lru_cache(maxsize=8)
-def _word_cache(merges: tuple[tuple[str, str], ...]) -> dict:
-    return {}
+def _word_cache(
+    merges: tuple[tuple[str, str], ...],
+    byte_level: bool = False,
+    maxsize: int = WORD_CACHE_MAX,
+) -> _LRUWordCache:
+    return _LRUWordCache(maxsize)
 
 
 # Two-character symbol boundary for the segmentation string. The merge

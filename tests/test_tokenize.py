@@ -12,8 +12,12 @@ from pyspark.sql import functions as F
 
 from kafka_custom_transforms_spark.operators.tokenize import (
     BPE_MERGES,
+    BPE_MERGES_BYTES,
+    _LRUWordCache,
+    bpe_decode_bytes,
     bpe_encode,
     bpe_token_counts,
+    bytes_to_unicode,
     tokenize_bpe,
 )
 
@@ -216,3 +220,78 @@ def test_wordless_doc_oracle_parity(spark):
     ).fetchall())
     assert got == want
     assert got[0][1:] == (0, 0, "") and got[1][1:] == (0, 0, "")
+
+
+def test_word_cache_is_lru_bounded():
+    """The per-process word cache must evict past its cap (a 100 TB
+    corpus's unique-token tail would otherwise grow a long-lived
+    executor's dict without bound) while keeping recently-USED words
+    resident — get() refreshes recency."""
+    c = _LRUWordCache(maxsize=3)
+    c["a"] = [1]
+    c["b"] = [2]
+    c["c"] = [3]
+    assert c.get("a") == [1]  # refresh 'a'; 'b' is now LRU
+    c["d"] = [4]
+    assert len(c) == 3
+    assert c.get("b") is None  # evicted
+    assert c.get("a") == [1] and c.get("c") == [3] and c.get("d") == [4]
+    c["e"] = [5]
+    c["f"] = [6]
+    assert len(c) == 3  # never exceeds the cap
+
+
+def test_bytes_to_unicode_table():
+    """GPT-2 mapping invariants: a 256-symbol bijection, printable ASCII
+    maps to itself, control/whitespace bytes map above U+00FF."""
+    t = bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    for b in range(ord("!"), ord("~") + 1):
+        assert t[b] == chr(b)
+    for b in (0, 9, 10, 13, 32, 127, 173):
+        assert ord(t[b]) >= 256
+    assert not any(ch.isspace() for ch in t.values())
+
+
+def test_byte_level_known_encodings():
+    # printable ASCII bytes map to themselves, so character-level merges
+    # apply verbatim on ASCII words...
+    assert bpe_encode("hash", BPE_MERGES_BYTES, byte_level=True) == ["hash"]
+    assert bpe_encode("join", BPE_MERGES_BYTES, byte_level=True) == ["join"]
+    # ...while multi-byte codepoints re-fuse via the byte-pair ranks
+    # ('ä' = C3 A4 -> 'Ã'+'¤' -> 'Ã¤'; 'é' = C3 A9 -> 'Ã©')
+    assert bpe_encode("ä", BPE_MERGES_BYTES, byte_level=True) == ["\xc3\xa4"]
+    assert bpe_encode("éä", BPE_MERGES_BYTES, byte_level=True) == [
+        "\xc3\xa9", "\xc3\xa4"
+    ]
+    # char-level merges still fire around the fused bytes
+    assert bpe_encode("bänänä", BPE_MERGES_BYTES, byte_level=True) == [
+        "b", "\xc3\xa4", "n", "\xc3\xa4", "n", "\xc3\xa4"
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=24).filter(lambda s: " " not in s))
+def test_byte_level_roundtrips_any_unicode(word):
+    """Invertibility: merges only concatenate mapped byte symbols, so
+    joining the tokens and un-mapping recovers the exact input — for ANY
+    unicode word, including characters no merge table has seen."""
+    toks = bpe_encode(word, BPE_MERGES_BYTES, byte_level=True)
+    assert bpe_decode_bytes(toks) == word
+
+
+def test_byte_level_tokenize_column_matches_pure_function(spark):
+    rows = [(0, "bänänä éäst"), (1, "hash join"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in tokenize_bpe(
+            df, "text", BPE_MERGES_BYTES, byte_level=True
+        ).collect()
+    }
+    for doc_id, text in rows:
+        want = []
+        for w in text.split(" "):
+            if w:
+                want.extend(bpe_encode(w, BPE_MERGES_BYTES, byte_level=True))
+        assert got[doc_id] == want
