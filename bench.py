@@ -88,6 +88,14 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 ENGINE_QUERIES = BENCH_QUERIES[:32]
 DECODE_QUERIES = BENCH_QUERIES[32:]
 
+# The three sets above are positional slices — a query inserted in the
+# wrong spot would silently misclassify rows between the engine headline
+# and decode_value. Pin the boundaries so a misplaced insertion fails
+# loudly instead (advisor finding, round 5).
+assert R3_COMPARABLE[-1] == "importance_score_docs"
+assert ENGINE_QUERIES[-1] == "dedup_minhash_incremental"
+assert DECODE_QUERIES[0] == "multimodal_png_decode"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
