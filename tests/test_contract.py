@@ -30,3 +30,17 @@ def test_query_names_are_stable_identifiers():
 
     for name in em.queries():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+
+def test_pyproject_version_matches_package():
+    """Packaging metadata must not drift from __init__.__version__."""
+    import os
+    import tomllib
+
+    import kafka_custom_transforms_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["version"] == pkg.__version__
+    assert meta["project"]["name"] == "kafka-custom-transforms-spark"
