@@ -2499,7 +2499,10 @@ def _bpe_doc_stats(
     )
 
     toks = tokenize_bpe(
-        df, "text", merges or BPE_MERGES, byte_level=byte_level
+        df,
+        "text",
+        merges if merges is not None else BPE_MERGES,
+        byte_level=byte_level,
     )
     return toks.select(
         "doc_id",
@@ -4043,7 +4046,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 37 slots hold rows that have NOT yet appeared in any CORRECTNESS_r*
 # file (round-6 rotation: the round-5 engine additions first, then the
 # streaming / source-connector / SQL-surface rows, then the remaining
-# scale-pattern rows; 21 never-recorded rows remain for round 7's
+# scale-pattern rows; 22 never-recorded rows remain for round 7's
 # window — see SURVEY.md §12 registry-growth cap).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.

@@ -40,7 +40,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-import collections
 import functools
 
 import pandas as pd
@@ -172,17 +171,13 @@ def tokenize_bpe(
         # body runs once per Arrow batch, but reused Python workers keep
         # the module state, so Zipf-head words are encoded once per
         # process, not once per batch
-        cache = _word_cache(merges, byte_level)
+        enc = _cached_encoder(merges, byte_level)
 
         def one(text: str) -> list[str]:
             toks: list[str] = []
             for w in (text or "").split(" "):
-                if not w:
-                    continue
-                got = cache.get(w)
-                if got is None:
-                    got = cache[w] = bpe_encode(w, merges, byte_level)
-                toks.extend(got)
+                if w:
+                    toks.extend(enc(w))
             return toks
 
         return texts.map(one)
@@ -190,41 +185,33 @@ def tokenize_bpe(
     return df.withColumn(out, _enc(F.col(text_col)))
 
 
-# Per-executor-process word-cache bound. At ~100 B/entry (word + token
-# list) the worst case is ~50 MB per Python worker — a rounding error in
-# executor memory, while still caching far past the Zipf knee of any
-# natural-language vocabulary.
-WORD_CACHE_MAX = 1 << 19  # 524,288 entries
-
-
-class _LRUWordCache(collections.OrderedDict):
-    """Bounded LRU: ``get`` refreshes recency, inserts past ``maxsize``
-    evict the least recently used word. Same ``get``/``__setitem__``
-    surface the encode loop uses on a plain dict."""
-
-    def __init__(self, maxsize: int) -> None:
-        super().__init__()
-        self.maxsize = maxsize
-
-    def get(self, key, default=None):
-        if key not in self:
-            return default
-        self.move_to_end(key)
-        return super().__getitem__(key)
-
-    def __setitem__(self, key, value) -> None:
-        super().__setitem__(key, value)
-        if len(self) > self.maxsize:
-            self.popitem(last=False)
+# Per-(merges, byte_level) word-cache bound. Honest worst case: an
+# OrderedDict/lru_cache entry (link node + key str + token list) runs
+# ~250-300 B, so one full cache is ~70-80 MB, and a worker that served
+# up to 8 distinct (merges, byte_level) encoders (the outer cache bound)
+# could hold ~0.6 GB — still bounded, vs the tens of GB an UNBOUNDED
+# dict reaches on a 100 TB corpus's unique-token tail (10^8+ words per
+# long-lived worker). Realistic workers run 1-2 encoders.
+WORD_CACHE_MAX = 1 << 18  # 262,144 entries — far past any Zipf knee
 
 
 @functools.lru_cache(maxsize=8)
-def _word_cache(
+def _cached_encoder(
     merges: tuple[tuple[str, str], ...],
     byte_level: bool = False,
     maxsize: int = WORD_CACHE_MAX,
-) -> _LRUWordCache:
-    return _LRUWordCache(maxsize)
+):
+    """Per-(merges, byte_level) word encoder with a bounded C-speed LRU:
+    the inner lru_cache keys on the word alone (one cached-hash probe
+    per hit; str caches its hash), evicting least-recently-used words
+    past ``maxsize``. The returned token list is shared across hits —
+    callers must treat it as read-only (they only ``extend`` from it)."""
+
+    @functools.lru_cache(maxsize=maxsize)
+    def enc(word: str) -> list[str]:
+        return bpe_encode(word, merges, byte_level)
+
+    return enc
 
 
 # Two-character symbol boundary for the segmentation string. The merge
@@ -254,6 +241,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    byte_level: bool = False,
 ) -> "pd.DataFrame":
     """Learn a BPE merges table from a corpus (Sennrich et al. 2016
     training): each round counts adjacent symbol pairs over the current
@@ -280,8 +268,37 @@ def bpe_train(
     - the only driver traffic is ONE (pair, count) row per round — the
       merges table itself, which is the training OUTPUT, not data.
 
+    ``byte_level=True`` trains the GPT-2 formulation: a word's initial
+    symbols are its UTF-8 bytes mapped through :func:`bytes_to_unicode`
+    (built by a vocabulary-sized Arrow-batched pandas_udf — one pass
+    over the word table, never the corpus); learned merges slot
+    directly into ``bpe_encode(..., byte_level=True)``. The training
+    rounds themselves are identical — merged symbols are just
+    concatenations of mapped byte symbols, which can never collide with
+    the boundary bytes (every mapped codepoint is printable or
+    >= U+0100).
+
     Words containing either boundary byte are dropped (guard, not
     semantics: RS/US never occur in text corpora)."""
+    if byte_level:
+
+        @pandas_udf("string")
+        def _seg0(words: pd.Series) -> pd.Series:
+            table = bytes_to_unicode()
+            return words.map(
+                lambda w: _BOUND
+                + _BOUND.join(table[b] for b in w.encode("utf-8"))
+                + _BOUND
+            )
+
+        seg0 = _seg0(F.col("w"))
+    else:
+        # initial segmentation: every character a symbol
+        seg0 = F.concat(
+            F.lit(_BOUND),
+            F.array_join(F.split(F.col("w"), ""), _BOUND),
+            F.lit(_BOUND),
+        )
     vocab = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(
@@ -291,15 +308,7 @@ def bpe_train(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        # initial segmentation: every character a symbol
-        .withColumn(
-            "seg",
-            F.concat(
-                F.lit(_BOUND),
-                F.array_join(F.split(F.col("w"), ""), _BOUND),
-                F.lit(_BOUND),
-            ),
-        )
+        .withColumn("seg", seg0)
         .select("freq", "seg")
     )
     vocab = vocab.localCheckpoint(eager=True)  # vocab-sized; rounds reuse it

@@ -35,7 +35,13 @@ def test_query_names_are_stable_identifiers():
 def test_pyproject_version_matches_package():
     """Packaging metadata must not drift from __init__.__version__."""
     import os
-    import tomllib
+
+    try:
+        import tomllib  # stdlib since 3.11
+    except ModuleNotFoundError:  # requires-python floor is 3.10
+        import pytest
+
+        pytest.skip("tomllib unavailable (Python < 3.11)")
 
     import kafka_custom_transforms_spark as pkg
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from kafka_custom_transforms_spark.operators.tokenize import (
     BPE_MERGES,
     BPE_MERGES_BYTES,
-    _LRUWordCache,
+    _cached_encoder,
     bpe_decode_bytes,
     bpe_encode,
     bpe_token_counts,
@@ -225,20 +225,25 @@ def test_wordless_doc_oracle_parity(spark):
 def test_word_cache_is_lru_bounded():
     """The per-process word cache must evict past its cap (a 100 TB
     corpus's unique-token tail would otherwise grow a long-lived
-    executor's dict without bound) while keeping recently-USED words
-    resident — get() refreshes recency."""
-    c = _LRUWordCache(maxsize=3)
-    c["a"] = [1]
-    c["b"] = [2]
-    c["c"] = [3]
-    assert c.get("a") == [1]  # refresh 'a'; 'b' is now LRU
-    c["d"] = [4]
-    assert len(c) == 3
-    assert c.get("b") is None  # evicted
-    assert c.get("a") == [1] and c.get("c") == [3] and c.get("d") == [4]
-    c["e"] = [5]
-    c["f"] = [6]
-    assert len(c) == 3  # never exceeds the cap
+    executor's memory without bound) while keeping recently-USED words
+    resident — a hit refreshes recency."""
+    _cached_encoder.cache_clear()
+    enc = _cached_encoder(BPE_MERGES, False, 3)
+    for w in ("alpha", "beta", "gamma"):
+        enc(w)
+    assert enc.cache_info().currsize == 3
+    enc("alpha")  # refresh: 'beta' is now LRU
+    assert enc.cache_info().hits == 1
+    enc("delta")  # insert past the cap -> evict exactly one
+    assert enc.cache_info().currsize == 3
+    hits0 = enc.cache_info().hits
+    enc("alpha"), enc("gamma"), enc("delta")  # all resident
+    assert enc.cache_info().hits == hits0 + 3
+    enc("beta")  # the evicted one misses...
+    assert enc.cache_info().hits == hits0 + 3
+    assert enc.cache_info().currsize == 3  # ...and never exceeds the cap
+    assert enc("beta") == bpe_encode("beta")  # values stay correct
+    _cached_encoder.cache_clear()
 
 
 def test_bytes_to_unicode_table():
@@ -295,3 +300,53 @@ def test_byte_level_tokenize_column_matches_pure_function(spark):
             if w:
                 want.extend(bpe_encode(w, BPE_MERGES_BYTES, byte_level=True))
         assert got[doc_id] == want
+
+
+def _reference_train_bytes(word_freqs, n_merges):
+    """Byte-level reference trainer: map words through bytes_to_unicode
+    first, then run the same most-frequent-pair loop."""
+    t = bytes_to_unicode()
+    mapped = {
+        "".join(t[b] for b in w.encode("utf-8")): f for w, f in word_freqs.items()
+    }
+    return _reference_train(mapped, n_merges)
+
+
+def test_bpe_train_byte_level_matches_reference(spark):
+    """Byte-level training on non-ASCII text: multi-byte codepoints
+    enter as mapped byte symbols and the most frequent merges re-fuse
+    them — matching an independent byte-level trainer exactly."""
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    texts = [
+        "bänänä bändänä bänänä",
+        "änänäs bänänä cäbänä",
+        "café café crème bändänä",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    want = _reference_train_bytes(wf, 6)
+    got = bpe_train(df, "text", n_merges=6, byte_level=True)
+    assert [
+        (r.left, r.right, r.pair_count) for r in got.itertuples()
+    ] == want
+    # the top merge must fuse the 'ä' UTF-8 byte pair (C3 A4 dominates)
+    assert (want[0][0], want[0][1]) == ("\xc3", "\xa4")
+
+
+def test_bpe_train_byte_level_feeds_encode(spark):
+    """Learned byte-level merges slot straight into the byte-level
+    encoder and the token stream still inverts to the original text."""
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    df = spark.createDataFrame(
+        [("bänänä bänänä bändänä",)], "text string"
+    )
+    learned = bpe_train(df, "text", n_merges=5, byte_level=True)
+    merges = tuple(zip(learned.left, learned.right))
+    enc = bpe_encode("bänänä", merges, byte_level=True)
+    assert len(enc) < len("bänänä".encode("utf-8"))  # merges fired
+    assert bpe_decode_bytes(enc) == "bänänä"
