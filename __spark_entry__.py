@@ -4041,15 +4041,24 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys of
 # queries() in dict order. The window rotates each round so every
-# registry entry eventually lands in an official CORRECTNESS record:
+# registry entry periodically lands in an official CORRECTNESS record:
 # the 13 SMT reference-parity rows stay pinned every round; the other
-# 37 slots hold rows that have NOT yet appeared in any CORRECTNESS_r*
-# file (round-6 rotation: the round-5 engine additions first, then the
-# streaming / source-connector / SQL-surface rows, then the remaining
-# scale-pattern rows; 22 never-recorded rows remain for round 7's
-# window — see SURVEY.md §12 registry-growth cap).
+# 37 slots hold (a) every registry row with NO record yet in rounds
+# before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
+# rows. Round-7 rotation: the final 22 never-recorded rows (closing the
+# backlog — after this round all 184 registry rows have an official
+# record) plus 15 of the 16 rows last recorded in round 2
+# (`scalar_funcs` leads round 8's window).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
+
+# Bump this together with every window rotation. The staleness guard
+# counts all committed CORRECTNESS_r*.json records EXCEPT the one whose
+# round number equals this value (that file is the record OF this
+# window, written by the driver after the builder pins it — not a
+# staleness signal).
+CORRECTNESS_WINDOW_ROUND = 7
+
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
     "smt_drop_struct", "smt_drop_subtree", "smt_drop_json_schema",
@@ -4057,27 +4066,23 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-5/6 engine additions never yet in an official record
-    "dedup_minhash_incremental", "pack_bpe_docs", "bpe_train_docs",
-    "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
-    "tokenize_bpe_bytes",
-    # streaming rows
-    "stream_outer_interval", "stream_python_source",
-    "stream_upsert_users", "sliding_counts", "session_window_native",
-    # source-connector rows
-    "python_source_envelope", "json_source_roundtrip",
-    "orc_source_roundtrip", "csv_source_roundtrip",
-    "xml_source_roundtrip", "schema_evolution_read",
-    "partitioned_source_prune", "corrupt_json_audit",
-    # SQL-surface rows
-    "sql_cte_summary", "param_sql_nation_spend", "sql_udf_doc_quality",
-    "sql_scripting_rollup", "udaf_median_chars", "udtf_chunk_docs",
-    "lateral_top_orders", "docs_tree_rollup", "collated_type_counts",
-    # scale-pattern / sketch / maintenance rows
-    "bucketed_join_orders", "salted_event_totals",
-    "pipeline_clean_corpus", "sketch_user_churn", "sketch_merge_daily",
-    "approx_quantile_orders", "contract_orders",
-    "events_gapfill_hourly",
+    # the final 22 never-recorded rows (backlog close)
+    "arrow_label_centroids", "customers_without_orders",
+    "daily_activity_full_outer", "dense_topk_orders",
+    "doc_length_quantiles", "events_calendar",
+    "histogram_order_values", "median_order_value",
+    "orders_above_cust_avg", "orders_bulk_semi", "pivot_event_counts",
+    "props_k_stats", "sample_docs_hash", "scd2_user_states",
+    "split_train_holdout", "stratified_fixed_n", "top_tokens",
+    "unpivot_token_stats", "user_activity_similarity",
+    "user_type_counts_json", "value_outliers_zscore",
+    "window_running_totals",
+    # least-recently-recorded re-records (last seen in round 2)
+    "window_top_orders", "windowed_counts", "text_token_stats",
+    "text_tokens_re", "text_language_id", "text_quality",
+    "text_rollup", "text_fingerprint", "text_pii_scan",
+    "text_pii_redact", "multimodal_stats", "multimodal_frame_sample",
+    "rollup_docs", "setops_users", "topn_pagination",
 ]
 
 

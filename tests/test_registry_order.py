@@ -1,13 +1,15 @@
 """Pin the registry's first-50 window: the correctness driver hashes the
 FIRST 50 keys of queries() in dict order (verified in the round-3 verdict).
-The window ROTATES each round so every registry entry eventually gets an
+The window ROTATES each round so every registry entry periodically gets an
 official CORRECTNESS record: the 13 SMT reference-parity rows stay pinned
-every round, and the other 37 slots hold rows never yet recorded in any
-committed CORRECTNESS_r*.json."""
+every round; the other 37 slots hold every row never yet recorded, then
+the least-recently-recorded rows (the round-7 rotation closed the
+never-recorded backlog, so re-records are the steady state from here)."""
 
 import glob
 import json
 import os
+import re
 
 import __spark_entry__ as entry_mod
 
@@ -22,6 +24,30 @@ SMT_CORE = [
 ]
 
 
+def _last_recorded() -> dict[str, int]:
+    """Map each query name to the newest round whose committed
+    CORRECTNESS_r*.json contains it.
+
+    The record whose round number EQUALS ``CORRECTNESS_WINDOW_ROUND`` is
+    excluded: that file is the record OF the current window (the driver
+    writes it after the builder pins the window), not a staleness
+    signal. The exclusion is keyed on the round NUMBER, not key-set
+    equality, so a window left unrotated (and its round marker unbumped)
+    is caught as soon as the next round's record lands: that record's
+    round differs from the stale marker, so it counts, and the window's
+    fill rows are suddenly the MOST-recently-recorded rows — failing
+    ``test_window_fill_rows_are_least_recently_recorded`` below."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnum = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnum == entry_mod.CORRECTNESS_WINDOW_ROUND:
+            continue  # this round's own record
+        with open(path) as f:
+            for key in json.load(f):
+                last[key] = max(last.get(key, 0), rnum)
+    return last
+
+
 def test_window_is_the_first_50_keys():
     keys = list(entry_mod.queries().keys())
     assert len(entry_mod.CORRECTNESS_WINDOW) == 50
@@ -32,28 +58,53 @@ def test_window_leads_with_smt_parity_core():
     assert entry_mod.CORRECTNESS_WINDOW[:13] == SMT_CORE
 
 
-def test_window_fill_rows_are_never_officially_recorded():
-    """Every non-SMT slot must be a row absent from committed
-    CORRECTNESS_r*.json files — the whole point of the rotation.
-
-    The NEWEST record is excluded when its key set equals the current
-    window: that file is the record OF this window (the driver writes
-    it after the builder pins the window), not a staleness signal.
-    Older records are never excluded, so a window left unrotated for a
-    full round (its rows now in round N-1's record too) still fails."""
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    window = set(entry_mod.CORRECTNESS_WINDOW)
-    recorded: set[str] = set()
-    for i, path in enumerate(paths):
-        with open(path) as f:
-            keys = set(json.load(f).keys())
-        if i == len(paths) - 1 and keys == window:
-            continue  # this round's own record, not staleness
-        recorded |= keys
-    stale = [
-        k for k in entry_mod.CORRECTNESS_WINDOW[13:] if k in recorded
+def test_window_round_marker_not_lagging():
+    """The marker must be bumped with every rotation: once a record for
+    round N exists, a window still marked N-1 (or older) means the
+    rotation was skipped. The marker may run exactly one ahead of the
+    newest record (the normal state while a round is in flight)."""
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     ]
-    assert stale == [], stale
+    assert rounds, "no committed CORRECTNESS records"
+    assert entry_mod.CORRECTNESS_WINDOW_ROUND >= max(rounds)
+
+
+def test_window_contains_the_full_never_recorded_backlog():
+    """Any registry row with NO official record (in counted rounds) must
+    occupy a window slot — never-recorded rows always outrank
+    re-records. (Since the round-7 rotation this set is empty unless a
+    new query was added; the registry-growth cap in SURVEY §12 keeps it
+    under one window.)"""
+    last = _last_recorded()
+    registry = list(entry_mod.queries().keys())
+    never = [k for k in registry if k not in last]
+    window = set(entry_mod.CORRECTNESS_WINDOW)
+    assert len(never) <= 37, "backlog no longer fits one window"
+    missing = [k for k in never if k not in window]
+    assert missing == [], missing
+
+
+def test_window_fill_rows_are_least_recently_recorded():
+    """Every previously-recorded fill row must be at least as stale as
+    every row LEFT OUT of the window: rotating in a recently-recorded
+    row while a staler one waits outside defeats the rotation. Ties are
+    fine (several rows share a last-recorded round); never-recorded
+    rows are covered by the backlog test above."""
+    last = _last_recorded()
+    window = entry_mod.CORRECTNESS_WINDOW
+    registry = list(entry_mod.queries().keys())
+    re_recorded_fills = [k for k in window[13:] if k in last]
+    outside = [k for k in registry if k not in set(window) and k in last]
+    if re_recorded_fills and outside:
+        newest_fill = max(last[k] for k in re_recorded_fills)
+        stalest_outside = min(last[k] for k in outside)
+        offenders = [
+            (k, last[k]) for k in re_recorded_fills
+            if last[k] > stalest_outside
+        ]
+        assert newest_fill <= stalest_outside, offenders
 
 
 def test_first_50_all_have_oracles_or_documented_weak():
