@@ -75,7 +75,7 @@ def test_window_contains_the_full_never_recorded_backlog():
     """Any registry row with NO official record (in counted rounds) must
     occupy a window slot — never-recorded rows always outrank
     re-records. (Since the round-7 rotation this set is empty unless a
-    new query was added; the registry-growth cap in SURVEY §12 keeps it
+    new query was added; the registry-growth cap in SURVEY §9 keeps it
     under one window.)"""
     last = _last_recorded()
     registry = list(entry_mod.queries().keys())
