@@ -91,10 +91,15 @@ DECODE_QUERIES = BENCH_QUERIES[32:]
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
 # and decode_value. Pin the boundaries so a misplaced insertion fails
-# loudly instead (advisor finding, round 5).
-assert R3_COMPARABLE[-1] == "importance_score_docs"
-assert ENGINE_QUERIES[-1] == "dedup_minhash_incremental"
-assert DECODE_QUERIES[0] == "multimodal_png_decode"
+# loudly instead (advisor finding, round 5). Explicit raises, not bare
+# asserts: `python -O` strips asserts and would silently disable the
+# guard (advisor finding, round 6).
+if R3_COMPARABLE[-1] != "importance_score_docs":
+    raise RuntimeError("R3_COMPARABLE slice boundary moved")
+if ENGINE_QUERIES[-1] != "dedup_minhash_incremental":
+    raise RuntimeError("ENGINE_QUERIES slice boundary moved")
+if DECODE_QUERIES[0] != "multimodal_png_decode":
+    raise RuntimeError("DECODE_QUERIES slice boundary moved")
 
 
 def main() -> None:

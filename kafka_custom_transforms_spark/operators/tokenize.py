@@ -204,12 +204,13 @@ def _cached_encoder(
     """Per-(merges, byte_level) word encoder with a bounded C-speed LRU:
     the inner lru_cache keys on the word alone (one cached-hash probe
     per hit; str caches its hash), evicting least-recently-used words
-    past ``maxsize``. The returned token list is shared across hits —
-    callers must treat it as read-only (they only ``extend`` from it)."""
+    past ``maxsize``. The cached value is a TUPLE so the object shared
+    across hits is immutable — a caller mutating it would otherwise
+    silently corrupt cached encodings for the process lifetime."""
 
     @functools.lru_cache(maxsize=maxsize)
-    def enc(word: str) -> list[str]:
-        return bpe_encode(word, merges, byte_level)
+    def enc(word: str) -> tuple[str, ...]:
+        return tuple(bpe_encode(word, merges, byte_level))
 
     return enc
 

@@ -242,7 +242,10 @@ def test_word_cache_is_lru_bounded():
     enc("beta")  # the evicted one misses...
     assert enc.cache_info().hits == hits0 + 3
     assert enc.cache_info().currsize == 3  # ...and never exceeds the cap
-    assert enc("beta") == bpe_encode("beta")  # values stay correct
+    # values stay correct, and the shared cached object is IMMUTABLE —
+    # a tuple, so no caller can corrupt the cache by mutating it
+    assert enc("beta") == tuple(bpe_encode("beta"))
+    assert isinstance(enc("beta"), tuple)
     _cached_encoder.cache_clear()
 
 

@@ -39,12 +39,25 @@ def _bench_line(text: str) -> dict | None:
     return None
 
 
+def _baseline_key(path: str) -> tuple[int, int]:
+    """Sort key: round number, with a same-round ``*_repro`` file ranked
+    ABOVE the official record. Official records are taken under whatever
+    load the driver's machine happened to have (round 6's medians ran
+    1.5-1.8x over idle on untouched plans); the committed repro files are
+    idle-machine reruns, so they are the honest regression anchor."""
+    m = re.search(r"_r(\d+)(_repro)?\.json$", path)
+    if not m:
+        return (-1, 0)
+    return (int(m.group(1)), 1 if m.group(2) else 0)
+
+
 def load_baseline() -> tuple[str, dict]:
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_baseline_key)
     if not paths:
         print("bench_guard: no BENCH_r*.json baseline found — nothing to compare")
         sys.exit(0)
-    # Newest parseable file wins: BENCH_r03.json's tail capture truncated the
+    # Newest parseable file wins (same-round repro preferred, see
+    # _baseline_key): BENCH_r03.json's tail capture truncated the
     # line's head ("parsed": null on the official record), so fall back
     # through history (BENCH_r03_repro.json pins the round-3 verdict's
     # independently measured medians for exactly this case).
