@@ -5,7 +5,6 @@ files are quiesced reruns — see SURVEY §8)."""
 
 import importlib.util
 import os
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,6 +62,13 @@ def test_load_baseline_prefers_repro_and_skips_unparseable(tmp_path, monkeypatch
 
     # a newer but truncated/unparseable record falls through to the repro
     (tmp_path / "BENCH_r09.json").write_text('{"tail": "garbage no json"}')
+    name, bench = bench_guard.load_baseline()
+    assert name == "BENCH_r08_repro.json"
+
+    # so do invalid JSON (truncated write) and a non-dict top level —
+    # a corrupt newest record must not abort the guard with a traceback
+    (tmp_path / "BENCH_r10.json").write_text('{"metric": trunca')
+    (tmp_path / "BENCH_r11.json").write_text('[1, 2, 3]')
     name, bench = bench_guard.load_baseline()
     assert name == "BENCH_r08_repro.json"
 

@@ -39,7 +39,10 @@ def _last_recorded() -> dict[str, int]:
     ``test_window_fill_rows_are_least_recently_recorded`` below."""
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnum = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue  # suffixed files (e.g. *_repro) are not driver records
+        rnum = int(m.group(1))
         if rnum == entry_mod.CORRECTNESS_WINDOW_ROUND:
             continue  # this round's own record
         with open(path) as f:
@@ -62,13 +65,16 @@ def test_window_round_marker_not_lagging():
     """The marker must be bumped with every rotation: once a record for
     round N exists, a window still marked N-1 (or older) means the
     rotation was skipped. The marker may run exactly one ahead of the
-    newest record (the normal state while a round is in flight)."""
+    newest record (the normal state while a round is in flight) — but
+    never further: a marker past newest+1 would wrongly count this
+    round's own record as staleness once it lands."""
     rounds = [
-        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
     ]
     assert rounds, "no committed CORRECTNESS records"
-    assert entry_mod.CORRECTNESS_WINDOW_ROUND >= max(rounds)
+    assert max(rounds) <= entry_mod.CORRECTNESS_WINDOW_ROUND <= max(rounds) + 1
 
 
 def test_window_contains_the_full_never_recorded_backlog():

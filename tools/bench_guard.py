@@ -62,13 +62,20 @@ def load_baseline() -> tuple[str, dict]:
     # through history (BENCH_r03_repro.json pins the round-3 verdict's
     # independently measured medians for exactly this case).
     for path in reversed(paths):
-        with open(path) as f:
-            raw = json.load(f)
-        # Driver format wraps the bench line inside the "tail" capture; a
-        # plain bench.py line is also accepted.
-        bench = raw if "queries" in raw else _bench_line(raw.get("tail", ""))
-        if bench:
-            return os.path.basename(path), bench
+        # Fall through history on ANY malformed file (truncated write →
+        # invalid JSON, or a non-dict top level), not just a dict missing
+        # its bench line — a bad newest record must not abort the guard.
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            raw = None
+        if isinstance(raw, dict):
+            # Driver format wraps the bench line inside the "tail" capture;
+            # a plain bench.py line is also accepted.
+            bench = raw if "queries" in raw else _bench_line(raw.get("tail", ""))
+            if bench:
+                return os.path.basename(path), bench
         print(f"bench_guard: {os.path.basename(path)} has no parseable "
               "bench line, trying older baseline")
     print("bench_guard: no parseable baseline found")
