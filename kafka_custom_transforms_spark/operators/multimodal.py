@@ -1773,7 +1773,10 @@ def _jpeg_encode_420(width, height, yblocks, cbblocks, crblocks, qy, qc):
     Geometry must be a multiple of 16."""
     import struct
 
-    assert width % 16 == 0 and height % 16 == 0
+    # explicit raise, not assert: `python -O` strips asserts, and a
+    # non-multiple-of-16 geometry here would silently index blocks wrong
+    if width % 16 or height % 16:
+        raise ValueError("4:2:0 synthesis needs width/height multiples of 16")
     dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
