@@ -3516,6 +3516,43 @@ def _salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salted skew JOIN (functions/skew.salted_join_keys), end-to-end:
+    events join their per-type stats on event_type — 5 distinct keys over the
+    whole fact, so an unsalted shuffle join serializes on ≤5 reducers no
+    matter how many executors exist. The probe side gets a salt in [0,8); the
+    5-row stats side is exploded 8 ways; the join runs on (event_type, _salt)
+    with a SHUFFLE_HASH hint so the demo stays a real distributed-shuffle
+    join (broadcast would trivially win at test scale and AQE only SPLITS
+    skewed partitions, it cannot raise key cardinality). The salt never
+    affects the result — every salted probe key finds its exploded match —
+    so the oracle is the plain unsalted join. All-integer milli arithmetic
+    keeps the enrichment (value's deviation from the type mean, scaled by
+    the type count to stay integral) bit-equal across engines."""
+    from kafka_custom_transforms_spark.functions.skew import salted_join_keys
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 1000).cast("long").alias("value_milli"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.sum("value_milli").alias("sum_value_milli"),
+    )
+    probe = salted_join_keys(ev, "event_type", 8, explode_side=False)
+    build = salted_join_keys(stats, "event_type", 8, explode_side=True)
+    joined = probe.join(build.hint("shuffle_hash"), ["event_type", "_salt"])
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.col("n_type").cast("long").alias("n_type"),
+        (F.col("value_milli") * F.col("n_type") - F.col("sum_value_milli"))
+        .cast("long")
+        .alias("dev_milli_scaled"),
+    )
+
+
 def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join on bucketed storage: orders and customer both written
     bucketed+sorted on custkey, then sort-merge joined with ZERO exchanges
@@ -4045,10 +4082,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-7 rotation: the final 22 never-recorded rows (closing the
-# backlog — after this round all 184 registry rows have an official
-# record) plus 15 of the 16 rows last recorded in round 2
-# (`scalar_funcs` leads round 8's window).
+# rows. Round-8 rotation: the one new row (skew_join_salted — never
+# recorded), then scalar_funcs (last recorded r2), the 22 rows last
+# recorded in r3, and the first 13 registry rows last recorded in r4.
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4057,7 +4093,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 7
+CORRECTNESS_WINDOW_ROUND = 8
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4066,23 +4102,24 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # the final 22 never-recorded rows (backlog close)
-    "arrow_label_centroids", "customers_without_orders",
-    "daily_activity_full_outer", "dense_topk_orders",
-    "doc_length_quantiles", "events_calendar",
-    "histogram_order_values", "median_order_value",
-    "orders_above_cust_avg", "orders_bulk_semi", "pivot_event_counts",
-    "props_k_stats", "sample_docs_hash", "scd2_user_states",
-    "split_train_holdout", "stratified_fixed_n", "top_tokens",
-    "unpivot_token_stats", "user_activity_similarity",
-    "user_type_counts_json", "value_outliers_zscore",
-    "window_running_totals",
-    # least-recently-recorded re-records (last seen in round 2)
-    "window_top_orders", "windowed_counts", "text_token_stats",
-    "text_tokens_re", "text_language_id", "text_quality",
-    "text_rollup", "text_fingerprint", "text_pii_scan",
-    "text_pii_redact", "multimodal_stats", "multimodal_frame_sample",
-    "rollup_docs", "setops_users", "topn_pagination",
+    # round-8 new row (never recorded — outranks re-records)
+    "skew_join_salted",
+    # least-recently-recorded re-records (r2, then r3)
+    "scalar_funcs",
+    "dedup_streaming_batch", "events_asof_attrib", "events_range_counts",
+    "events_interval_pairs", "decontaminate_docs", "decontaminate_bloom",
+    "q6_forecast_revenue", "ntile_customer_quartiles",
+    "global_shuffle_shards", "kmv_sketch_tokens", "quantize_embeddings",
+    "label_centroids", "profile_orders", "zorder_events",
+    "trailing_counts_range", "props_variant_agg", "q10_returned_items",
+    "q4_late_orders", "q7_nation_volume", "q8_market_share",
+    "q12_priority_lines", "q14_promo_revenue",
+    # least-recently-recorded re-records (r4, first 13 in registry order)
+    "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_semantic",
+    "dedup_clusters", "dedup_survivors", "dedup_lines_global",
+    "q1_pricing_summary",
 ]
 
 
@@ -4234,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_docs": _grouping_sets_docs,
         "bucketed_join_orders": _bucketed_join_orders,
         "salted_event_totals": _salted_event_totals,
+        "skew_join_salted": _skew_join_salted,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "json_source_roundtrip": _json_source_roundtrip,
         "orc_source_roundtrip": _orc_source_roundtrip,
@@ -6466,6 +6504,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(user_id) as bigint) as max_user
             from events
             group by event_type
+        """,
+        "skew_join_salted": """
+            with ev as (
+              select event_id, event_type,
+                     cast(cast(value as decimal(18,2)) * 1000 as bigint)
+                       as value_milli
+              from events
+            ),
+            stats as (
+              select event_type,
+                     count(*) as n_type,
+                     sum(value_milli) as sum_value_milli
+              from ev
+              group by event_type
+            )
+            select e.event_id, e.event_type,
+                   cast(s.n_type as bigint) as n_type,
+                   cast(e.value_milli * s.n_type - s.sum_value_milli as bigint)
+                     as dev_milli_scaled
+            from ev e join stats s using (event_type)
         """,
         "pipeline_clean_corpus": """
             with norm as (

@@ -461,6 +461,21 @@ def test_salted_join_keys_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_skew_join_salted_plan_shape(spark, sf_dir):
+    """The skew_join_salted registry row must stay a REAL salted shuffle
+    join: a ShuffledHashJoin on (event_type, _salt), the build side's salt
+    expansion visible as an explode Generate, and NO broadcast join — that
+    is the entire point of the row (5 hot keys would otherwise serialize
+    on ≤5 reducers, and a broadcast would bypass the demonstration)."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    q = entry_mod.queries()["skew_join_salted"](spark, sf_dir)
+    p = plan_str(q, "formatted")
+    assert "ShuffledHashJoin" in p, p
+    assert "explode" in p and "_salt" in p, p
+    assert "BroadcastHashJoin" not in p, p
+
+
 def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
     """Registry-wide anti-pattern guard: NO driver-contract query may plan
     a CartesianProduct. BroadcastNestedLoopJoin is allowed only because
