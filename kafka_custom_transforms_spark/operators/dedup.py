@@ -1028,6 +1028,11 @@ def minhash_incremental(
             "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
         )
 
+    # NO distinct on candidate pairs: a pair colliding in k bands is
+    # evaluated k times, but the evaluation is 32 codegen comparisons in
+    # the join's own stage — re-shuffling 0.5 KB-wide (sig_n, sig_s) rows
+    # just to dedupe them costs far more at any scale. The only shuffles
+    # after the band join are id-only (the final distinct + anti-join).
     cand = (
         buckets(batch_sigs).alias("n")
         .join(buckets(store_sigs).alias("s"), ["band", "bh"])
@@ -1036,17 +1041,21 @@ def minhash_incremental(
             F.col("n.sig").alias("sig_n"),
             F.col("s.sig").alias("sig_s"),
         )
-        .distinct()
     )
-    est = F.aggregate(
-        F.zip_with(
-            F.col("sig_n"),
-            F.col("sig_s"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    # Unrolled agreement count: num_perm GetArrayItem comparisons summed as
+    # a plain expression tree (~3*num_perm nodes at the default 32) —
+    # whole-stage-codegen-able, where the equivalent zip_with/aggregate
+    # fold is an interpreted higher-order function evaluated per candidate
+    # row (SURVEY §8 cliff; same lever as similarity.py's unrolled cosine,
+    # but small enough here to apply unconditionally). Bit-equal: integer
+    # equality and addition in both forms.
+    terms = [
+        F.when(F.col("sig_n")[j] == F.col("sig_s")[j], 1).otherwise(0)
+        for j in range(num_perm)
+    ]
+    est = terms[0]
+    for t in terms[1:]:
+        est = est + t
     dropped = (
         cand.filter(est * F.lit(num_perm ** -1) >= F.lit(est_threshold))
         .select("id")
