@@ -376,6 +376,102 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(df, id_col).mapInPandas(_gen, schema="doc_id bigint, data binary")
 
 
+# Unfiltering dispatch: the bench's synthetic PNGs are tiny (stride <= 36
+# bytes), where a per-byte Python loop beats numpy's ~µs-per-call setup;
+# a real photo (stride in the KBs) inverts that by orders of magnitude.
+# Above this stride the row ops switch to numpy — filter 1 (Sub) becomes a
+# per-channel cumsum, filter 2 (Up) an elementwise add, and the channel
+# sums one matrix reduction; filters 3/4 keep the sequential scalar loop
+# (each byte depends on the previous pixel's DECODED value through a
+# floor-divide / Paeth branch, which no prefix trick removes). Both paths
+# are exact mod-256 integer arithmetic — bit-identical, property-pinned in
+# tests/test_codecs_property.py. Same measured-dispatch pattern as
+# similarity.py's UNROLL_MIN_ROWS.
+_PNG_NUMPY_MIN_STRIDE = 512
+
+
+def _png_unfilter_row34(ftype: int, line: list, prev: list) -> list:
+    """Undo filter 3 (Average) or 4 (Paeth) on one scanline, as int lists.
+    Sequential in x by construction: the predictor reads the current row's
+    already-decoded left pixel."""
+    n = len(line)
+    out = [0] * n
+    if ftype == 3:
+        for i in range(n):
+            a = out[i - 3] if i >= 3 else 0
+            out[i] = (line[i] + (a + prev[i]) // 2) % 256
+    else:
+        for i in range(n):
+            a = out[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (line[i] + pred) % 256
+    return out
+
+
+def _png_unfilter_sums_py(raw: bytes, height: int, stride: int) -> tuple:
+    """Per-byte unfiltering of all scanlines -> (sum_r, sum_g, sum_b).
+    The small-image path: no array setup cost, optimal for thumbnails."""
+    sr = sg = sb = 0
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) % 256
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ftype in (3, 4):
+            line = bytearray(_png_unfilter_row34(ftype, list(line), list(prev)))
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        sr += sum(line[0::3])
+        sg += sum(line[1::3])
+        sb += sum(line[2::3])
+        prev = line
+    return sr, sg, sb
+
+
+def _png_unfilter_sums_numpy(raw: bytes, height: int, stride: int) -> tuple:
+    """Vectorized unfiltering -> (sum_r, sum_g, sum_b); bit-equal to
+    :func:`_png_unfilter_sums_py` (exact integer ops in both)."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    totals = np.zeros(3, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:
+            # Sub: out[i] = raw[i] + out[i-3]  ==  per-channel prefix sum
+            cur = (
+                (np.cumsum(line.reshape(-1, 3), axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.int32)
+                .reshape(-1)
+            )
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        elif ftype in (3, 4):
+            cur = np.asarray(
+                _png_unfilter_row34(ftype, line.tolist(), prev.tolist()),
+                dtype=np.int32,
+            )
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        totals += cur.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        prev = cur
+    return int(totals[0]), int(totals[1]), int(totals[2])
+
+
 def decode_png(df: DataFrame) -> DataFrame:
     """Parse REAL PNG bytes with only the stdlib: signature, chunk walk
     with CRC verification, IHDR geometry, zlib-inflated IDAT, and full
@@ -421,37 +517,10 @@ def decode_png(df: DataFrame) -> DataFrame:
         raw = zlib.decompress(bytes(idat))
         if len(raw) != height * (stride + 1):
             raise ValueError("IDAT length does not match geometry")
-        sr = sg = sb = 0
-        prev = bytearray(stride)
-        for y in range(height):
-            base = y * (stride + 1)
-            ftype = raw[base]
-            line = bytearray(raw[base + 1 : base + 1 + stride])
-            if ftype == 1:
-                for i in range(3, stride):
-                    line[i] = (line[i] + line[i - 3]) % 256
-            elif ftype == 2:
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) % 256
-            elif ftype == 3:
-                for i in range(stride):
-                    a = line[i - 3] if i >= 3 else 0
-                    line[i] = (line[i] + (a + prev[i]) // 2) % 256
-            elif ftype == 4:
-                for i in range(stride):
-                    a = line[i - 3] if i >= 3 else 0
-                    b = prev[i]
-                    c = prev[i - 3] if i >= 3 else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    line[i] = (line[i] + pred) % 256
-            elif ftype != 0:
-                raise ValueError(f"bad PNG filter type {ftype}")
-            sr += sum(line[0::3])
-            sg += sum(line[1::3])
-            sb += sum(line[2::3])
-            prev = line
+        if stride >= _PNG_NUMPY_MIN_STRIDE:
+            sr, sg, sb = _png_unfilter_sums_numpy(raw, height, stride)
+        else:
+            sr, sg, sb = _png_unfilter_sums_py(raw, height, stride)
         npx = width * height
         return (width, height, sr * 1000 // npx, sg * 1000 // npx, sb * 1000 // npx)
 

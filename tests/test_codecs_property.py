@@ -176,3 +176,45 @@ def test_jpeg_synth_decode_self_consistency():
             assert got != first
         except ValueError:
             pass
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.data())
+def test_png_unfilter_numpy_matches_python(data):
+    """The two PNG unfiltering paths (per-byte Python for thumbnails,
+    numpy rows above _PNG_NUMPY_MIN_STRIDE) must be bit-equal on the
+    same scanline bytes, and both must equal the analytically-known
+    channel sums of the pre-filter pixels. Rows draw random filter
+    types so Sub/Up/Average/Paeth each cross row boundaries in random
+    combinations (the decode of row y depends on the DECODED row y-1,
+    so filter interactions matter, not just single filters)."""
+    from kafka_custom_transforms_spark.operators.multimodal import (
+        _png_filter_row,
+        _png_unfilter_sums_numpy,
+        _png_unfilter_sums_py,
+    )
+
+    width = data.draw(st.integers(min_value=1, max_value=40))
+    height = data.draw(st.integers(min_value=1, max_value=10))
+    stride = 3 * width
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=stride, max_size=stride
+                )
+            )
+        )
+        for _ in range(height)
+    ]
+    raw = bytearray()
+    prev = b"\x00" * stride
+    for y, row in enumerate(rows):
+        ftype = data.draw(st.integers(0, 4))
+        raw += bytes([ftype]) + _png_filter_row(ftype, row, prev, 3)
+        prev = row
+    expected = tuple(sum(sum(row[c::3]) for row in rows) for c in range(3))
+    got_py = _png_unfilter_sums_py(bytes(raw), height, stride)
+    got_np = _png_unfilter_sums_numpy(bytes(raw), height, stride)
+    assert got_py == expected
+    assert got_np == expected
