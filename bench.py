@@ -64,6 +64,8 @@ BENCH_QUERIES = (
     "pack_bpe_docs",
     "bpe_train_docs",
     "dedup_minhash_incremental",
+    # round-8 engine addition
+    "skew_join_salted",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -85,8 +87,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:32]
-DECODE_QUERIES = BENCH_QUERIES[32:]
+ENGINE_QUERIES = BENCH_QUERIES[:33]
+DECODE_QUERIES = BENCH_QUERIES[33:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -96,7 +98,7 @@ DECODE_QUERIES = BENCH_QUERIES[32:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "dedup_minhash_incremental":
+if ENGINE_QUERIES[-1] != "skew_join_salted":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")
