@@ -16,6 +16,7 @@ short document can't produce a descending sequence.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under future-annotations
 from pyspark.sql import Column, functions as F
 
 # Mersenne prime 2^31-1: keeps a*h+b < 2^62 under ANSI overflow checking.
@@ -129,6 +130,57 @@ def minhash_signature_agg(
     ]
     agged = exploded.groupBy("id").agg(*mins)
     return agged.select("id", F.array(*[F.col(f"m{j}") for j in range(len(perms))]).alias("sig"))
+
+
+def minhash_signature_map(
+    sets,  # DataFrame with (id, sh) columns
+    perms: list[tuple[int, int]],
+    id_col: str = "id",
+    shingle_col: str = "sh",
+    base_hashes=shingle_hashes,
+):
+    """(id, sig) as a pure per-doc MAP — no explode, no shuffle.
+
+    Base hashes stay JVM-side (``base_hashes`` builds the array<long> from
+    the shingle array — xxhash64 by default, md5-derived for the
+    oracle-replayable store pipeline), so hash bit-parity with the SQL
+    oracle is untouched; only the (n_shingles x num_perm) mod-min
+    reduction moves into one numpy pass per Arrow batch. Bit-identical to
+    :func:`minhash_signature_agg` (pinned in tests/test_dedup.py), but:
+
+      - the 128 independent min-aggregates of the agg form overflow the
+        whole-stage-codegen method budget and run INTERPRETED (~1.4 s for
+        27k exploded rows measured at sf0.001 — pure fixed overhead);
+      - the agg form needs explode (50x row amplification before map-side
+        partials) + one hash shuffle on id; this form needs neither — the
+        signature stage becomes embarrassingly parallel at any scale.
+
+    Rows with empty shingle sets are dropped, matching the agg form
+    (explode of an empty array emits no rows, so groupBy never sees the
+    id)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_list = [ab[0] for ab in perms]
+    b_list = [ab[1] for ab in perms]
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        av = np.asarray(a_list, dtype=np.int64)
+        bv = np.asarray(b_list, dtype=np.int64)
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            # hv < p and av < p, so hv*av < 2^62 stays inside int64; numpy
+            # % on non-negative operands equals Spark's pmod.
+            out.append(((hv[:, None] * av + bv) % MERSENNE_P).min(axis=0))
+        return pd.Series(out)
+
+    hashed = (
+        sets.filter(F.size(F.col(shingle_col)) > 0)
+        .select(F.col(id_col).alias("id"), base_hashes(F.col(shingle_col)).alias("hs"))
+    )
+    return hashed.select("id", _sig(F.col("hs")).alias("sig"))
 
 
 def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -46,6 +46,7 @@ from kafka_custom_transforms_spark.functions.texthash import (
     md5_hash60,
     minhash_perms,
     minhash_signature_agg,
+    minhash_signature_map,
     tokens,
     word_shingles,
 )
@@ -259,7 +260,13 @@ def minhash_lsh_pairs(
     # Checkpoint the compact signatures (one row per doc), not the exploded
     # bucket rows (bands x docs) — measured 2x faster end-to-end; the band
     # derivation from materialized signatures is cheap to run per join side.
-    sig = _materialize(minhash_signature_agg(sets, perms), checkpoint)
+    # Signature form follows the shingler trade-off flag: the Arrow map form
+    # (no explode, no shuffle, numpy mod-min) is bit-identical to the agg
+    # form but skips both the 50x explode amplification and the interpreted
+    # 128-min aggregate (the agg's codegen overflows the method budget);
+    # 'jvm' keeps Python workers fully out of the pipeline.
+    signature = minhash_signature_map if shingler == "arrow" else minhash_signature_agg
+    sig = _materialize(signature(sets, perms), checkpoint)
     buckets = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -967,18 +974,22 @@ def minhash_store(
     in DuckDB), NOT xxhash64, so the whole incremental pipeline is
     oracle-checkable end-to-end; the universal-hash permutations
     ``(a*h + b) mod p`` with p = 2^31-1 stay inside int64 under ANSI
-    mode. Same explode + per-permutation min-aggregate plan as the batch
-    signature pipeline (map-side partials collapse shingle rows before
-    the single shuffle on id)."""
+    mode. Signature form follows the ``shingler`` trade-off flag like the
+    batch pipeline: 'arrow' (default) uses the shuffle-free numpy map
+    form, 'jvm' the explode + per-permutation min-aggregate plan."""
     sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     perms = minhash_perms(num_perm, seed)
     p = F.lit(MERSENNE_P)
-    exploded = sets.select(
-        F.col("id"),
-        F.explode(
-            F.transform(F.col("sh"), lambda s: F.pmod(md5_hash60(s), p))
-        ).alias("h"),
-    )
+
+    def _md5_base(sh: Column) -> Column:
+        return F.transform(sh, lambda s: F.pmod(md5_hash60(s), p))
+
+    if shingler == "arrow":
+        # Map form: md5 base hashes stay JVM-side (DuckDB bit-parity),
+        # numpy does the mod-min — no explode, no shuffle (see
+        # texthash.minhash_signature_map).
+        return minhash_signature_map(sets, perms, base_hashes=_md5_base)
+    exploded = sets.select(F.col("id"), F.explode(_md5_base(F.col("sh"))).alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"m{j}")
         for j, (a, b) in enumerate(perms)

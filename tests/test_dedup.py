@@ -243,6 +243,54 @@ def test_minhash_expression_variant_matches_agg(spark):
     assert expr_sigs == agg_sigs
 
 
+def test_minhash_map_variant_matches_agg(spark, sf_dir):
+    """The shuffle-free Arrow map signature (JVM base hashes + numpy
+    mod-min) must be bit-identical to the explode+agg signature — for
+    BOTH hash bases (xxhash64 default; md5-derived as used by
+    minhash_store) — on real corpus text, including docs near the
+    shingle-count boundary."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.functions import texthash
+    from kafka_custom_transforms_spark.functions.texthash import (
+        MERSENNE_P,
+        md5_hash60,
+    )
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    perms = texthash.minhash_perms(128)
+
+    def md5_base(sh):
+        return F.transform(sh, lambda s: F.pmod(md5_hash60(s), F.lit(MERSENNE_P)))
+
+    for base in (texthash.shingle_hashes, md5_base):
+        # agg form hashes inside: run it as shipped for the default base,
+        # and via a pre-hashed explode for the md5 base (mirrors the
+        # minhash_store 'jvm' branch)
+        if base is texthash.shingle_hashes:
+            agg = texthash.minhash_signature_agg(sets, perms)
+        else:
+            hashed = sets.select("id", md5_base(F.col("sh")).alias("h_arr"))
+            exploded = hashed.select("id", F.explode("h_arr").alias("h"))
+            mins = [
+                F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{j}")
+                for j, (a, b) in enumerate(perms)
+            ]
+            agg = exploded.groupBy("id").agg(*mins).select(
+                "id", F.array(*[F.col(f"m{j}") for j in range(len(perms))]).alias("sig")
+            )
+        agg_sigs = {r.id: list(r.sig) for r in agg.collect()}
+        map_sigs = {
+            r.id: list(r.sig)
+            for r in texthash.minhash_signature_map(
+                sets, perms, base_hashes=base
+            ).collect()
+        }
+        assert map_sigs == agg_sigs
+
+
 def test_simhash_wide_banding_is_exhaustive(docs):
     """Wide (2x56-bit) pigeonhole banding must equal brute force over the
     collected wide signatures (the exactness guarantee; agreement with the
