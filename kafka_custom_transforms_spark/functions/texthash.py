@@ -86,9 +86,11 @@ def minhash_signature(shingles: Column, perms: list[tuple[int, int]]) -> Column:
 
     NOTE: fine up to ~32 permutations; beyond that the generated code for the
     nested lambdas exceeds the JIT/codegen budget and Catalyst falls back to
-    interpreted evaluation (~100x slower). Operators use
-    ``minhash_signature_agg`` (explode + 128 independent min-aggregates) for
-    the full-width signature — measured 70x faster at num_perm=128.
+    interpreted evaluation (~100x slower). Operators default to
+    ``minhash_signature_map`` (JVM base hashes + numpy mod-min, shuffle-free)
+    for the full-width signature, with ``minhash_signature_agg`` (explode +
+    128 independent min-aggregates) as the Python-worker-free fallback —
+    both bit-identical to this expression form (test-pinned).
     """
     base = shingle_hashes(shingles)
     perms_lit = F.array(
@@ -113,11 +115,14 @@ def minhash_signature_agg(
 ):
     """(id, sig) via explode + per-permutation min aggregates.
 
-    Each permutation is its own small aggregate expression, so whole-stage
-    codegen stays within budget. Scale shape: the explode produces
-    |docs| x |shingles| narrow rows, but map-side partial aggregation
-    collapses them to one 128-long row per (partition, id) before the single
-    shuffle on id — the classic MinHash plan for large corpora.
+    The classic MinHash plan for large corpora: the explode produces
+    |docs| x |shingles| narrow rows, map-side partial aggregation collapses
+    them to one 128-long row per (partition, id) before the single shuffle
+    on id. CAVEAT (measured, r8): at num_perm=128 the HashAggregate knocks
+    the whole stage out of whole-stage codegen (`explain("codegen")`: 0
+    subtrees), so the 128 pmod chains evaluate interpreted —
+    ``minhash_signature_map`` avoids both that and the shuffle and is the
+    operators' default; this form remains for Python-worker-free clusters.
     """
     p = F.lit(MERSENNE_P)
     exploded = sets.select(
