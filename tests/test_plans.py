@@ -461,6 +461,29 @@ def test_salted_join_keys_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_minhash_signature_map_is_shuffle_free(spark, sf_dir):
+    """The Arrow map signature form must plan with ZERO exchanges — that
+    (plus skipping the interpreted 128-min aggregate) is its reason to
+    exist. The agg form it replaces plans one hash shuffle on id."""
+    from kafka_custom_transforms_spark.functions import texthash
+    from kafka_custom_transforms_spark.functions.texthash import tokens, word_shingles
+
+    # Raw shingle sets WITHOUT the shingle pipeline's fan-out repartition,
+    # so the count isolates what the signature stage itself adds (in
+    # minhash_lsh_pairs the sets are localCheckpoint-materialized before
+    # the signature, so this is exactly the incremental cost there).
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(tokens(F.col("text")), 3).alias("sh")
+    )
+    perms = texthash.minhash_perms(128)
+    base = shuffle_count(sets)
+    assert shuffle_count(texthash.minhash_signature_map(sets, perms)) == base
+    # the agg form shuffles on id (plan_str may print an Exchange more
+    # than once across AQE sections — pin 'more than base', not a count)
+    assert shuffle_count(texthash.minhash_signature_agg(sets, perms)) > base
+
+
 def test_skew_join_salted_plan_shape(spark, sf_dir):
     """The skew_join_salted registry row must stay a REAL salted shuffle
     join: a ShuffledHashJoin on (event_type, _salt), the build side's salt
