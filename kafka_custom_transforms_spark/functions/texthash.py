@@ -118,11 +118,14 @@ def minhash_signature_agg(
     The classic MinHash plan for large corpora: the explode produces
     |docs| x |shingles| narrow rows, map-side partial aggregation collapses
     them to one 128-long row per (partition, id) before the single shuffle
-    on id. CAVEAT (measured, r8): at num_perm=128 the HashAggregate knocks
-    the whole stage out of whole-stage codegen (`explain("codegen")`: 0
-    subtrees), so the 128 pmod chains evaluate interpreted —
-    ``minhash_signature_map`` avoids both that and the shuffle and is the
-    operators' default; this form remains for Python-worker-free clusters.
+    on id. CAVEAT (measured, r8): the stage IS whole-stage-codegen'd
+    (final adaptive plan shows the `*(n)` markers), but at num_perm=128
+    the per-row cost measures ~0.25us per min-term — interpreter-range,
+    consistent with the generated consume() exceeding the JVM's
+    huge-method JIT limit: 27k exploded rows took 1.3-1.6s warm where
+    JIT'd arithmetic would take ~10ms. ``minhash_signature_map`` avoids
+    the question entirely (and the shuffle) and is the operators'
+    default; this form remains for Python-worker-free clusters.
     """
     p = F.lit(MERSENNE_P)
     exploded = sets.select(
@@ -153,9 +156,10 @@ def minhash_signature_map(
     reduction moves into one numpy pass per Arrow batch. Bit-identical to
     :func:`minhash_signature_agg` (pinned in tests/test_dedup.py), but:
 
-      - the 128 independent min-aggregates of the agg form overflow the
-        whole-stage-codegen method budget and run INTERPRETED (~1.4 s for
-        27k exploded rows measured at sf0.001 — pure fixed overhead);
+      - the agg form's 128 min-aggregates generate a method so large the
+        JIT never compiles it, so the per-row work runs at bytecode-
+        interpreter speed (~1.4 s for 27k exploded rows measured at
+        sf0.001 — pure fixed overhead; see the agg docstring);
       - the agg form needs explode (50x row amplification before map-side
         partials) + one hash shuffle on id; this form needs neither — the
         signature stage becomes embarrassingly parallel at any scale.

@@ -262,8 +262,9 @@ def minhash_lsh_pairs(
     # derivation from materialized signatures is cheap to run per join side.
     # Signature form follows the shingler trade-off flag: the Arrow map form
     # (no explode, no shuffle, numpy mod-min) is bit-identical to the agg
-    # form but skips both the 50x explode amplification and the interpreted
-    # 128-min aggregate (the agg's codegen overflows the method budget);
+    # form but skips both the 50x explode amplification and the 128-min
+    # aggregate whose generated method runs at bytecode-interpreter speed
+    # (too large to JIT — measured in texthash.minhash_signature_agg);
     # 'jvm' keeps Python workers fully out of the pipeline.
     signature = minhash_signature_map if shingler == "arrow" else minhash_signature_agg
     sig = _materialize(signature(sets, perms), checkpoint)
