@@ -465,6 +465,53 @@ def simhash_pairs(
     )
 
 
+def simhash_signatures_wide_map(
+    sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2
+) -> DataFrame:
+    """(id, sig0, sig1) as a pure per-doc MAP — no explode, no shuffle.
+
+    The wide-SimHash analogue of ``texthash.minhash_signature_map``: the
+    md5 base hashes stay JVM-side (DuckDB bit-parity untouched — same
+    ``md5_hash56`` halves the agg form uses), and the per-bit majority
+    votes run as one numpy pass per Arrow batch. Bit-identical to
+    :func:`simhash_signatures_wide` (pinned in tests/test_dedup.py):
+    vote positive iff 2*set_count > n_shingles, ties vote 0. Rows with
+    empty shingle sets are dropped, matching the agg form."""
+    if n_longs != 2 or bits_per_long != 56:
+        raise ValueError("wide signatures are fixed at 2 x 56 bits (one md5)")
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _half(part: int):
+        # NOT `lambda s, part=part: ...`: F.transform treats a two-parameter
+        # lambda as (element, index) and would bind the array INDEX column
+        # over the default.
+        return lambda s: md5_hash56(s, part)
+
+    hashed = sets.filter(F.size(F.col("sh")) > 0).select(
+        "id",
+        *[F.transform(F.col("sh"), _half(i)).alias(f"h{i}") for i in range(n_longs)],
+    )
+
+    @pandas_udf("array<long>")
+    def _sig(h0: pd.Series, h1: pd.Series) -> pd.Series:
+        shifts = np.arange(bits_per_long, dtype=np.int64)
+        out = []
+        for halves in zip(h0, h1):
+            sig = []
+            for arr in halves:
+                hv = np.asarray(arr, dtype=np.int64)
+                cnt = ((hv[:, None] >> shifts) & 1).sum(axis=0)
+                sig.append(int(((2 * cnt > len(hv)) * (np.int64(1) << shifts)).sum()))
+            out.append(sig)
+        return pd.Series(out)
+
+    return hashed.select("id", _sig("h0", "h1").alias("s")).select(
+        "id", F.col("s")[0].alias("sig0"), F.col("s")[1].alias("sig1")
+    )
+
+
 def simhash_signatures_wide(
     sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2
 ) -> DataFrame:
@@ -587,7 +634,11 @@ def simhash_pairs_wide(
     w = bits_per_long // per_long
     mask = (1 << w) - 1
     sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
-    sigs = _materialize(simhash_signatures_wide(sets, bits_per_long, n_longs), checkpoint)
+    # Signature form follows the shingler trade-off flag (same rule as the
+    # MinHash pipeline): 'arrow' uses the shuffle-free per-doc map form,
+    # 'jvm' the explode + packed-lane aggregate. Bit-identical, test-pinned.
+    wide_sig = simhash_signatures_wide_map if shingler == "arrow" else simhash_signatures_wide
+    sigs = _materialize(wide_sig(sets, bits_per_long, n_longs), checkpoint)
     sig_names = [f"sig{i}" for i in range(n_longs)]
     slices = sigs.select(
         "id",

@@ -291,6 +291,24 @@ def test_minhash_map_variant_matches_agg(spark, sf_dir):
         assert map_sigs == agg_sigs
 
 
+def test_simhash_wide_map_variant_matches_agg(spark, sf_dir):
+    """The shuffle-free wide-SimHash map signature must be bit-identical
+    to the packed-lane aggregate form on real corpus text."""
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    agg_sigs = {
+        r.id: (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide(sets).collect()
+    }
+    map_sigs = {
+        r.id: (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide_map(sets).collect()
+    }
+    assert map_sigs == agg_sigs
+
+
 def test_simhash_wide_banding_is_exhaustive(docs):
     """Wide (2x56-bit) pigeonhole banding must equal brute force over the
     collected wide signatures (the exactness guarantee; agreement with the
