@@ -291,6 +291,31 @@ def test_minhash_map_variant_matches_agg(spark, sf_dir):
         assert map_sigs == agg_sigs
 
 
+def test_signature_map_variants_on_adversarial_text(spark):
+    """Map vs agg signature equality on corner-case documents: unicode,
+    exactly-k tokens (single shingle), repeated shingles, very long
+    tokens, and boundary-ish whitespace — the shapes a corpus sample
+    won't reliably contain."""
+    from kafka_custom_transforms_spark.functions import texthash
+
+    rows = [
+        (1, "a b c"),                       # exactly one shingle
+        (2, "x x x x x x"),                 # one DISTINCT shingle, repeated
+        (3, "héllo wörld ünïcode ß 中文 字"),  # non-ASCII tokens
+        (4, ("tok" * 300 + " ") * 5),        # very long tokens
+        (5, "a b c d e f g h i j k l m n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = dedup.shingle_sets(df, "doc_id", "text", 3)
+    perms = texthash.minhash_perms(64)
+    agg = {r.id: list(r.sig) for r in texthash.minhash_signature_agg(sets, perms).collect()}
+    mp = {r.id: list(r.sig) for r in texthash.minhash_signature_map(sets, perms).collect()}
+    assert mp == agg and len(agg) == len(rows)
+    wagg = {r.id: (r.sig0, r.sig1) for r in dedup.simhash_signatures_wide(sets).collect()}
+    wmap = {r.id: (r.sig0, r.sig1) for r in dedup.simhash_signatures_wide_map(sets).collect()}
+    assert wmap == wagg and len(wagg) == len(rows)
+
+
 def test_simhash_wide_map_variant_matches_agg(spark, sf_dir):
     """The shuffle-free wide-SimHash map signature must be bit-identical
     to the packed-lane aggregate form on real corpus text."""
