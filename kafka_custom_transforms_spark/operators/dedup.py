@@ -945,11 +945,47 @@ def semantic_dup_pairs(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _gram_hash_udf(k: int):
+    """Arrow-vectorized k-token-gram hasher: one tight hashlib loop per
+    batch, bit-identical to the JVM expression form
+    ``md5_hash60(concat_ws(" ", slice(tokens, i, k)))`` — Python
+    ``" ".join(w[i:i+k])`` equals ``concat_ws`` on never-null tokens, and
+    ``int(md5(s).hexdigest()[:15], 16)`` equals
+    ``conv(substr(md5(s),1,15),16,10)``. Same trade-off flag story as
+    :func:`_shingle_udf`: hashlib.md5 runs at C speed where the
+    higher-order-function lambda pays interpreted per-window object
+    churn."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            w = t.split(" ")
+            if len(w) < k:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        int(md5(" ".join(w[i : i + k]).encode()).hexdigest()[:15], 16)
+                        for i in range(len(w) - k + 1)
+                    ]
+                )
+        return pd.Series(out)
+
+    return gram_hashes
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_hasher: str = "arrow",
 ) -> DataFrame:
     """Exact substring-span duplication, the k-token-gram re-expression of
     suffix-array training-data dedup ("Deduplicating Training Data Makes
@@ -966,7 +1002,9 @@ def duplicate_spans(
     same order of magnitude the suffix-array approach sorts — but never
     materializes strings past the map stage: each window is folded to a
     60-bit md5 prefix (cross-engine exact, so the DuckDB oracle reruns the
-    identical pipeline). Skew is handled by aggregating per (doc, gram)
+    identical pipeline). ``gram_hasher='arrow'`` (default) hashes windows
+    in an Arrow-batched hashlib loop; ``'jvm'`` keeps the pure-expression
+    form (bit-identical, test-pinned) for Python-worker-free clusters. Skew is handled by aggregating per (doc, gram)
     FIRST: a document repeating one slogan 10^6 times contributes ONE row
     to the global count, so the per-gram shuffle sees distinct (doc, gram)
     pairs and the heavy-hitter join fan-out is bounded by document count,
@@ -975,13 +1013,18 @@ def duplicate_spans(
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    windows = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    if gram_hasher == "arrow":
+        windows = _gram_hash_udf(k)(F.col(text_col))
+    elif gram_hasher == "jvm":
+        windows = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    else:
+        raise ValueError(f"duplicate_spans: unknown gram_hasher {gram_hasher!r}")
     base = df.select(
         F.col(id_col), F.greatest(n - k + 1, F.lit(0)).alias("n_spans"), windows.alias("ws")
     ).localCheckpoint(eager=False)

@@ -441,6 +441,25 @@ def test_shingler_rejects_unknown_route(docs):
         dedup.shingle_sets(docs, "doc_id", "text", 3, shingler="magic").collect()
 
 
+def test_duplicate_spans_gram_hashers_identical(spark, sf_dir):
+    """Arrow and JVM gram hashers must produce identical span stats on
+    real corpus text (and the arrow path must handle sub-k documents)."""
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    a = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio_milli)
+        for r in dedup.duplicate_spans(docs, k=8, gram_hasher="arrow").collect()
+    }
+    j = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio_milli)
+        for r in dedup.duplicate_spans(docs, k=8, gram_hasher="jvm").collect()
+    }
+    assert a == j and len(a) == 150
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(docs, gram_hasher="nope")
+
+
 def test_duplicate_spans_hand_computed(spark):
     """4-token windows over a toy corpus with a known shared span: the
     repeated window marks positions in BOTH documents, a within-doc
