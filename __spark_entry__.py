@@ -4585,7 +4585,7 @@ with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
 params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from e),
 params2 as (
   select nc,
-         case when nc < 20 then 1
+         case when nc < 256 then 1
               else greatest(8, cast(round(sqrt(nc)) as int)) end as ng
   from params
 ),

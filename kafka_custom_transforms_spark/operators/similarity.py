@@ -290,12 +290,19 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> Dat
     )
 
 
-# Below this quantizer size the flat n x n_centroids assignment is cheaper
-# than the two-level machinery's extra joins; above it the coarse level
-# cuts assignment cosines from n*sqrt(n) to n*O(n^(1/4)). The value also
-# gates the ORACLE's pipeline (the SQL degenerates to the flat form via
-# n_coarse = 1 below the threshold), so the two sides always agree.
-TWO_LEVEL_MIN_CENTROIDS = 20
+# Below this quantizer size the flat n x n_centroids assignment does FEWER
+# cosines than the two-level machinery (per vector: n_centroids flat vs
+# n_coarse + n_centroids*replicas/n_coarse two-level — with replicas
+# capped at 16 the two-level term only drops below n_centroids past
+# ~250 cells) and skips its extra joins; above it the coarse level cuts
+# assignment cosines from n*sqrt(n) to n*O(n^(1/4)). r8: raised 20 -> 256
+# after measuring the sf0.1 configuration (45 cells) doing ~98 cosines/
+# vector two-level vs 45 flat — the old threshold engaged the machinery
+# exactly where it was a pessimization by its own arithmetic. The value
+# also gates the ORACLE's pipeline (the SQL degenerates to the flat form
+# via n_coarse = 1 below the threshold — the literal in _IVF_ORACLE_SQL
+# must move together with this), so the two sides always agree.
+TWO_LEVEL_MIN_CENTROIDS = 256
 
 
 def two_level_params(n_centroids: int) -> tuple[int, int]:
