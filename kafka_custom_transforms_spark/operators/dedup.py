@@ -965,7 +965,9 @@ def _gram_hash_udf(k: int):
         md5 = hashlib.md5
         out = []
         for t in texts:
-            w = t.split(" ")
+            # null text -> no windows, matching the expression form (its
+            # when() falls through to the empty-array branch on null)
+            w = t.split(" ") if isinstance(t, str) else []
             if len(w) < k:
                 out.append([])
             else:

@@ -458,6 +458,16 @@ def test_duplicate_spans_gram_hashers_identical(spark, sf_dir):
     assert a == j and len(a) == 150
     with pytest.raises(ValueError):
         dedup.duplicate_spans(docs, gram_hasher="nope")
+    # null text: both hashers must yield (0 spans, 0 dups), not crash
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    for hasher in ("arrow", "jvm"):
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans)
+            for r in dedup.duplicate_spans(nulls, k=8, gram_hasher=hasher).collect()
+        }
+        assert got[1] == (0, 0), (hasher, got)
 
 
 def test_duplicate_spans_hand_computed(spark):
