@@ -4082,9 +4082,8 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-8 rotation: the one new row (skew_join_salted — never
-# recorded), then scalar_funcs (last recorded r2), the 22 rows last
-# recorded in r3, and the first 13 registry rows last recorded in r4.
+# rows. Round-9 rotation: the 24 remaining rows last recorded in r4
+# (registry order), then the first 13 rows last recorded in r5.
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4093,7 +4092,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 8
+CORRECTNESS_WINDOW_ROUND = 9
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4102,24 +4101,23 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-8 new row (never recorded — outranks re-records)
-    "skew_join_salted",
-    # least-recently-recorded re-records (r2, then r3)
-    "scalar_funcs",
-    "dedup_streaming_batch", "events_asof_attrib", "events_range_counts",
-    "events_interval_pairs", "decontaminate_docs", "decontaminate_bloom",
-    "q6_forecast_revenue", "ntile_customer_quartiles",
-    "global_shuffle_shards", "kmv_sketch_tokens", "quantize_embeddings",
-    "label_centroids", "profile_orders", "zorder_events",
-    "trailing_counts_range", "props_variant_agg", "q10_returned_items",
-    "q4_late_orders", "q7_nation_volume", "q8_market_share",
-    "q12_priority_lines", "q14_promo_revenue",
-    # least-recently-recorded re-records (r4, first 13 in registry order)
-    "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_semantic",
-    "dedup_clusters", "dedup_survivors", "dedup_lines_global",
-    "q1_pricing_summary",
+    # least-recently-recorded re-records (r4, remaining 24 in registry order)
+    "q3_shipping_priority", "q13_order_distribution", "q15_top_supplier",
+    "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_balances", "pipeline_training_batches",
+    "pipeline_entity_resolution", "funnel_stages", "sketch_distinct_users",
+    "pack_docs", "mixture_sample_docs", "importance_score_docs",
+    "multimodal_png_decode", "multimodal_bmp_decode", "events_sessionize",
+    "events_sessionize_stream", "stream_dedup_watermark",
+    "stream_interval_join", "stream_decontaminate", "stream_static_enrich",
+    "stream_leaderboard", "statestore_read_counts",
+    # least-recently-recorded re-records (r5, first 13 in registry order)
+    "multimodal_gif_decode", "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
+    "stream_multimodal_decode", "multimodal_jpeg_progressive_decode",
+    "multimodal_jpeg_sa_decode", "dedup_substring_spans",
+    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
+    "audio_frame_features", "multimodal_mp4_tracks", "lm_quality_score",
 ]
 
 
