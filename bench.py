@@ -104,9 +104,81 @@ if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load at bench START, embedded in the output so a reader
+    (tools/round_close.py, the round judge) can tell a contended record
+    from an idle one — four rounds of official records arrived with 2-7x
+    contention spikes that only same-round idle repros could adjudicate."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_probe() -> tuple[int, int] | None:
+    """(system_busy_jiffies, own_tree_jiffies) — the deltas between two
+    probes attribute the run's CPU between THIS process tree (python +
+    the Spark JVM + pyspark workers, found by walking /proc ppids;
+    cutime/cstime fold reaped workers into their parent) and everything
+    else. A start-time loadavg misses contention that ARRIVES mid-run
+    (observed r9 open: start load 0.62, foreign load ~4 by the decode
+    rows, 3-17x inflation), and an end-time loadavg is polluted by the
+    bench's own 32-core activity — this split is attributable."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+        procs: dict[int, tuple[int, int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    st = f.read()
+                rest = st[st.rindex(")") + 2:].split()
+                # utime+stime+cutime+cstime (fields 14-17, 0-indexed 11-14
+                # after comm/state)
+                procs[int(pid)] = (
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+                )
+            except (OSError, ValueError, IndexError):
+                continue
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        tree, stack, seen = 0, [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            tree += procs.get(p, (0, 0))[1]
+            stack.extend(children.get(p, []))
+        return busy, tree
+    except (OSError, ValueError):
+        return None
+
+
+def _foreign_cores(cpu0: tuple[int, int] | None, wall0: float) -> float | None:
+    """Average CPU cores consumed by processes OUTSIDE this bench's tree
+    over the run — the contention number tools/round_close.py gates on."""
+    cpu1 = _cpu_probe()
+    if cpu0 is None or cpu1 is None:
+        return None
+    wall = max(time.time() - wall0, 1e-3)
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    foreign_jiffies = max((cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1]), 0)
+    return round(foreign_jiffies / hz / wall, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg_start = _loadavg()
+    cpu0 = _cpu_probe()
+    wall0 = time.time()
     spark = get_spark("kcts-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -155,6 +227,8 @@ def main() -> None:
                 "decode_value": decode_total,
                 "value_r3_subset": r3_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": loadavg_start,
+                "foreign_busy_cores": _foreign_cores(cpu0, wall0),
             }
         )
     )

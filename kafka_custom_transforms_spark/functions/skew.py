@@ -36,6 +36,11 @@ def salted_agg(
     for name, (_, fn) in aggs.items():
         if fn not in merge_fn:
             raise ValueError(f"salted_agg: non-decomposable aggregate {fn!r} for {name!r}")
+    # NOTE: this salt is nondeterministic across task retries (partition id
+    # + row position both change on recompute). Safe HERE only because the
+    # aggregates are decomposable — any salt assignment merges to the same
+    # phase-2 result. Do NOT reuse this expression where salt determinism
+    # matters (e.g. writing salted keys to storage).
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[first_fn[fn](F.col(src)).alias(name) for name, (src, fn) in aggs.items()]
@@ -52,6 +57,9 @@ def salted_join_keys(df: DataFrame, key: str, salt_buckets: int, explode_side: b
     if explode_side:
         salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
         return df.withColumn("_salt", F.explode(salts))
+    # NOTE: nondeterministic across task retries (see salted_agg). Safe
+    # HERE only because the other side explodes ALL salt values, so every
+    # possible re-assignment still finds its join partner.
     return df.withColumn(
         "_salt",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)),

@@ -181,7 +181,15 @@ def minhash_signature_map(
         for h in hs:
             hv = np.asarray(h, dtype=np.int64)
             # hv < p and av < p, so hv*av < 2^62 stays inside int64; numpy
-            # % on non-negative operands equals Spark's pmod.
+            # % on non-negative operands equals Spark's pmod. The agg form
+            # would fail loudly under ANSI overflow on a non-reduced base;
+            # numpy would wrap silently, so enforce the precondition here.
+            if hv.size and (hv.max() >= MERSENNE_P or hv.min() < 0):
+                raise ValueError(
+                    "minhash_signature_map: base_hashes must emit values "
+                    "already reduced into [0, MERSENNE_P); got a value "
+                    "outside that range"
+                )
             out.append(((hv[:, None] * av + bv) % MERSENNE_P).min(axis=0))
         return pd.Series(out)
 

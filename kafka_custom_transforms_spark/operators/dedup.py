@@ -476,7 +476,10 @@ def simhash_signatures_wide_map(
     votes run as one numpy pass per Arrow batch. Bit-identical to
     :func:`simhash_signatures_wide` (pinned in tests/test_dedup.py):
     vote positive iff 2*set_count > n_shingles, ties vote 0. Rows with
-    empty shingle sets are dropped, matching the agg form."""
+    empty shingle sets are dropped, matching the agg form. Docs with
+    >= 32768 shingles raise the agg form's ValueError too — numpy has no
+    lane-counter limit, but the two forms must fail identically so a
+    pipeline validated on one can switch to the other."""
     if n_longs != 2 or bits_per_long != 56:
         raise ValueError("wide signatures are fixed at 2 x 56 bits (one md5)")
     import numpy as np
@@ -502,6 +505,12 @@ def simhash_signatures_wide_map(
             sig = []
             for arr in halves:
                 hv = np.asarray(arr, dtype=np.int64)
+                if hv.size >= 32768:
+                    # Behavioral parity with the agg form's 16-bit lane
+                    # limit (numpy itself has none).
+                    raise ValueError(
+                        "simhash_signatures_wide: >32767 shingles in one doc"
+                    )
                 cnt = ((hv[:, None] >> shifts) & 1).sum(axis=0)
                 sig.append(int(((2 * cnt > len(hv)) * (np.int64(1) << shifts)).sum()))
             out.append(sig)

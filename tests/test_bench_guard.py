@@ -78,3 +78,59 @@ def test_live_repo_baseline_is_parseable():
     to parse it — a silent exit(0) here would disable regression checks."""
     name, bench = bench_guard.load_baseline()
     assert "queries" in bench and bench["queries"]
+
+
+# ------------------------------------------------------- load gate (r9)
+
+spec_rc = importlib.util.spec_from_file_location(
+    "round_close", os.path.join(REPO, "tools", "round_close.py")
+)
+round_close = importlib.util.module_from_spec(spec_rc)
+spec_rc.loader.exec_module(round_close)
+
+
+def test_load_gate_rejects_contended_bench_file(tmp_path):
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}, "loadavg_start": [3.4, 2.1, 1.0]}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert not ok and "3.4" in detail
+
+
+def test_load_gate_blesses_idle_bench_file(tmp_path):
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}, "loadavg_start": [0.4, 0.5, 0.9]}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert ok and "0.4" in detail
+
+
+def test_load_gate_rejects_record_without_loadavg(tmp_path):
+    """Pre-gate records carry no loadavg_start; they are not blessable —
+    the whole point is to stop filing officials whose measurement-time
+    load is unknown or high."""
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert not ok and "loadavg_start" in detail
+
+
+def test_load_gate_checks_current_load_for_run_bench(monkeypatch):
+    monkeypatch.setattr(round_close, "current_loadavg", lambda: 7.5)
+    ok, detail = round_close.bench_load_gate(None)
+    assert not ok and "7.5" in detail
+    monkeypatch.setattr(round_close, "current_loadavg", lambda: 0.2)
+    ok, _ = round_close.bench_load_gate(None)
+    assert ok
+
+
+def test_load_gate_rejects_mid_run_foreign_load(tmp_path):
+    """Start-time load alone misses contention arriving mid-run (r9 open:
+    start 0.62, foreign ~4 cores during the decode rows)."""
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}, '
+                 '"loadavg_start": [0.3, 0.3, 0.3], "foreign_busy_cores": 3.7}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert not ok and "3.7" in detail
+    p.write_text('{"metric": "m", "queries": {}, '
+                 '"loadavg_start": [0.3, 0.3, 0.3], "foreign_busy_cores": 0.1}')
+    ok, _ = round_close.bench_load_gate(str(p))
+    assert ok

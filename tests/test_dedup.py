@@ -541,3 +541,28 @@ def test_minhash_incremental_empty_store_keeps_all(spark):
     batch = minhash_store(docs)
     empty = batch.filter("id < 0")
     assert sorted(r.id for r in minhash_incremental(batch, empty).collect()) == [1, 2]
+
+
+def test_map_forms_fail_loudly_on_bad_inputs(spark):
+    """Behavioral-parity guards (r8 advice): the simhash map form must
+    raise the agg form's >32767-shingle ValueError instead of silently
+    succeeding, and minhash_signature_map must reject a base_hashes that
+    skips the [0, MERSENNE_P) reduction instead of silently wrapping in
+    int64."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from kafka_custom_transforms_spark.functions import texthash
+
+    big = spark.createDataFrame(
+        [(1, [f"s{i}" for i in range(32768)])], "id long, sh array<string>"
+    )
+    with pytest.raises(Exception, match="32767 shingles"):
+        dedup.simhash_signatures_wide_map(big).collect()
+
+    sets = spark.createDataFrame(
+        [(1, ["a b c", "b c d"])], "id long, sh array<string>"
+    )
+    perms = texthash.minhash_perms(8)
+    unreduced = lambda col: F.transform(col, lambda s: F.xxhash64(s))  # no pmod
+    with pytest.raises(Exception, match="MERSENNE_P"):
+        texthash.minhash_signature_map(sets, perms, base_hashes=unreduced).collect()

@@ -19,11 +19,63 @@ Usage:
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# An official bench record is only trustworthy when the machine was idle at
+# measurement time: four rounds of official records (r2/r4/r6/r8) arrived
+# with 2-7x contention spikes on untouched sub-second plans that only
+# same-round idle repros could adjudicate. The 1-min load must be under
+# this before a bench is blessed.
+MAX_BENCH_LOADAVG = 1.0
+
+
+def current_loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def bench_load_gate(bench_path: str | None) -> tuple[bool, str]:
+    """(ok, detail) for the contention gate.
+
+    A bench FILE is judged by its embedded ``loadavg_start`` (written by
+    bench.py at measurement start); a file without the field predates the
+    gate and is rejected — re-measure. With no file (--run-bench), the
+    CURRENT load is judged instead, before the bench starts."""
+    if bench_path is None:
+        load = current_loadavg()
+        if load is None:
+            return True, "no /proc/loadavg on this platform — gate skipped"
+        if load > MAX_BENCH_LOADAVG:
+            return False, f"machine loaded (1-min load {load:.2f} > {MAX_BENCH_LOADAVG}) — quiesce before benching"
+        return True, f"1-min load {load:.2f} — idle, ok to bench"
+    try:
+        with open(bench_path) as f:
+            rec = json.loads(f.read().strip().splitlines()[-1])
+    except (OSError, ValueError, IndexError):
+        return False, f"unreadable bench file {bench_path}"
+    la = rec.get("loadavg_start")
+    if not la:
+        return False, "bench record has no loadavg_start — re-measure with current bench.py"
+    if la[0] > MAX_BENCH_LOADAVG:
+        return False, f"bench was measured under load (1-min load {la[0]:.2f} > {MAX_BENCH_LOADAVG}) — not blessable"
+    # start-time load alone misses contention that arrives MID-run (r9
+    # open: start 0.62, foreign ~4 cores by the decode rows) — the
+    # attributable foreign-CPU average over the whole run is the real gate
+    fc = rec.get("foreign_busy_cores")
+    if fc is not None and fc > MAX_BENCH_LOADAVG:
+        return False, f"foreign processes averaged {fc:.2f} busy cores during the run — not blessable"
+    detail = f"measured at 1-min load {la[0]:.2f}"
+    if fc is not None:
+        detail += f", foreign busy cores {fc:.2f}"
+    return True, detail + " — idle record"
 
 GUARD_TESTS = [
     "tests/test_registry_order.py",
@@ -63,6 +115,8 @@ def main() -> None:
          if has_protobuf else "google.protobuf still absent — guard stands")
 
     if args or run_bench:
+        gate_ok, detail = bench_load_gate(args[0] if args else None)
+        ok &= step("bench load gate", gate_ok, detail)
         cmd = [sys.executable, os.path.join(REPO, "tools", "bench_guard.py"), *args[:1]]
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else r.stderr[-200:]
