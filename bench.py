@@ -116,19 +116,23 @@ def _loadavg() -> list[float] | None:
         return None
 
 
-def _cpu_probe() -> tuple[int, int] | None:
-    """(system_busy_jiffies, own_tree_jiffies) — the deltas between two
-    probes attribute the run's CPU between THIS process tree (python +
-    the Spark JVM + pyspark workers, found by walking /proc ppids;
-    cutime/cstime fold reaped workers into their parent) and everything
-    else. A start-time loadavg misses contention that ARRIVES mid-run
-    (observed r9 open: start load 0.62, foreign load ~4 by the decode
-    rows, 3-17x inflation), and an end-time loadavg is polluted by the
-    bench's own 32-core activity — this split is attributable."""
+def _cpu_probe() -> tuple[int, int, int] | None:
+    """(system_busy_jiffies, own_tree_jiffies, steal_jiffies) — the deltas
+    between two probes attribute the run's CPU between THIS process tree
+    (python + the Spark JVM + pyspark workers, found by walking /proc
+    ppids; cutime/cstime fold reaped workers into their parent), other
+    guest processes, and the HYPERVISOR (steal). Steal is the decisive
+    one on this host: the guest is single-tenant (r9 adjudication — ps
+    shows no foreign processes during the historical 2-7x spikes), but
+    /proc/stat steal shows bursty vCPU theft by other tenants of the
+    physical host, which inflates wall times and even guest loadavg (the
+    runnable backlog it causes) while no guest-side measurement shows a
+    culprit. A start-time loadavg misses all of it."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
         busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+        steal_j = vals[7] if len(vals) > 7 else 0
         procs: dict[int, tuple[int, int]] = {}
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -156,21 +160,24 @@ def _cpu_probe() -> tuple[int, int] | None:
             seen.add(p)
             tree += procs.get(p, (0, 0))[1]
             stack.extend(children.get(p, []))
-        return busy, tree
+        return busy, tree, steal_j
     except (OSError, ValueError):
         return None
 
 
-def _foreign_cores(cpu0: tuple[int, int] | None, wall0: float) -> float | None:
-    """Average CPU cores consumed by processes OUTSIDE this bench's tree
-    over the run — the contention number tools/round_close.py gates on."""
+def _foreign_cores(cpu0: tuple[int, int, int] | None, wall0: float) -> tuple[float, float] | tuple[None, None]:
+    """(foreign_cores, steal_cores): average CPU cores consumed over the
+    run by other guest processes and by the hypervisor (other tenants of
+    the physical host) respectively — the contention numbers
+    tools/round_close.py gates on. On this host steal is the live one."""
     cpu1 = _cpu_probe()
     if cpu0 is None or cpu1 is None:
-        return None
+        return None, None
     wall = max(time.time() - wall0, 1e-3)
     hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
     foreign_jiffies = max((cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1]), 0)
-    return round(foreign_jiffies / hz / wall, 3)
+    steal_jiffies = max(cpu1[2] - cpu0[2], 0)
+    return round(foreign_jiffies / hz / wall, 3), round(steal_jiffies / hz / wall, 3)
 
 
 def main() -> None:
@@ -207,6 +214,7 @@ def main() -> None:
     # so a single long line gets its head (and the opening brace) truncated
     # and records "parsed": null. The compact summary below must be the LAST
     # and ONLY stdout line.
+    foreign_cores, steal_cores = _foreign_cores(cpu0, wall0)
     diagnostics = {"samples": SAMPLES, "cold": cold, "spread": spread}
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
@@ -228,7 +236,8 @@ def main() -> None:
                 "value_r3_subset": r3_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": loadavg_start,
-                "foreign_busy_cores": _foreign_cores(cpu0, wall0),
+                "foreign_busy_cores": foreign_cores,
+                "steal_cores": steal_cores,
             }
         )
     )

@@ -269,14 +269,109 @@ def _seed_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def _assign_cells(vecs: DataFrame, centroids: DataFrame, dim: int | None) -> DataFrame:
-    """(id, v, cid): each vector joined to its max-cosine centroid
-    (broadcast join — centroids are tiny; ties break on cid asc).
+# Cap for pulling a quantizer local to the driver for the Arrow assignment
+# path. At the standard sqrt(n) sizing, 65536 centroids covers a ~4e9-vector
+# corpus; the matrix is 65536 x 64 doubles = 32 MB — the same memory class
+# the JVM path already ships as a broadcast join side. Above the cap the
+# assignment falls back to the broadcast-join expression form.
+MAX_LOCAL_CENTROIDS = 65536
 
-    max_by with a (ccos, -cid) ordering struct instead of a window rank:
-    the n x n_centroids scored rows collapse map-side (partial aggregation
+
+def _local_centroid_matrix(centroids: DataFrame, id_field: str, vec_field: str):
+    """(ids, C, cnorm) with ids ASCENDING (so np.argmax's first-max rule
+    reproduces max_by's min-id tie-break, NaN included: Spark orders NaN
+    above every double and breaks ties on min id; argmax returns the first
+    NaN position — the lowest id — whenever one exists). ``None`` when the
+    quantizer exceeds :data:`MAX_LOCAL_CENTROIDS` (bounded limit+collect,
+    never an unbounded pull). ``cnorm`` is the same sequential per-dimension
+    fold the JVM/DuckDB norm computes — bit-identical inputs to the cosine."""
+    import numpy as np
+
+    rows = (
+        centroids.select(id_field, vec_field)
+        .limit(MAX_LOCAL_CENTROIDS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_LOCAL_CENTROIDS or not rows:
+        return None
+    rows.sort(key=lambda r: r[0])
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cn = np.zeros(len(rows))
+    for i in range(C.shape[1]):
+        cn += C[:, i] * C[:, i]
+    return ids, C, np.sqrt(cn)
+
+
+def _fold_cosines(A, C, cnorm):
+    """(n x m) cosine matrix, every value bit-identical to the JVM/DuckDB
+    sequential left-fold: accumulation runs dimension-by-dimension from a
+    0.0 start (0 + x1 == x1 exactly in IEEE), and the denominator
+    multiplies norm(a) * norm(c) before dividing — the exact operation
+    order of functions.vector.cosine. Vectorized ACROSS rows/centroids,
+    sequential WITHIN each dot, like the dedup map-form signatures."""
+    import numpy as np
+
+    n, dim = A.shape
+    dots = np.zeros((n, C.shape[0]))
+    na = np.zeros(n)
+    for i in range(dim):
+        a_i = A[:, i]
+        dots += a_i[:, None] * C[None, :, i]
+        na += a_i * a_i
+    return dots / (np.sqrt(na)[:, None] * cnorm[None, :])
+
+
+def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
+    """(id, v, cid) via one Arrow-batched numpy pass per partition: the
+    n x n_centroids scored PAIR ROWS of the join form never materialize —
+    each batch of vectors meets the local centroid matrix in numpy and only
+    the argmax row survives. No join, no aggregation, no shuffle; the r8
+    MinHash/SimHash map-form treatment applied to IVF assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C, cnorm = local
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            best = np.argmax(_fold_cosines(A, C, cnorm), axis=1)
+            out = pdf[["id", "v"]].copy()
+            out["cid"] = cids[best]
+            yield out
+
+    id_t = dict(vecs.dtypes)["id"]
+    return vecs.mapInPandas(_assign, schema=f"id {id_t}, v array<double>, cid {cid_type}")
+
+
+def _assign_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    dim: int | None,
+    method: str = "arrow",
+) -> DataFrame:
+    """(id, v, cid): each vector assigned to its max-cosine centroid
+    (ties break on cid asc).
+
+    ``method="arrow"`` (default): the quantizer (bounded — sqrt(n) by
+    construction) is pulled local and each vector batch scores against it
+    in one numpy pass (:func:`_assign_cells_arrow`) — the r8-proven map
+    form; bit-identical to the join form (pinned in tests). Falls back to
+    the join form when the quantizer exceeds MAX_LOCAL_CENTROIDS.
+
+    ``method="expr"`` join form: broadcast cross join + max_by with a
+    (ccos, -cid) ordering struct instead of a window rank — the
+    n x n_centroids scored rows collapse map-side (partial aggregation
     keeps one buffer per id per partition), so the shuffle carries one row
-    per vector — a window would shuffle all n_centroids copies first."""
+    per vector. Correct at any quantizer size, but materializes every
+    scored pair as a row through codegen."""
+    if method == "arrow":
+        local = _local_centroid_matrix(centroids, "cid", "cv")
+        if local is not None:
+            return _assign_cells_arrow(vecs, local, dict(centroids.dtypes)["cid"])
     best = F.max_by(
         F.struct(F.col("v"), F.col("cid")),
         F.struct(F.col("ccos"), (-F.col("cid")).alias("nc")),
@@ -362,17 +457,23 @@ def _two_level_frames(
         .select("gid", "cid", "cv")
     )
     active = coarse.join(reg.select("gid").distinct(), "gid")
-    best_g = F.max_by(
-        F.struct(F.col("v"), F.col("gid")),
-        F.struct(F.col("gcos"), (-F.col("gid")).alias("ng")),
-    ).alias("mg")
-    vec_coarse = (
-        vecs.join(F.broadcast(active), how="cross")
-        .select("id", "v", "gid", cosine(F.col("v"), F.col("gv"), dim).alias("gcos"))
-        .groupBy("id")
-        .agg(best_g)
-        .select("id", F.col("mg.v").alias("v"), F.col("mg.gid").alias("gid"))
-    )
+    local = _local_centroid_matrix(active, "gid", "gv")
+    if local is not None:
+        vec_coarse = _assign_cells_arrow(
+            vecs, local, dict(active.dtypes)["gid"]
+        ).withColumnRenamed("cid", "gid")
+    else:
+        best_g = F.max_by(
+            F.struct(F.col("v"), F.col("gid")),
+            F.struct(F.col("gcos"), (-F.col("gid")).alias("ng")),
+        ).alias("mg")
+        vec_coarse = (
+            vecs.join(F.broadcast(active), how="cross")
+            .select("id", "v", "gid", cosine(F.col("v"), F.col("gv"), dim).alias("gcos"))
+            .groupBy("id")
+            .agg(best_g)
+            .select("id", F.col("mg.v").alias("v"), F.col("mg.gid").alias("gid"))
+        )
     return coarse, reg, vec_coarse
 
 
@@ -395,6 +496,11 @@ def _assign_cells_two_level(
     if n_coarse <= 1:
         return _assign_cells(vecs, centroids, dim)
     _, reg, vec_coarse = _two_level_frames(vecs, centroids, n_centroids, dim)
+    reg_local = _collect_registrations(reg)
+    if reg_local is not None:
+        return _assign_fine_arrow(
+            vec_coarse, reg_local, dict(reg.dtypes)["cid"]
+        )
     best_f = F.max_by(
         F.struct(F.col("v"), F.col("cid")),
         F.struct(F.col("fcos"), (-F.col("cid")).alias("nc")),
@@ -405,6 +511,59 @@ def _assign_cells_two_level(
         .groupBy("id")
         .agg(best_f)
         .select("id", F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
+    )
+
+
+def _collect_registrations(reg: DataFrame):
+    """{gid: (cids, C, cnorm)} for the fine assignment step, or None when
+    the registration table (n_centroids x fine_replicas rows, replicas
+    capped at 16) exceeds the local cap. Per-cell matrices are sorted by
+    cid ascending for the argmax tie-break, same rule as the flat path."""
+    import numpy as np
+
+    rows = reg.select("gid", "cid", "cv").limit(MAX_LOCAL_CENTROIDS + 1).collect()
+    if len(rows) > MAX_LOCAL_CENTROIDS or not rows:
+        return None
+    by_gid: dict = {}
+    for r in rows:
+        by_gid.setdefault(r[0], []).append((r[1], r[2]))
+    out = {}
+    for gid, pairs in by_gid.items():
+        pairs.sort(key=lambda p: p[0])
+        cids = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        C = np.stack([np.asarray(p[1], dtype=np.float64) for p in pairs])
+        cn = np.zeros(len(pairs))
+        for i in range(C.shape[1]):
+            cn += C[:, i] * C[:, i]
+        out[gid] = (cids, C, np.sqrt(cn))
+    return out
+
+
+def _assign_fine_arrow(vec_coarse: DataFrame, reg_local: dict, cid_type: str) -> DataFrame:
+    """(id, v, cid): the two-level FINE step as an Arrow map — each batch
+    groups by its (single-probe) coarse cell and scores only that cell's
+    registered fine centroids in numpy. Replaces the gid equi-join +
+    per-id max_by: no join fan-out rows, no aggregation shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cid_out = np.empty(len(pdf), dtype=np.int64)
+            for gid, idx in pdf.groupby("gid", sort=False).indices.items():
+                cids, C, cnorm = reg_local[gid]
+                A = np.stack(pdf["v"].iloc[idx].to_numpy()).astype(np.float64, copy=False)
+                best = np.argmax(_fold_cosines(A, C, cnorm), axis=1)
+                cid_out[idx] = cids[best]
+            out = pdf[["id", "v"]].copy()
+            out["cid"] = cid_out
+            yield out
+
+    id_t = dict(vec_coarse.dtypes)["id"]
+    return vec_coarse.mapInPandas(
+        _assign, schema=f"id {id_t}, v array<double>, cid {cid_type}"
     )
 
 
@@ -471,17 +630,67 @@ def _ivf_candidates(
         # and the query probes — materialize so the Lloyd chain (broadcast
         # join + wide agg over the sample) runs once, not per consumer.
         centroids = step.localCheckpoint(eager=True)
-    assigned = _assign_cells_two_level(vecs, centroids, n_centroids, cos_dim)
     qvecs = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    probes = (
-        qvecs.join(F.broadcast(centroids), how="cross")
-        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv"), cos_dim).alias("ccos"))
-        .withColumn("crank", F.row_number().over(probe_w))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cid")
+    n_coarse, _ = two_level_params(n_centroids)
+    local = _local_centroid_matrix(centroids, "cid", "cv")
+    if local is not None:
+        # ONE bounded centroid pull feeds both sides: base vectors assign
+        # in an Arrow map (flat below the two-level threshold), queries
+        # pick their n_probe cells in an Arrow map — the crossJoin +
+        # window probe stage disappears. Above the threshold the
+        # two-level machinery still does the assignment (its stages are
+        # Arrow maps too); probes stay flat either way (queries are small).
+        cid_t = dict(centroids.dtypes)["cid"]
+        if n_coarse <= 1:
+            assigned = _assign_cells_arrow(vecs, local, cid_t)
+        else:
+            assigned = _assign_cells_two_level(vecs, centroids, n_centroids, cos_dim)
+        probes = _probe_cells_arrow(qvecs, local, n_probe, cid_t)
+    else:
+        assigned = _assign_cells_two_level(vecs, centroids, n_centroids, cos_dim)
+        probe_w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        probes = (
+            qvecs.join(F.broadcast(centroids), how="cross")
+            .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv"), cos_dim).alias("ccos"))
+            .withColumn("crank", F.row_number().over(probe_w))
+            .filter(F.col("crank") <= n_probe)
+            .select("query_id", "qv", "cid")
+        )
+    # The probe side is |queries| x n_probe rows — broadcast it so the
+    # base-side assignment is NEVER shuffled for the join.
+    return F.broadcast(probes).join(assigned, "cid").filter(F.col("query_id") != F.col("id"))
+
+
+def _probe_cells_arrow(
+    qvecs: DataFrame, local, n_probe: int, cid_type: str
+) -> DataFrame:
+    """(query_id, qv, cid): each query's ``n_probe`` max-cosine cells as an
+    Arrow map — replaces the broadcast crossJoin + row_number window stage.
+    Ranking replicates the window's (ccos DESC, cid ASC) exactly: NaN maps
+    to +inf (Spark sorts NaN above every double), and the stable argsort
+    over cid-ascending columns breaks exact ties on min cid."""
+    import numpy as np
+
+    cids, C, cnorm = local
+
+    def _probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["qv"].to_numpy()).astype(np.float64, copy=False)
+            cos = _fold_cosines(A, C, cnorm)
+            key = np.where(np.isnan(cos), np.inf, cos)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[
+                pdf.index.repeat(order.shape[1]), ["query_id", "qv"]
+            ].copy()
+            out["cid"] = cids[order].reshape(-1)
+            yield out
+
+    qid_t = dict(qvecs.dtypes)["query_id"]
+    return qvecs.mapInPandas(
+        _probe, schema=f"query_id {qid_t}, qv array<double>, cid {cid_type}"
     )
-    return probes.join(assigned, "cid").filter(F.col("query_id") != F.col("id"))
 
 
 def ivf_topk_neighbors(

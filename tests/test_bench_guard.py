@@ -134,3 +134,19 @@ def test_load_gate_rejects_mid_run_foreign_load(tmp_path):
                  '"loadavg_start": [0.3, 0.3, 0.3], "foreign_busy_cores": 0.1}')
     ok, _ = round_close.bench_load_gate(str(p))
     assert ok
+
+
+def test_load_gate_rejects_high_steal(tmp_path):
+    """The r9-adjudicated mechanism: the guest is single-tenant, so the
+    poisoned official records were hypervisor vCPU steal — gate on it."""
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}, '
+                 '"loadavg_start": [0.3, 0.3, 0.3], '
+                 '"foreign_busy_cores": 0.1, "steal_cores": 4.2}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert not ok and "4.2" in detail
+    p.write_text('{"metric": "m", "queries": {}, '
+                 '"loadavg_start": [0.3, 0.3, 0.3], '
+                 '"foreign_busy_cores": 0.1, "steal_cores": 0.2}')
+    ok, _ = round_close.bench_load_gate(str(p))
+    assert ok

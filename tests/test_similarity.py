@@ -212,3 +212,48 @@ def test_auto_cos_dim_hint_and_estimate(emb):
     assert similarity._auto_cos_dim(emb, None) is None
     # sf0.001/sf0.01 embeddings are far below 500k rows: estimate says fold
     assert similarity._auto_cos_dim(emb, 64) is None
+
+
+def test_assign_cells_arrow_matches_expr(emb):
+    """The Arrow map-form flat assignment must be BIT-identical to the
+    broadcast-join + max_by expression form: same cells, same min-cid
+    tie-breaks (r9 — the r8 MinHash map-form treatment applied to IVF)."""
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    centroids = similarity._seed_centroids(vecs, 32)
+    expr = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells(vecs, centroids, None, method="expr").collect()
+    )
+    arrow = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells(vecs, centroids, None).collect()
+    )
+    assert arrow == expr and len(arrow) > 0
+
+
+def test_two_level_arrow_matches_jvm_pipeline(spark, monkeypatch):
+    """Forcing MAX_LOCAL_CENTROIDS=0 routes every assignment through the
+    JVM join pipeline; the default Arrow route must produce the identical
+    (id, cid) assignment on a quantizer big enough to engage two-level."""
+    n, nc = 1500, similarity.TWO_LEVEL_MIN_CENTROIDS + 44
+    vecs = spark.range(n).select(
+        F.col("id"),
+        F.array(
+            *[((F.col("id") * 7 + i * 31) % 13 + 1).cast("double") for i in range(8)]
+        ).alias("v"),
+    )
+    centroids = similarity._seed_centroids(vecs, nc)
+    arrow = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells_two_level(vecs, centroids, nc, None).collect()
+    )
+    monkeypatch.setattr(similarity, "MAX_LOCAL_CENTROIDS", 0)
+    jvm = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells_two_level(vecs, centroids, nc, None).collect()
+    )
+    monkeypatch.undo()
+    assert arrow == jvm and len(arrow) == n

@@ -33,6 +33,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # this before a bench is blessed.
 MAX_BENCH_LOADAVG = 1.0
 
+# Average hypervisor-stolen cores (of 32) above which a bench is not
+# blessable. Quiet-period baseline on this host is 0.0-0.5; the poisoned
+# records coincide with sustained bursts well above 1.
+MAX_BENCH_STEAL_CORES = 1.0
+
 
 def current_loadavg() -> float | None:
     try:
@@ -66,15 +71,23 @@ def bench_load_gate(bench_path: str | None) -> tuple[bool, str]:
         return False, "bench record has no loadavg_start — re-measure with current bench.py"
     if la[0] > MAX_BENCH_LOADAVG:
         return False, f"bench was measured under load (1-min load {la[0]:.2f} > {MAX_BENCH_LOADAVG}) — not blessable"
-    # start-time load alone misses contention that arrives MID-run (r9
-    # open: start 0.62, foreign ~4 cores by the decode rows) — the
-    # attributable foreign-CPU average over the whole run is the real gate
+    # start-time load alone misses contention that arrives MID-run — the
+    # attributable over-the-whole-run averages are the real gate. On this
+    # host the live mechanism is vCPU STEAL (r9 adjudication: the guest
+    # is single-tenant; the historical 2-7x official-bench spikes were
+    # bursty hypervisor theft by other tenants of the physical host,
+    # which no guest-side loadavg/ps reading attributes).
     fc = rec.get("foreign_busy_cores")
     if fc is not None and fc > MAX_BENCH_LOADAVG:
         return False, f"foreign processes averaged {fc:.2f} busy cores during the run — not blessable"
+    st = rec.get("steal_cores")
+    if st is not None and st > MAX_BENCH_STEAL_CORES:
+        return False, f"hypervisor stole {st:.2f} cores on average during the run — not blessable"
     detail = f"measured at 1-min load {la[0]:.2f}"
     if fc is not None:
         detail += f", foreign busy cores {fc:.2f}"
+    if st is not None:
+        detail += f", steal cores {st:.2f}"
     return True, detail + " — idle record"
 
 GUARD_TESTS = [
