@@ -4041,17 +4041,19 @@ def _sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE TRAINING (operators/tokenize.py bpe_train): 8
-    rounds of most-frequent-adjacent-pair learning over the corpus
-    vocabulary (corpus touched once for the word-frequency aggregate;
-    every round is vocabulary-sized Catalyst work — merge application is
-    one string replace() whose JVM left-to-right non-overlapping
-    semantics equal the BPE batch pass, bit-identical in DuckDB). The
-    oracle unrolls the same 8 rounds as chained CTEs, so counts, ties,
-    and merge ORDER are all hash-checked."""
+    most-frequent-adjacent-pair merges learned over the corpus
+    vocabulary in BATCHED rounds of 4 symbol-disjoint accepts (corpus
+    touched once for the word-frequency aggregate; every round is
+    vocabulary-sized Catalyst work — merge application is chained string
+    replace() whose JVM left-to-right non-overlapping semantics equal
+    the BPE batch pass, bit-identical in DuckDB; disjointness keeps the
+    reported counts exact). The oracle unrolls the same 2 rounds —
+    candidate window, greedy disjoint selection, chained replaces — as
+    CTEs, so counts, ties, and merge ORDER are all hash-checked."""
     from kafka_custom_transforms_spark.operators.tokenize import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
-    learned = bpe_train(docs, "text", n_merges=8)
+    learned = bpe_train(docs, "text", n_merges=8, batch_size=4)
     return spark.createDataFrame(
         learned.rename(columns={"left": "lhs", "right": "rhs"}),
         schema="step int, lhs string, rhs string, pair_count bigint",
@@ -4871,14 +4873,22 @@ def _tokenize_bpe_bytes_oracle_sql() -> str:
     )
 
 
-def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
-    """Unrolled replay of bpe_train: round k counts adjacent pairs over
-    segmentation k-1 (kept as the same two-char-boundary string the
-    Spark side uses — see operators/tokenize.py _BOUND for why the
-    boundary is split across the merge pattern's edges), picks
-    (max count, then lexicographically smallest pair), and applies the
-    merge with replace() — DuckDB's replace is the same left-to-right
-    non-overlapping scan as the JVM's."""
+def _bpe_train_oracle_sql(n_merges: int = 8, batch_size: int = 4) -> str:
+    """Unrolled replay of the BATCHED bpe_train: round k counts adjacent
+    pairs over segmentation k-1 (kept as the same two-char-boundary
+    string the Spark side uses — see operators/tokenize.py _BOUND for
+    why the boundary is split across the merge pattern's edges),
+    materializes the top-(8*take) candidate window in (cnt DESC, l, r)
+    order, greedily accepts up to ``take`` SYMBOL-DISJOINT pairs down
+    that order (unrolled b{k}_{j} CTEs, each excluding the symbols of
+    the round's earlier accepts), and applies them as chained
+    replace() — DuckDB's replace is the same left-to-right
+    non-overlapping scan as the JVM's. An empty accept slot coalesces
+    its pattern to chr(30)||chr(30), which never occurs in a
+    segmentation (symbols carry no control bytes; boundaries are
+    chr(30)||chr(31)), so the chained replace degrades to identity
+    exactly like Spark applying fewer merges. Steps renumber
+    sequentially over the accepts, mirroring the Spark counter."""
     b1, b2 = "chr(30)", "chr(31)"
     bb = f"{b1} || {b2}"
     parts = [
@@ -4898,7 +4908,16 @@ def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
           FROM vocab0
         )"""
     ]
-    for k in range(1, n_merges + 1):
+    rounds: list[tuple[int, int]] = []  # (round k, take)
+    done = 0
+    k = 0
+    while done < n_merges:
+        k += 1
+        take = min(batch_size, n_merges - done)
+        rounds.append((k, take))
+        done += take
+    selects: list[str] = []
+    for k, take in rounds:
         parts.append(f"""
         cnt{k} AS MATERIALIZED (
           SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
@@ -4909,21 +4928,49 @@ def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
               (SELECT unnest(generate_series(1, len(syms) - 3)) AS i) t
           ) GROUP BY l, r
         ),
-        best{k} AS MATERIALIZED (SELECT l, r, cnt FROM cnt{k}
-                    ORDER BY cnt DESC, l, r LIMIT 1),
-        seg{k} AS MATERIALIZED (
-          SELECT freq, replace(seg,
-              {b2} || (SELECT l FROM best{k}) || {bb}
-                    || (SELECT r FROM best{k}) || {b1},
-              {b2} || (SELECT l || r FROM best{k}) || {b1}) AS seg
-          FROM seg{k - 1}
+        top{k} AS MATERIALIZED (
+          SELECT l, r, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+          FROM cnt{k} ORDER BY cnt DESC, l, r LIMIT {8 * take}
         )""")
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {k - 1} AS step, l AS lhs, r AS rhs, cnt AS pair_count "
-        f"FROM best{k}"
-        for k in range(1, n_merges + 1)
+        seg_expr = "seg"
+        for j in range(1, take + 1):
+            if j == 1:
+                parts.append(f"""
+        b{k}_1 AS MATERIALIZED (SELECT l, r, cnt FROM top{k}
+                                ORDER BY rn LIMIT 1),
+        used{k}_1 AS MATERIALIZED (
+          SELECT l AS s FROM b{k}_1 UNION SELECT r FROM b{k}_1)""")
+            else:
+                parts.append(f"""
+        b{k}_{j} AS MATERIALIZED (
+          SELECT l, r, cnt FROM top{k}
+          WHERE l NOT IN (SELECT s FROM used{k}_{j - 1})
+            AND r NOT IN (SELECT s FROM used{k}_{j - 1})
+          ORDER BY rn LIMIT 1),
+        used{k}_{j} AS MATERIALIZED (
+          SELECT s FROM used{k}_{j - 1}
+          UNION SELECT l FROM b{k}_{j} UNION SELECT r FROM b{k}_{j})""")
+            seg_expr = (
+                f"replace({seg_expr},\n"
+                f"          coalesce((SELECT {b2} || l || {bb} || r || {b1} "
+                f"FROM b{k}_{j}), {b1} || {b1}),\n"
+                f"          coalesce((SELECT {b2} || l || r || {b1} "
+                f"FROM b{k}_{j}), ''))"
+            )
+            selects.append(
+                f"SELECT {k} AS rnd, {j} AS slot, l AS lhs, r AS rhs, "
+                f"cnt AS pair_count FROM b{k}_{j}"
+            )
+        parts.append(f"""
+        seg{k} AS MATERIALIZED (SELECT freq, {seg_expr} AS seg
+                                FROM seg{k - 1})""")
+    unions = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",".join(parts) + "\n"
+        "SELECT (row_number() OVER (ORDER BY rnd, slot) - 1)::INT AS step, "
+        "lhs, rhs, pair_count FROM (\n" + unions + "\n)"
     )
-    return "WITH " + ",".join(parts) + "\n" + unions
 
 
 def _minhash_incremental_oracle_sql() -> str:

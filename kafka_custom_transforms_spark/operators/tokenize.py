@@ -237,12 +237,71 @@ def _cached_encoder(
 _B1, _B2 = "\x1e", "\x1f"
 _BOUND = _B1 + _B2
 
+# Vocabulary-size cap for running the BPE training rounds locally on the
+# driver (the corpus is still aggregated distributed, ONCE). A natural-
+# language word vocabulary is corpus-sublinear and usually far below this;
+# web-scale corpora with unbounded token sets fall back to the distributed
+# vocabulary-table rounds.
+MAX_LOCAL_VOCAB = 65536
+
+
+def _round_takes(n_merges: int, batch_size: int) -> list[int]:
+    """Static per-round accept budgets: full batches then the remainder.
+    STATIC is load-bearing — the DuckDB oracle unrolls exactly these
+    rounds as CTEs, so the engine must not re-plan rounds dynamically
+    when a candidate window comes up short."""
+    bs = max(batch_size, 1)
+    takes = [bs] * (n_merges // bs)
+    if n_merges % bs:
+        takes.append(n_merges % bs)
+    return takes
+
+
+def _bpe_rounds_local(
+    rows: list[tuple[int, str]], n_merges: int, batch_size: int
+) -> "pd.DataFrame":
+    """The training rounds of :func:`bpe_train` on a driver-local
+    vocabulary — the exact same procedure (candidate window 8*take in
+    (cnt DESC, l, r) order, greedy symbol-disjoint accepts, chained
+    left-to-right non-overlapping replace), bit-equal by construction and
+    pinned against the distributed rounds in tests/test_tokenize.py."""
+    merges: list[tuple[int, str, str, int]] = []
+    segs = rows
+    for take in _round_takes(n_merges, batch_size):
+        window = 8 * take
+        counts: dict[tuple[str, str], int] = {}
+        for freq, seg in segs:
+            inner = seg.split(_BOUND)[1:-1]
+            for pair in zip(inner, inner[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for (l, r), cnt in top:
+            if len(accepted) == take:
+                break
+            if l in used or r in used:
+                continue
+            accepted.append((l, r, cnt))
+            used.update((l, r))
+        for l, r, cnt in accepted:
+            merges.append((len(merges), l, r, cnt))
+            pat = _B2 + l + _BOUND + r + _B1
+            rep = _B2 + l + r + _B1
+            segs = [(freq, seg.replace(pat, rep)) for freq, seg in segs]
+        # the top candidate is always disjoint-acceptable, so every round
+        # makes progress; a shortfall just means the NEXT round recounts
+    return pd.DataFrame(merges, columns=["step", "left", "right", "pair_count"])
+
 
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     byte_level: bool = False,
+    batch_size: int = 1,
 ) -> "pd.DataFrame":
     """Learn a BPE merges table from a corpus (Sennrich et al. 2016
     training): each round counts adjacent symbol pairs over the current
@@ -280,7 +339,18 @@ def bpe_train(
     >= U+0100).
 
     Words containing either boundary byte are dropped (guard, not
-    semantics: RS/US never occur in text corpora)."""
+    semantics: RS/US never occur in text corpora).
+
+    ``batch_size > 1`` accepts up to that many SYMBOL-DISJOINT merges per
+    counting round (greedy down the (cnt DESC, l, r) order, skipping any
+    pair that shares a symbol with an earlier accept of the same round).
+    Disjoint pairs' counts are invariant under each other's merges — a
+    merge only perturbs pairs adjacent to its own symbols — so reported
+    counts stay exact; the merge SEQUENCE may differ from batch_size=1
+    (a pair created by an earlier merge can outrank a later batch member
+    in the sequential order). It is a deterministic, oracle-replayable
+    trade of merge-order fidelity for ~batch_size fewer vocabulary jobs
+    and driver round-trips per training run."""
     if byte_level:
 
         @pandas_udf("string")
@@ -313,8 +383,28 @@ def bpe_train(
         .select("freq", "seg")
     )
     vocab = vocab.localCheckpoint(eager=True)  # vocab-sized; rounds reuse it
+    local_rows = vocab.limit(MAX_LOCAL_VOCAB + 1).collect()
+    if len(local_rows) <= MAX_LOCAL_VOCAB:
+        # The vocabulary fits the driver: run every round locally — zero
+        # Spark jobs per round instead of one count + one checkpoint each
+        # (the corpus was still touched exactly once, by the distributed
+        # word-frequency aggregate above). Identical algorithm, pinned
+        # bit-equal to the distributed rounds in tests: Python's
+        # str.replace is the same left-to-right non-overlapping scan as
+        # the JVM's/DuckDB's, and Python str ordering (code points)
+        # equals Spark's binary UTF8 ordering on valid UTF-8.
+        return _bpe_rounds_local(
+            [(int(r.freq), r.seg) for r in local_rows], n_merges, batch_size
+        )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(n_merges):
+    for take in _round_takes(n_merges, batch_size):
+        # Candidate window: 8x the batch gives the greedy scan room to
+        # skip symbol-overlapping pairs; the oracle replays the SAME
+        # window (LIMIT 8*take), so a shortfall is mirrored, not a bug.
+        # The round structure is STATIC (so the oracle's unrolled CTEs
+        # replay it exactly): an under-filled round is NOT retried —
+        # training may return fewer than n_merges merges.
+        window = 8 * take
         syms = F.split(F.col("seg"), _BOUND)
         # split produces leading/trailing empties: real symbols are 2..n-1
         n = F.size(syms)
@@ -322,26 +412,43 @@ def bpe_train(
             F.slice(syms, 2, n - 3).alias("l"),
             F.slice(syms, 3, n - 3).alias("r"),
         )
-        best = (
+        top = (
             vocab.select(F.col("freq"), F.explode(pairs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
-        merges.append((step, l, r, cnt))
-        vocab = vocab.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
+        # Greedy batch selection: accept the next-ranked pair only when
+        # BOTH its symbols are untouched by this round's earlier accepts.
+        # Symbol-disjoint pairs have INVARIANT counts under each other's
+        # merges (a merge only perturbs pairs adjacent to its own
+        # symbols), so the reported counts stay exact and one recount per
+        # ROUND replaces one recount per MERGE — batch_size fewer
+        # vocabulary jobs and driver round-trips (r8 verdict item 4).
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(accepted) == take:
+                break
+            if row.l in used or row.r in used:
+                continue
+            accepted.append((row.l, row.r, int(row.cnt)))
+            used.update((row.l, row.r))
+        seg_col = F.col("seg")
+        for l, r, cnt in accepted:
+            merges.append((len(merges), l, r, cnt))
+            seg_col = F.replace(
+                seg_col,
                 F.lit(_B2 + l + _BOUND + r + _B1),
                 F.lit(_B2 + l + r + _B1),
-            ),
-        ).localCheckpoint(eager=True)
+            )
+        vocab = vocab.withColumn("seg", seg_col).localCheckpoint(eager=True)
+        # the top candidate is always disjoint-acceptable, so every round
+        # makes progress; a shortfall just means the NEXT round recounts
     return pd.DataFrame(
         merges, columns=["step", "left", "right", "pair_count"]
     )

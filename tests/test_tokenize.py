@@ -353,3 +353,45 @@ def test_bpe_train_byte_level_feeds_encode(spark):
     enc = bpe_encode("bänänä", merges, byte_level=True)
     assert len(enc) < len("bänänä".encode("utf-8"))  # merges fired
     assert bpe_decode_bytes(enc) == "bänänä"
+
+
+def test_bpe_train_local_matches_distributed(spark, monkeypatch):
+    """The driver-local training rounds (vocab under MAX_LOCAL_VOCAB) must
+    be bit-identical to the distributed vocabulary-table rounds — same
+    merges, same order, same counts — sequential AND batched."""
+    from kafka_custom_transforms_spark.operators import tokenize as tk
+
+    df = spark.createDataFrame(
+        [
+            ("banana bandana banana cabana",),
+            ("ananas banana cab cab bandana",),
+            ("the cat sat on the mat the cat",),
+        ],
+        "text string",
+    )
+    for bs in (1, 3):
+        local = tk.bpe_train(df, "text", n_merges=7, batch_size=bs)
+        monkeypatch.setattr(tk, "MAX_LOCAL_VOCAB", 0)
+        dist = tk.bpe_train(df, "text", n_merges=7, batch_size=bs)
+        monkeypatch.undo()
+        assert local.values.tolist() == dist.values.tolist(), bs
+        # static rounds may under-fill on a tiny corpus (mirrored by the
+        # oracle's empty accept slots); sequential always fills
+        assert len(local) == 7 if bs == 1 else len(local) >= 5
+        assert list(local.step) == list(range(len(local)))
+
+
+def test_bpe_train_batched_counts_are_exact(spark):
+    """Symbol-disjoint batch accepts report the same pair_count the
+    sequential trainer would have seen at that merge's turn whenever the
+    accepted pairs stay disjoint from pairs CREATED by earlier batch
+    members — pinned on a corpus where batch and sequential agree."""
+    from kafka_custom_transforms_spark.operators.tokenize import bpe_train
+
+    df = spark.createDataFrame(
+        [("aa bb aa bb cc dd cc dd ee ff",)], "text string"
+    )
+    seq = bpe_train(df, "text", n_merges=3, batch_size=1)
+    bat = bpe_train(df, "text", n_merges=3, batch_size=3)
+    assert sorted(map(tuple, seq[["left", "right", "pair_count"]].values.tolist())) == \
+           sorted(map(tuple, bat[["left", "right", "pair_count"]].values.tolist()))
