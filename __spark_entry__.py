@@ -3516,6 +3516,76 @@ def _salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pushdown (operators/joins.py
+    bloom_filtered_join): lineitem joins the p_size=1 sliver of part, and
+    InjectRuntimeFilter plants might_contain(bloom over p_partkey) into
+    the lineitem side BEFORE its shuffle — at 100 TB the fact table ships
+    only the ~2% of rows that can join. Injection is asserted at runtime
+    inside the operator (bloom_filter_agg in the optimized plan that
+    executed); the filter is semantics-neutral, so the oracle is the
+    plain join + aggregate."""
+    from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    out = bloom_filtered_join(spark, li, part, "l_partkey", "p_partkey")
+    return out.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+def _skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME AQE skew-split join (functions/skew.aqe_split_skew_join),
+    the complement of skew_join_salted's manual salting: ~97% of events
+    map to one hot key, the join runs as a plain SortMergeJoin under
+    scoped skew thresholds, and AQE splits the oversized partition at
+    map-output boundaries at runtime — SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed, pinned in tests/test_plans.py. No salt column
+    and no semantic rewrite, so the oracle is the plain unsalted join.
+    The fact side is repartitioned first (multi-map-task prerequisite)
+    and the per-key dim is checkpointed (the rule pattern-matches bare
+    Sort(ShuffleQueryStage) children) — both documented in the operator.
+    Integer-milli arithmetic keeps the enrichment bit-equal in DuckDB."""
+    from kafka_custom_transforms_spark.functions.skew import aqe_split_skew_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 100 < 97, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 100)
+        .alias("skew_key"),
+        (F.col("value").cast("decimal(18,2)") * 1000).cast("long").alias("value_milli"),
+    ).repartition(32, "event_id")
+    dim = (
+        ev.groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_key"),
+            F.sum("value_milli").alias("sum_vm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = aqe_split_skew_join(
+        spark, ev, dim, "skew_key", threshold_bytes=2048, advisory_bytes=1024
+    )
+    if "skew=true" not in out.aqe_executed_plan:  # runtime pin, not just a test
+        raise AssertionError("AQE did not skew-split the demo join")
+    return out.select(
+        "event_id",
+        "skew_key",
+        F.col("n_key").cast("long").alias("n_key"),
+        (F.col("value_milli") * F.col("n_key") - F.col("sum_vm"))
+        .cast("long")
+        .alias("dev_milli_scaled"),
+    )
+
+
 def _skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual salted skew JOIN (functions/skew.salted_join_keys), end-to-end:
     events join their per-type stats on event_type — 5 distinct keys over the
@@ -4084,8 +4154,10 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-9 rotation: the 24 remaining rows last recorded in r4
-# (registry order), then the first 13 rows last recorded in r5.
+# rows. Round-9 rotation: the two new r9 rows (skew_join_aqe,
+# bloom_join_parts — never recorded, outrank re-records), the 24
+# remaining rows last recorded in r4 (registry order), then the first 11
+# rows last recorded in r5.
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4103,6 +4175,8 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
+    # round-9 new rows (never recorded — outrank re-records)
+    "skew_join_aqe", "bloom_join_parts",
     # least-recently-recorded re-records (r4, remaining 24 in registry order)
     "q3_shipping_priority", "q13_order_distribution", "q15_top_supplier",
     "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
@@ -4113,13 +4187,13 @@ CORRECTNESS_WINDOW = [
     "events_sessionize_stream", "stream_dedup_watermark",
     "stream_interval_join", "stream_decontaminate", "stream_static_enrich",
     "stream_leaderboard", "statestore_read_counts",
-    # least-recently-recorded re-records (r5, first 13 in registry order)
+    # least-recently-recorded re-records (r5, first 11 in registry order)
     "multimodal_gif_decode", "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
     "stream_multimodal_decode", "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_sa_decode", "dedup_substring_spans",
     "multimodal_h264_metadata", "multimodal_h264_frame_decode",
-    "audio_frame_features", "multimodal_mp4_tracks", "lm_quality_score",
+    "audio_frame_features",
 ]
 
 
@@ -4272,6 +4346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": _bucketed_join_orders,
         "salted_event_totals": _salted_event_totals,
         "skew_join_salted": _skew_join_salted,
+        "skew_join_aqe": _skew_join_aqe,
+        "bloom_join_parts": _bloom_join_parts,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "json_source_roundtrip": _json_source_roundtrip,
         "orc_source_roundtrip": _orc_source_roundtrip,
@@ -6549,6 +6625,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(user_id) as bigint) as max_user
             from events
             group by event_type
+        """,
+        "bloom_join_parts": """
+            select p_brand,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (1 - cast(l_discount as decimal(18,2)))) as double)
+                     as revenue
+            from lineitem
+            join part on l_partkey = p_partkey
+            where p_size = 1
+            group by p_brand
+        """,
+        "skew_join_aqe": """
+            with ev as (
+              select event_id,
+                     case when user_id % 100 < 97 then 0
+                          else user_id % 100 end as skew_key,
+                     cast(cast(value as decimal(18,2)) * 1000 as bigint)
+                       as value_milli
+              from events
+            ),
+            dim as (
+              select skew_key, count(*) as n_key, sum(value_milli) as sum_vm
+              from ev group by skew_key
+            )
+            select e.event_id, e.skew_key,
+                   cast(d.n_key as bigint) as n_key,
+                   cast(e.value_milli * d.n_key - d.sum_vm as bigint)
+                     as dev_milli_scaled
+            from ev e join dim d using (skew_key)
         """,
         "skew_join_salted": """
             with ev as (

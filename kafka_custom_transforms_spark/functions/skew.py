@@ -86,3 +86,87 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark, settings: dict[str, str]):
+    """Set session confs for the duration of a block, restoring previous
+    values (or unsetting keys that had none) on exit. For operators that
+    must EXECUTE under specific runtime settings (AQE thresholds, runtime
+    filter injection) without leaking them into the rest of the session."""
+    old: dict[str, str | None] = {}
+    for k, v in settings.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def aqe_split_skew_join(
+    spark,
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    threshold_bytes: int = 65536,
+    advisory_bytes: int = 32768,
+) -> DataFrame:
+    """RUNTIME skew mitigation, complementing the manual salting above:
+    a plain shuffle join executed under AQE skew-split settings, so the
+    oversized partitions of a hot key are split into advisory-sized
+    sub-partitions at runtime (each joins the same build rows; no salt
+    column, no plan rewrite — semantics identical to the plain join).
+
+    The join EXECUTES inside this call (localCheckpoint) because the
+    thresholds are scoped session confs — AQE reads them at runtime, so
+    they must hold while the job runs, not while the plan is built. The
+    returned frame is the materialized result; the final adaptive plan
+    that actually ran is attached as ``.aqe_executed_plan`` for plan
+    pinning (it must contain the SortMergeJoin ``skew=true`` marker).
+
+    The byte thresholds here are sized for test corpora; production keeps
+    the session defaults (256 MB threshold) — only ratios matter to the
+    mechanism. Broadcast is disabled for the demo join: a broadcast join
+    never shuffles and so can never skew; AQE would otherwise pick it at
+    test scale and the row would demonstrate nothing.
+
+    Two STRUCTURAL prerequisites, measured the hard way (r9):
+
+    - a skewed reduce partition can only split at MAP-OUTPUT boundaries,
+      so the fact side must arrive from several map tasks — a one-file
+      parquet scan (one map task) is unsplittable no matter the
+      thresholds. At scale this is automatic; tiny inputs need a
+      repartition first.
+    - OptimizeSkewedJoin pattern-matches SMJ children as
+      Sort(ShuffleQueryStage) EXACTLY: an aggregate (or anything else)
+      between the dim's shuffle and its sort defeats the rule. Pass a
+      materialized dim (e.g. localCheckpoint of the aggregate), not an
+      inline aggregation."""
+    settings = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(threshold_bytes),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory_bytes),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    with scoped_conf(spark, settings):
+        joined = fact.join(dim, key)
+        out = joined.localCheckpoint(eager=True)
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    out.aqe_executed_plan = plan
+    return out

@@ -260,3 +260,52 @@ def interval_count(
         )
         .drop("_ij_row_id")
     )
+
+
+def bloom_filtered_join(
+    spark,
+    app: DataFrame,
+    creation: DataFrame,
+    app_key: str,
+    creation_key: str,
+    *,
+    app_scan_threshold: str = "1KB",
+) -> DataFrame:
+    """Shuffle join executed with RUNTIME bloom-filter pushdown
+    (InjectRuntimeFilter): the selective ``creation`` side builds a bloom
+    filter over its join keys as a subquery aggregate, and Catalyst
+    injects ``might_contain`` into the ``app`` side's scan filter — the
+    fact table drops non-joining rows BEFORE the shuffle instead of
+    shipping them to the join. Semantics-neutral (a bloom filter only
+    false-positives), so any oracle is the plain join.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~selectivity fraction that can actually join.
+    Prerequisites (why these scoped confs): the default
+    applicationSideScanSizeThreshold (10GB) assumes cluster-scale facts —
+    scoped down for test corpora; broadcast is disabled because a
+    broadcast join never shuffles the fact side and Catalyst skips
+    injection for it.
+
+    The join EXECUTES inside this call (localCheckpoint) so optimization
+    happens under the scoped confs; the optimized plan that ran is
+    attached as ``.bloom_optimized_plan`` and the injection is asserted —
+    a silent non-injection is a pipeline regression, not a slower plan.
+    """
+    from kafka_custom_transforms_spark.functions.skew import scoped_conf
+
+    settings = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": app_scan_threshold,
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with scoped_conf(spark, settings):
+        joined = app.join(creation, app[app_key] == creation[creation_key])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        if "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected — check thresholds/join shape"
+            )
+        out = joined.localCheckpoint(eager=True)
+    out.bloom_optimized_plan = plan
+    return out

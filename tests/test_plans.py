@@ -499,6 +499,54 @@ def test_skew_join_salted_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" not in p, p
 
 
+def test_skew_join_aqe_splits_at_runtime(spark, sf_dir):
+    """The r9 complement of the manual salting row: AQE must actually
+    SPLIT the hot partition at runtime — SortMergeJoin(skew=true) with an
+    AQEShuffleRead skewed reader in the executed plan. The registry row
+    asserts this itself (it raises when AQE declines), so constructing it
+    IS the pin; this test additionally checks the plan markers."""
+    from kafka_custom_transforms_spark.functions.skew import aqe_split_skew_join
+    from kafka_custom_transforms_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 100 < 97, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 100)
+        .alias("skew_key"),
+        F.xxhash64("event_id").alias("entropy"),
+    ).repartition(32, "event_id")
+    dim = (
+        ev.groupBy("skew_key").agg(F.count(F.lit(1)).alias("n_key"))
+        .localCheckpoint(eager=True)
+    )
+    out = aqe_split_skew_join(
+        spark, ev, dim, "skew_key", threshold_bytes=2048, advisory_bytes=1024
+    )
+    assert "skew=true" in out.aqe_executed_plan
+    assert "AQEShuffleRead skewed" in out.aqe_executed_plan
+    assert out.count() == ev.count()  # split is semantics-neutral
+
+
+def test_bloom_join_injects_runtime_filter(spark, sf_dir):
+    """The bloom_join_parts row must run with might_contain planted on
+    the fact side (InjectRuntimeFilter) — the operator raises when the
+    filter is not injected, and the optimized plan that executed carries
+    both the bloom aggregate and the application-side probe."""
+    from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
+    from kafka_custom_transforms_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey"
+    )
+    out = bloom_filtered_join(spark, li, part, "l_partkey", "p_partkey")
+    assert "bloom_filter_agg" in out.bloom_optimized_plan
+    assert "might_contain" in out.bloom_optimized_plan
+    assert out.count() > 0
+
+
 def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
     """Registry-wide anti-pattern guard: NO driver-contract query may plan
     a CartesianProduct. BroadcastNestedLoopJoin is allowed only because
