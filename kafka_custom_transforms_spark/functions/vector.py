@@ -12,6 +12,8 @@ IVF cells) is the responsibility of the calling operator.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 
@@ -49,3 +51,48 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Pairwise cosine as ONE Arrow-batched numpy pass per partition —
+    bit-identical to :func:`cosine` (sequential per-dimension fold from a
+    0.0 start, norms multiplied before the divide; pinned in
+    tests/test_similarity.py) for pair-scored hot paths where the
+    interpreted higher-order-function fold dominates and the corpus is
+    too small to amortize the unrolled form's one-time Janino/JIT cost.
+
+    Null in either array yields null (like the fold form). Caveat: a
+    zero-norm vector yields NaN under the fold form but null here
+    (pandas->Arrow maps NaN to null); ANN callers guarantee non-zero
+    embeddings. Arrays must have uniform length within a batch (fixed-dim
+    embedding columns)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        n = len(av)
+        if not n:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        valid = np.fromiter(
+            ((x is not None and y is not None) for x, y in zip(av, bv)),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, np.nan)
+        if valid.any():
+            A = np.stack(av[valid].to_numpy()).astype(np.float64, copy=False)
+            B = np.stack(bv[valid].to_numpy()).astype(np.float64, copy=False)
+            dots = np.zeros(A.shape[0])
+            na = np.zeros(A.shape[0])
+            nb = np.zeros(A.shape[0])
+            for i in range(A.shape[1]):
+                x = A[:, i]
+                y = B[:, i]
+                dots += x * y
+                na += x * x
+                nb += y * y
+            out[valid] = dots / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
+
+    return _cos(a, b)

@@ -27,7 +27,19 @@ import functools
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from kafka_custom_transforms_spark.functions.vector import as_double, cosine
+from kafka_custom_transforms_spark.functions.vector import as_double, cosine, cosine_arrow
+
+
+def _pair_cosine(qv: Column, bv: Column, cos_dim: int | None) -> Column:
+    """Candidate-pair scoring cosine: Arrow-batched numpy below the unroll
+    threshold (where the alternative is the interpreted lambda fold —
+    10-30x slower per element), unrolled codegen above it (a huge corpus
+    amortizes the one-time Janino/JIT compile and skips the Arrow
+    transfer of both vectors per pair). Both branches are bit-equal to
+    the sequential fold, so ranking never depends on the dispatch."""
+    if cos_dim is None:
+        return cosine_arrow(qv, bv)
+    return cosine(qv, bv, cos_dim)
 
 
 def topk_neighbors(
@@ -53,7 +65,7 @@ def topk_neighbors(
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
     scored = scored.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos")
+        "query_id", "neighbor_id", _pair_cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -245,7 +257,7 @@ def lsh_topk_neighbors(
     scored = (
         cand.join(bvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos"))
+        .select("query_id", "neighbor_id", _pair_cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -746,7 +758,7 @@ def ivf_topk_neighbors(
         base, queries, id_col, vec_col, n_centroids, n_probe, dim, lloyd_iters,
         train_fraction, cos_dim,
     ).select(
-        "query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v"), cos_dim).alias("cos")
+        "query_id", F.col("id").alias("neighbor_id"), _pair_cosine(F.col("qv"), F.col("v"), cos_dim).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -257,3 +257,37 @@ def test_two_level_arrow_matches_jvm_pipeline(spark, monkeypatch):
     )
     monkeypatch.undo()
     assert arrow == jvm and len(arrow) == n
+
+
+def test_cosine_arrow_bit_equals_fold(emb):
+    """cosine_arrow must be BIT-identical to the sequential fold on real
+    embedding pairs (the dispatch in _pair_cosine must never change a
+    ranking), and null inputs must yield null like the fold form."""
+    from kafka_custom_transforms_spark.functions.vector import (
+        as_double,
+        cosine,
+        cosine_arrow,
+    )
+
+    b = emb.select(F.col("vec_id").alias("i"), as_double(F.col("embedding")).alias("bv")).limit(60)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("j"), as_double(F.col("embedding")).alias("qv")
+    )
+    pairs = b.join(F.broadcast(q), F.col("i") != F.col("j"))
+    rows = pairs.select(
+        "i", "j",
+        cosine(F.col("qv"), F.col("bv")).alias("fold"),
+        cosine_arrow(F.col("qv"), F.col("bv")).alias("arrow"),
+    ).collect()
+    assert rows and all(r.fold == r.arrow for r in rows)
+
+    spark = emb.sparkSession
+    nulls = spark.createDataFrame(
+        [([1.0, 2.0], None), (None, [1.0, 2.0]), ([3.0, 4.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    got = nulls.select(
+        cosine(F.col("a"), F.col("b")).alias("fold"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert [r.fold is None for r in got] == [r.arrow is None for r in got]
