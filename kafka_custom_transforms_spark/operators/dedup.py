@@ -1135,6 +1135,12 @@ def minhash_incremental(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
+    # batch_sigs feeds BOTH the bucket join and the final anti-join: lazily
+    # checkpoint so the shingle+hash+signature subtree runs once per action
+    # instead of once per branch (lazy — plan construction stays job-free;
+    # the real pipeline reads signatures from the persisted store anyway,
+    # and an ingest batch is bounded by definition).
+    batch_sigs = batch_sigs.localCheckpoint(eager=False)
 
     def buckets(sigs: DataFrame) -> DataFrame:
         return sigs.select(
