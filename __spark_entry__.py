@@ -4989,7 +4989,9 @@ def _bpe_train_oracle_sql(n_merges: int = 8, batch_size: int = 4) -> str:
     k = 0
     while done < n_merges:
         k += 1
-        take = min(batch_size, n_merges - done)
+        # clamp like the engine's _round_takes — batch_size <= 0 would
+        # otherwise never advance `done` and loop forever
+        take = min(max(batch_size, 1), n_merges - done)
         rounds.append((k, take))
         done += take
     selects: list[str] = []

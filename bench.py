@@ -134,8 +134,11 @@ def _cpu_probe() -> tuple[int, int, int] | None:
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
         steal_j = vals[7] if len(vals) > 7 else 0
+        # busy excludes idle+iowait AND steal: steal is hypervisor time,
+        # not guest-process time — leaving it in would misattribute it to
+        # foreign_busy_cores and double-gate it (review r9)
+        busy = sum(vals) - vals[3] - vals[4] - steal_j
         procs: dict[int, tuple[int, int]] = {}
         for pid in os.listdir("/proc"):
             if not pid.isdigit():

@@ -9,6 +9,7 @@ split hot groupBy keys) and deliberate two-phase rollups.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -88,9 +89,6 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     return df
 
 
-from contextlib import contextmanager
-
-
 @contextmanager
 def scoped_conf(spark, settings: dict[str, str]):
     """Set session confs for the duration of a block, restoring previous
@@ -98,13 +96,15 @@ def scoped_conf(spark, settings: dict[str, str]):
     must EXECUTE under specific runtime settings (AQE thresholds, runtime
     filter injection) without leaking them into the rest of the session."""
     old: dict[str, str | None] = {}
-    for k, v in settings.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
     try:
+        # setting INSIDE the try: a failing set (read-only key, invalid
+        # value) must still restore the keys already overridden
+        for k, v in settings.items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
         yield
     finally:
         for k, v in old.items():

@@ -50,7 +50,12 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    # try_divide: a zero-norm vector yields NULL instead of throwing under
+    # ANSI (DIVIDE_BY_ZERO fires even for doubles) — matching cosine_arrow,
+    # whose NaN becomes null through pandas->Arrow; ranking sites filter
+    # null scores, so degenerate vectors drop out of top-k on every path.
+    # Bit-identical to plain division whenever the norms are non-zero.
+    return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
 def cosine_arrow(a: Column, b: Column) -> Column:

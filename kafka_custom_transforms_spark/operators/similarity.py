@@ -36,7 +36,11 @@ def _pair_cosine(qv: Column, bv: Column, cos_dim: int | None) -> Column:
     10-30x slower per element), unrolled codegen above it (a huge corpus
     amortizes the one-time Janino/JIT compile and skips the Arrow
     transfer of both vectors per pair). Both branches are bit-equal to
-    the sequential fold, so ranking never depends on the dispatch."""
+    the sequential fold on well-formed vectors; a ZERO-NORM vector is NaN
+    under the fold but null under Arrow (pandas->Arrow maps NaN to null),
+    so every ranking site filters undefined scores out BEFORE the window
+    — a degenerate vector is excluded from top-k under either branch
+    instead of NaN-sorting to rank 1 (r9 review)."""
     if cos_dim is None:
         return cosine_arrow(qv, bv)
     return cosine(qv, bv, cos_dim)
@@ -66,7 +70,7 @@ def topk_neighbors(
     scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
     scored = scored.select(
         "query_id", "neighbor_id", _pair_cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos")
-    )
+    ).filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -258,6 +262,7 @@ def lsh_topk_neighbors(
         cand.join(bvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select("query_id", "neighbor_id", _pair_cosine(F.col("qv"), F.col("bv"), cos_dim).alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -347,6 +352,10 @@ def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
 
     def _assign(batches):
         for pdf in batches:
+            # drop null-vector rows: the join form carried them with a
+            # null cid, which no downstream equi-join on cid matches —
+            # output-equivalent, and np.stack cannot hold a None
+            pdf = pdf[pdf["v"].notna().to_numpy()]
             if not len(pdf):
                 continue
             A = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
@@ -561,6 +570,9 @@ def _assign_fine_arrow(vec_coarse: DataFrame, reg_local: dict, cid_type: str) ->
 
     def _assign(batches):
         for pdf in batches:
+            # rows with a null vector or null coarse cell cannot be
+            # assigned (the join form dropped them via the gid equi-join)
+            pdf = pdf[(pdf["v"].notna() & pdf["gid"].notna()).to_numpy()]
             if not len(pdf):
                 continue
             cid_out = np.empty(len(pdf), dtype=np.int64)
@@ -687,6 +699,8 @@ def _probe_cells_arrow(
 
     def _probe(batches):
         for pdf in batches:
+            # a null query vector has no meaningful probe cells — drop it
+            pdf = pdf[pdf["qv"].notna().to_numpy()]
             if not len(pdf):
                 continue
             A = np.stack(pdf["qv"].to_numpy()).astype(np.float64, copy=False)
@@ -759,7 +773,7 @@ def ivf_topk_neighbors(
         train_fraction, cos_dim,
     ).select(
         "query_id", F.col("id").alias("neighbor_id"), _pair_cosine(F.col("qv"), F.col("v"), cos_dim).alias("cos")
-    )
+    ).filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -150,3 +150,18 @@ def test_load_gate_rejects_high_steal(tmp_path):
                  '"foreign_busy_cores": 0.1, "steal_cores": 0.2}')
     ok, _ = round_close.bench_load_gate(str(p))
     assert ok
+
+
+def test_load_gate_skips_null_loadavg_but_rejects_absent_field(tmp_path):
+    """null loadavg_start = platform without /proc/loadavg (skip the
+    loadavg check, like --run-bench does); ABSENT field = pre-gate record
+    (reject). The other contention fields still gate a null-load record."""
+    p = tmp_path / "bench.json"
+    p.write_text('{"metric": "m", "queries": {}, "loadavg_start": null, '
+                 '"foreign_busy_cores": 0.1, "steal_cores": 0.1}')
+    ok, detail = round_close.bench_load_gate(str(p))
+    assert ok and "n/a" in detail
+    p.write_text('{"metric": "m", "queries": {}, "loadavg_start": null, '
+                 '"foreign_busy_cores": 0.1, "steal_cores": 9.9}')
+    ok, _ = round_close.bench_load_gate(str(p))
+    assert not ok

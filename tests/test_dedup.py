@@ -550,7 +550,7 @@ def test_map_forms_fail_loudly_on_bad_inputs(spark):
     skips the [0, MERSENNE_P) reduction instead of silently wrapping in
     int64."""
     import pytest
-    from py4j.protocol import Py4JJavaError
+
     from kafka_custom_transforms_spark.functions import texthash
 
     big = spark.createDataFrame(

@@ -291,3 +291,30 @@ def test_cosine_arrow_bit_equals_fold(emb):
         cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
     ).collect()
     assert [r.fold is None for r in got] == [r.arrow is None for r in got]
+
+
+def test_degenerate_vectors_are_excluded_not_ranked_first(spark):
+    """A zero-norm or null embedding must be EXCLUDED from top-k under
+    both cosine dispatch branches (r9 review: the fold form's NaN used to
+    sort above every real score and rank the zero vector #1)."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    rows.append((97, [0.0, 0.0]))  # zero norm
+    rows.append((98, None))        # null embedding
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 1.0])], "vec_id long, embedding array<double>")
+    for n_rows in (10, similarity.UNROLL_MIN_ROWS):  # arrow and unrolled paths
+        out = similarity.topk_neighbors(base, q, k=10, dim=2, n_rows=n_rows)
+        ids = {r.neighbor_id for r in out.collect()}
+        assert 97 not in ids and 98 not in ids and len(ids) == 5  # 6 minus self
+
+
+def test_assign_cells_arrow_drops_null_vectors(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "id long, v array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "cid long, cv array<double>"
+    )
+    got = sorted((r.id, r.cid) for r in similarity._assign_cells(vecs, centroids, None).collect())
+    assert got == [(1, 10), (2, 20)]

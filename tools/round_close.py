@@ -33,6 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # this before a bench is blessed.
 MAX_BENCH_LOADAVG = 1.0
 
+# Average busy cores consumed by OTHER guest processes during the run.
+MAX_BENCH_FOREIGN_CORES = 1.0
+
 # Average hypervisor-stolen cores (of 32) above which a bench is not
 # blessable. Quiet-period baseline on this host is 0.0-0.5; the poisoned
 # records coincide with sustained bursts well above 1.
@@ -66,10 +69,12 @@ def bench_load_gate(bench_path: str | None) -> tuple[bool, str]:
             rec = json.loads(f.read().strip().splitlines()[-1])
     except (OSError, ValueError, IndexError):
         return False, f"unreadable bench file {bench_path}"
-    la = rec.get("loadavg_start")
-    if not la:
+    if "loadavg_start" not in rec:
         return False, "bench record has no loadavg_start — re-measure with current bench.py"
-    if la[0] > MAX_BENCH_LOADAVG:
+    la = rec["loadavg_start"]
+    # null (vs absent) means bench.py ran on a platform without
+    # /proc/loadavg — skip the loadavg check like the --run-bench path
+    if la is not None and la[0] > MAX_BENCH_LOADAVG:
         return False, f"bench was measured under load (1-min load {la[0]:.2f} > {MAX_BENCH_LOADAVG}) — not blessable"
     # start-time load alone misses contention that arrives MID-run — the
     # attributable over-the-whole-run averages are the real gate. On this
@@ -78,12 +83,12 @@ def bench_load_gate(bench_path: str | None) -> tuple[bool, str]:
     # bursty hypervisor theft by other tenants of the physical host,
     # which no guest-side loadavg/ps reading attributes).
     fc = rec.get("foreign_busy_cores")
-    if fc is not None and fc > MAX_BENCH_LOADAVG:
+    if fc is not None and fc > MAX_BENCH_FOREIGN_CORES:
         return False, f"foreign processes averaged {fc:.2f} busy cores during the run — not blessable"
     st = rec.get("steal_cores")
     if st is not None and st > MAX_BENCH_STEAL_CORES:
         return False, f"hypervisor stole {st:.2f} cores on average during the run — not blessable"
-    detail = f"measured at 1-min load {la[0]:.2f}"
+    detail = ("measured at 1-min load " + (f"{la[0]:.2f}" if la is not None else "n/a"))
     if fc is not None:
         detail += f", foreign busy cores {fc:.2f}"
     if st is not None:
