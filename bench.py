@@ -119,6 +119,20 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative hypervisor-steal jiffies (cheap single-line read; used
+    by the per-sample gate in the timing loop)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return None
+
+
 def _cpu_probe() -> tuple[int, int, int] | None:
     """(system_busy_jiffies, own_tree_jiffies, steal_jiffies) — the deltas
     between two probes attribute the run's CPU between THIS process tree
@@ -202,12 +216,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    retried: dict[str, int] = {}
     for name in BENCH_QUERIES:
         samples = []
-        for i in range(SAMPLES):
+        retries = 0
+        while len(samples) < SAMPLES:
+            s0 = _steal_jiffies()
             t0 = time.time()
             queries[name](spark, sf_dir).count()
-            samples.append(round(time.time() - t0, 3))
+            dt = time.time() - t0
+            # Per-SAMPLE steal gate: hypervisor bursts poison individual
+            # samples (observed: 0.8 s rows spiking to 12-21 s), and a
+            # median only survives a minority of poisoned samples. A
+            # sample that ran while >1 core was being stolen is re-taken
+            # (bounded retries; if the burst outlasts them, the sample is
+            # kept and the whole-run steal_cores field tells the story).
+            s1 = _steal_jiffies()
+            if (
+                s0 is not None
+                and s1 is not None
+                and (s1 - s0) / _HZ / max(dt, 1e-3) > 1.0
+                and retries < SAMPLES
+            ):
+                retries += 1
+                continue
+            samples.append(round(dt, 3))
+        if retries:
+            retried[name] = retries
         cold[name] = samples[0]
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [min(samples), max(samples)]
@@ -221,7 +256,8 @@ def main() -> None:
     # and records "parsed": null. The compact summary below must be the LAST
     # and ONLY stdout line.
     foreign_cores, steal_cores = _foreign_cores(cpu0, wall0)
-    diagnostics = {"samples": SAMPLES, "cold": cold, "spread": spread}
+    diagnostics = {"samples": SAMPLES, "cold": cold, "spread": spread,
+                   "steal_retries": retried}
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
         with open(
