@@ -318,3 +318,55 @@ def test_assign_cells_arrow_drops_null_vectors(spark):
     )
     got = sorted((r.id, r.cid) for r in similarity._assign_cells(vecs, centroids, None).collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_fold_cosines_property_bit_equal_to_scalar_fold():
+    """Property test: _fold_cosines (the vectorized kernel under every
+    Arrow assignment/probe map) must be BIT-identical to a scalar
+    sequential left-fold for arbitrary float inputs — including
+    magnitudes near the double extremes, where a blocked/SIMD summation
+    order would diverge."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    finite = st.floats(
+        min_value=-1e150, max_value=1e150, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6),   # dim
+        st.integers(min_value=1, max_value=4),   # n vectors
+        st.integers(min_value=1, max_value=4),   # m centroids
+        st.data(),
+    )
+    def check(dim, n, m, data):
+        A = np.array(
+            [[data.draw(finite) for _ in range(dim)] for _ in range(n)]
+        )
+        C = np.array(
+            [[data.draw(finite) for _ in range(dim)] for _ in range(m)]
+        )
+        cn = np.zeros(m)
+        for i in range(dim):
+            cn += C[:, i] * C[:, i]
+        got = similarity._fold_cosines(A, C, np.sqrt(cn))
+        for r in range(n):
+            na = 0.0
+            for i in range(dim):
+                na += A[r, i] * A[r, i]
+            for c in range(m):
+                dot = 0.0
+                nb = 0.0
+                for i in range(dim):
+                    dot += A[r, i] * C[c, i]
+                    nb += C[c, i] * C[c, i]
+                want = dot / (math.sqrt(na) * math.sqrt(nb))
+                g = got[r, c]
+                assert (g == want) or (math.isnan(g) and math.isnan(want)), (
+                    r, c, g, want
+                )
+
+    check()
