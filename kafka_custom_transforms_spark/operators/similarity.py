@@ -349,6 +349,11 @@ def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
     import pandas as pd
 
     cids, C, cnorm = local
+    # Bound the (rows x centroids) cosine intermediate to ~32 MB: at the
+    # sqrt(n) quantizer sizing of a 1e9-vector corpus (m ~ 32k) a full
+    # 10k-row Arrow batch would otherwise materialize a ~2.5 GB matrix
+    # per batch. Rows are independent, so chunking is bit-neutral.
+    row_chunk = max(1, (4 << 20) // max(len(cids), 1))
 
     def _assign(batches):
         for pdf in batches:
@@ -358,8 +363,13 @@ def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
             pdf = pdf[pdf["v"].notna().to_numpy()]
             if not len(pdf):
                 continue
-            A = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-            best = np.argmax(_fold_cosines(A, C, cnorm), axis=1)
+            best = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), row_chunk):
+                chunk = pdf["v"].iloc[lo : lo + row_chunk].to_numpy()
+                A = np.stack(chunk).astype(np.float64, copy=False)
+                best[lo : lo + len(A)] = np.argmax(
+                    _fold_cosines(A, C, cnorm), axis=1
+                )
             out = pdf[["id", "v"]].copy()
             out["cid"] = cids[best]
             yield out
