@@ -370,3 +370,36 @@ def test_fold_cosines_property_bit_equal_to_scalar_fold():
                 )
 
     check()
+
+
+def test_probe_cells_arrow_matches_window_form(emb):
+    """The Arrow probe map must reproduce the crossJoin + row_number
+    window exactly: same (query, cell) set, same (ccos DESC, cid ASC)
+    tie-breaks — pinned directly, not just via the e2e oracle."""
+    from pyspark.sql import Window
+    from kafka_custom_transforms_spark.functions.vector import as_double, cosine
+
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    centroids = similarity._seed_centroids(vecs, 40)
+    qvecs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    n_probe = 7
+    local = similarity._local_centroid_matrix(centroids, "cid", "cv")
+    arrow = sorted(
+        (r.query_id, r.cid)
+        for r in similarity._probe_cells_arrow(qvecs, local, n_probe, "bigint").collect()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    jvm = sorted(
+        (r.query_id, r.cid)
+        for r in qvecs.join(F.broadcast(centroids), how="cross")
+        .select("query_id", "cid", cosine(F.col("qv"), F.col("cv"), None).alias("ccos"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .collect()
+    )
+    assert arrow == jvm and len(arrow) > 0
