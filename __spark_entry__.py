@@ -4154,10 +4154,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-9 rotation: the two new r9 rows (skew_join_aqe,
-# bloom_join_parts — never recorded, outrank re-records), the 24
-# remaining rows last recorded in r4 (registry order), then the first 11
-# rows last recorded in r5.
+# rows. Round-10 rotation: the 26 remaining rows last recorded in r5
+# (registry order), then the first 11 rows last recorded in r6. New r10
+# rows (never recorded) displace the newest-recorded fills when added.
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4166,7 +4165,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 9
+CORRECTNESS_WINDOW_ROUND = 10
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4175,25 +4174,21 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-9 new rows (never recorded — outrank re-records)
-    "skew_join_aqe", "bloom_join_parts",
-    # least-recently-recorded re-records (r4, remaining 24 in registry order)
-    "q3_shipping_priority", "q13_order_distribution", "q15_top_supplier",
-    "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_balances", "pipeline_training_batches",
-    "pipeline_entity_resolution", "funnel_stages", "sketch_distinct_users",
-    "pack_docs", "mixture_sample_docs", "importance_score_docs",
-    "multimodal_png_decode", "multimodal_bmp_decode", "events_sessionize",
-    "events_sessionize_stream", "stream_dedup_watermark",
-    "stream_interval_join", "stream_decontaminate", "stream_static_enrich",
-    "stream_leaderboard", "statestore_read_counts",
-    # least-recently-recorded re-records (r5, first 11 in registry order)
-    "multimodal_gif_decode", "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
-    "stream_multimodal_decode", "multimodal_jpeg_progressive_decode",
-    "multimodal_jpeg_sa_decode", "dedup_substring_spans",
-    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
-    "audio_frame_features",
+    # least-recently-recorded re-records (r5, remaining 26 in registry order)
+    "multimodal_mp4_tracks", "lm_quality_score", "tokenize_bpe_docs",
+    "graph_triangles_cosupplier", "q9_product_profit", "q11_top_part_value",
+    "q17_small_quantity_revenue", "q20_part_shipment_suppliers",
+    "q21_waiting_suppliers", "q2_min_cost_parts", "dedup_incremental",
+    "linear_score_embeddings", "fuzzy_match_customers", "pseudonymize_events",
+    "knn_label_vote", "text_repetition", "pack_texts", "text_normalize",
+    "tfidf_top_terms", "q5_local_supplier_volume", "grouping_sets_docs",
+    "pagerank_doc_tree", "multimodal_wav_decode", "multimodal_mp4_decode",
+    "arrow_vector_norms", "cube_docs",
+    # least-recently-recorded re-records (r6, first 11 in registry order)
+    "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
+    "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
+    "dedup_minhash_incremental", "docs_tree_rollup", "lateral_top_orders",
+    "stream_outer_interval", "udaf_median_chars",
 ]
 
 
