@@ -3521,10 +3521,14 @@ def _bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_filtered_join): lineitem joins the p_size=1 sliver of part, and
     InjectRuntimeFilter plants might_contain(bloom over p_partkey) into
     the lineitem side BEFORE its shuffle — at 100 TB the fact table ships
-    only the ~2% of rows that can join. Injection is asserted at runtime
-    inside the operator (bloom_filter_agg in the optimized plan that
-    executed); the filter is semantics-neutral, so the oracle is the
-    plain join + aggregate."""
+    only the ~2% of rows that can join. The hard injection assert lives in
+    the plan-pin test (tests/test_plans.py), not here: injection depends
+    on absolute scan-size thresholds and optimizer heuristics that shift
+    with scale factor / compression / Spark version, and a declined
+    injection is still the correct plain join — this row retries once at
+    a zero scan threshold, then degrades with a warning rather than
+    aborting the whole correctness run. The filter is semantics-neutral,
+    so the oracle is the plain join + aggregate either way."""
     from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -3535,7 +3539,14 @@ def _bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
         "p_partkey", "p_brand"
     )
-    out = bloom_filtered_join(spark, li, part, "l_partkey", "p_partkey")
+    out = bloom_filtered_join(
+        spark, li, part, "l_partkey", "p_partkey", require_injection=False
+    )
+    if not out.bloom_injected:
+        out = bloom_filtered_join(
+            spark, li, part, "l_partkey", "p_partkey",
+            app_scan_threshold="0b", require_injection=False,
+        )
     return out.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("rev").cast("double").alias("revenue"),
@@ -3548,8 +3559,14 @@ def _skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     map to one hot key, the join runs as a plain SortMergeJoin under
     scoped skew thresholds, and AQE splits the oversized partition at
     map-output boundaries at runtime — SortMergeJoin(skew=true) +
-    AQEShuffleRead skewed, pinned in tests/test_plans.py. No salt column
-    and no semantic rewrite, so the oracle is the plain unsalted join.
+    AQEShuffleRead skewed, pinned in tests/test_plans.py (the hard
+    assert lives THERE). The split decision compares absolute compressed
+    shuffle-partition bytes against the thresholds, so a different scale
+    factor / compression / Spark skew heuristic can decline it — this row
+    walks a descending threshold ladder and, if AQE still declines,
+    degrades with a warning instead of aborting the run (the unsplit
+    join is identical in semantics, just slower). No salt column and no
+    semantic rewrite, so the oracle is the plain unsalted join.
     The fact side is repartitioned first (multi-map-task prerequisite)
     and the per-key dim is checkpointed (the rule pattern-matches bare
     Sort(ShuffleQueryStage) children) — both documented in the operator.
@@ -3571,11 +3588,21 @@ def _skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    out = aqe_split_skew_join(
-        spark, ev, dim, "skew_key", threshold_bytes=2048, advisory_bytes=1024
-    )
-    if "skew=true" not in out.aqe_executed_plan:  # runtime pin, not just a test
-        raise AssertionError("AQE did not skew-split the demo join")
+    out = None
+    for thr, adv in ((2048, 1024), (512, 256), (128, 64)):
+        out = aqe_split_skew_join(
+            spark, ev, dim, "skew_key", threshold_bytes=thr, advisory_bytes=adv
+        )
+        if "skew=true" in out.aqe_executed_plan:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            "skew_join_aqe: AQE declined to skew-split at every ladder "
+            "threshold; returning the (correct, unsplit) join",
+            stacklevel=2,
+        )
     return out.select(
         "event_id",
         "skew_key",

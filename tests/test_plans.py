@@ -502,9 +502,11 @@ def test_skew_join_salted_plan_shape(spark, sf_dir):
 def test_skew_join_aqe_splits_at_runtime(spark, sf_dir):
     """The r9 complement of the manual salting row: AQE must actually
     SPLIT the hot partition at runtime — SortMergeJoin(skew=true) with an
-    AQEShuffleRead skewed reader in the executed plan. The registry row
-    asserts this itself (it raises when AQE declines), so constructing it
-    IS the pin; this test additionally checks the plan markers."""
+    AQEShuffleRead skewed reader in the executed plan. THIS test is the
+    hard pin (r10): the registry row walks a threshold ladder and merely
+    warns when AQE declines, so correctness runs stay
+    environment-insensitive — a silent loss of the mechanism in THIS
+    environment fails here instead."""
     from kafka_custom_transforms_spark.functions.skew import aqe_split_skew_join
     from kafka_custom_transforms_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -530,9 +532,11 @@ def test_skew_join_aqe_splits_at_runtime(spark, sf_dir):
 
 def test_bloom_join_injects_runtime_filter(spark, sf_dir):
     """The bloom_join_parts row must run with might_contain planted on
-    the fact side (InjectRuntimeFilter) — the operator raises when the
-    filter is not injected, and the optimized plan that executed carries
-    both the bloom aggregate and the application-side probe."""
+    the fact side (InjectRuntimeFilter). THIS test is the hard pin (r10):
+    it calls the operator with the default require_injection=True, which
+    raises on non-injection; the registry row passes
+    require_injection=False + a zero-threshold retry so correctness runs
+    degrade to the plain join instead of aborting."""
     from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
     from kafka_custom_transforms_spark.sources.tables import load_table
     from pyspark.sql import functions as F
