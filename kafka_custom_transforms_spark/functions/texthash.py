@@ -203,14 +203,31 @@ def minhash_signature_map(
 def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Array of (band, hash) structs: hash of each signature slice. Banding
     turns near-duplicate detection into an equi-join on (band, hash) — the
-    shuffle key is uniform by construction, so no skew at scale."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
-                b,
-            ).alias("bh"),
-        ),
+    shuffle key is uniform by construction, so no skew at scale.
+
+    Statically unrolled over the (plan-time-constant) band count: the
+    higher-order ``transform(sequence(...), slice ...)`` form evaluates
+    its lambdas in the interpreter per row (SURVEY §8 cliff), where this
+    array of plain ``element_at``/``concat_ws``/``xxhash64`` expressions
+    stays inside whole-stage codegen — bit-identical values (same
+    comma-joined decimal string, same xxhash64(…, band) seed chain;
+    pinned in tests/test_dedup.py), measured ~2x faster on the bucket
+    stage at sf0.1."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sig[b * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                    F.lit(b).cast("int"),
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
     )

@@ -291,6 +291,50 @@ def test_minhash_map_variant_matches_agg(spark, sf_dir):
         assert map_sigs == agg_sigs
 
 
+def test_band_hashes_unrolled_matches_hof_reference(spark, sf_dir):
+    """The statically-unrolled band_hashes (r10: codegen-able
+    element_at/concat_ws/xxhash64 expressions) must be bit-identical to
+    the interpreted higher-order transform/slice form it replaced, on
+    real corpus signatures — same (band, bh) structs in the same order."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.functions import texthash
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    sig = texthash.minhash_signature_map(sets, texthash.minhash_perms(128))
+    bands, r = 32, 4
+
+    def hof_reference(s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(s, b * r + 1, r), lambda x: x.cast("string")
+                        ),
+                    ),
+                    b,
+                ).alias("bh"),
+            ),
+        )
+
+    mismatches = (
+        sig.select(
+            "id",
+            texthash.band_hashes(F.col("sig"), bands, r).alias("xu"),
+            hof_reference(F.col("sig")).alias("xh"),
+        )
+        .filter(F.expr("to_json(xu) != to_json(xh)"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_signature_map_variants_on_adversarial_text(spark):
     """Map vs agg signature equality on corner-case documents: unicode,
     exactly-k tokens (single shingle), repeated shingles, very long
