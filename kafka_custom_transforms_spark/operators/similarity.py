@@ -296,9 +296,9 @@ MAX_LOCAL_CENTROIDS = 65536
 
 def _local_centroid_matrix(centroids: DataFrame, id_field: str, vec_field: str):
     """(ids, C, cnorm) with ids ASCENDING (so np.argmax's first-max rule
-    reproduces max_by's min-id tie-break, NaN included: Spark orders NaN
-    above every double and breaks ties on min id; argmax returns the first
-    NaN position — the lowest id — whenever one exists). ``None`` when the
+    reproduces max_by's min-id tie-break; degenerate cosines — zero-norm
+    NULLs vs genuine NaNs — are ordered by :func:`_rank_cosines` to match
+    the join form exactly). ``None`` when the
     quantizer exceeds :data:`MAX_LOCAL_CENTROIDS` (bounded limit+collect,
     never an unbounded pull). ``cnorm`` is the same sequential per-dimension
     fold the JVM/DuckDB norm computes — bit-identical inputs to the cosine."""
@@ -339,6 +339,40 @@ def _fold_cosines(A, C, cnorm):
     return dots / (np.sqrt(na)[:, None] * cnorm[None, :])
 
 
+def _rank_cosines(A, C, cnorm):
+    """Ranking-key matrix for centroid choice, replicating the join/window
+    form's ordering of DEGENERATE cosines exactly (measured, r10):
+
+    - ``try_divide`` yields NULL when the norm product is exactly 0 (a
+      zero-norm vector or centroid), and NULL loses to every value in
+      max_by's (ccos, -cid) ordering struct and sorts LAST under the probe
+      window's ``ccos DESC`` → mapped to -inf here, so a zero-norm
+      centroid can never capture a normal vector;
+    - a genuine NaN (NaN vector elements with a non-zero denominator, so
+      try_divide does divide) is ordered ABOVE every double by Spark →
+      mapped to +inf here.
+
+    Ties — an all-(-inf) row (zero-norm vector) or several +inf cells —
+    break on min cid via argmax-first / stable argsort, matching the
+    (-cid) tiebreak / ``cid ASC`` secondary ordering: a zero-norm vector
+    is still assigned (to the lowest cid), not dropped, exactly like the
+    join form. Values on non-degenerate cells are bit-identical to
+    :func:`_fold_cosines` (same sequential fold, same norm product)."""
+    import numpy as np
+
+    n, dim = A.shape
+    dots = np.zeros((n, C.shape[0]))
+    na = np.zeros(n)
+    for i in range(dim):
+        a_i = A[:, i]
+        dots += a_i[:, None] * C[None, :, i]
+        na += a_i * a_i
+    denom = np.sqrt(na)[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / denom
+    return np.where(denom == 0.0, -np.inf, np.where(np.isnan(cos), np.inf, cos))
+
+
 def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
     """(id, v, cid) via one Arrow-batched numpy pass per partition: the
     n x n_centroids scored PAIR ROWS of the join form never materialize —
@@ -368,7 +402,7 @@ def _assign_cells_arrow(vecs: DataFrame, local, cid_type: str) -> DataFrame:
                 chunk = pdf["v"].iloc[lo : lo + row_chunk].to_numpy()
                 A = np.stack(chunk).astype(np.float64, copy=False)
                 best[lo : lo + len(A)] = np.argmax(
-                    _fold_cosines(A, C, cnorm), axis=1
+                    _rank_cosines(A, C, cnorm), axis=1
                 )
             out = pdf[["id", "v"]].copy()
             out["cid"] = cids[best]
@@ -589,7 +623,7 @@ def _assign_fine_arrow(vec_coarse: DataFrame, reg_local: dict, cid_type: str) ->
             for gid, idx in pdf.groupby("gid", sort=False).indices.items():
                 cids, C, cnorm = reg_local[gid]
                 A = np.stack(pdf["v"].iloc[idx].to_numpy()).astype(np.float64, copy=False)
-                best = np.argmax(_fold_cosines(A, C, cnorm), axis=1)
+                best = np.argmax(_rank_cosines(A, C, cnorm), axis=1)
                 cid_out[idx] = cids[best]
             out = pdf[["id", "v"]].copy()
             out["cid"] = cid_out
@@ -700,8 +734,10 @@ def _probe_cells_arrow(
 ) -> DataFrame:
     """(query_id, qv, cid): each query's ``n_probe`` max-cosine cells as an
     Arrow map — replaces the broadcast crossJoin + row_number window stage.
-    Ranking replicates the window's (ccos DESC, cid ASC) exactly: NaN maps
-    to +inf (Spark sorts NaN above every double), and the stable argsort
+    Ranking replicates the window's (ccos DESC, cid ASC) exactly via
+    :func:`_rank_cosines`: zero-norm NULL-like cells sort last (the
+    window orders try_divide's NULLs last under DESC), genuine NaN sorts
+    first (Spark orders NaN above every double), and the stable argsort
     over cid-ascending columns breaks exact ties on min cid."""
     import numpy as np
 
@@ -714,8 +750,7 @@ def _probe_cells_arrow(
             if not len(pdf):
                 continue
             A = np.stack(pdf["qv"].to_numpy()).astype(np.float64, copy=False)
-            cos = _fold_cosines(A, C, cnorm)
-            key = np.where(np.isnan(cos), np.inf, cos)
+            key = _rank_cosines(A, C, cnorm)
             order = np.argsort(-key, axis=1, kind="stable")[:, :n_probe]
             out = pdf.loc[
                 pdf.index.repeat(order.shape[1]), ["query_id", "qv"]

@@ -320,6 +320,84 @@ def test_assign_cells_arrow_drops_null_vectors(spark):
     assert got == [(1, 10), (2, 20)]
 
 
+def test_zero_norm_parity_between_arrow_and_join_forms(spark):
+    """r10 (advice item): the Arrow assignment/probe kernels and the
+    expr/window fallbacks must agree on DEGENERATE inputs — a zero-norm
+    centroid must never capture a normal vector (try_divide's NULL loses
+    every max_by/window comparison), and a zero-norm vector is still
+    assigned/probed with a min-cid tie-break, not dropped. Before the
+    _rank_cosines fix the Arrow path ranked the zero-norm centroid's NaN
+    as +inf and assigned BOTH normal vectors to it."""
+    from pyspark.sql import Window
+
+    from kafka_custom_transforms_spark.functions.vector import cosine
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [0.0, 0.0])], "cid long, cv array<double>"
+    )
+    expr_assign = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells(vecs, cents, None, method="expr").collect()
+    )
+    arrow_assign = sorted(
+        (r.id, r.cid)
+        for r in similarity._assign_cells(vecs, cents, None, method="arrow").collect()
+    )
+    assert arrow_assign == expr_assign == [(1, 10), (2, 10), (3, 10)]
+
+    qvecs = vecs.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    local = similarity._local_centroid_matrix(cents, "cid", "cv")
+    arrow_probes = sorted(
+        (r.query_id, r.cid)
+        for r in similarity._probe_cells_arrow(qvecs, local, 1, "bigint").collect()
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    window_probes = sorted(
+        (r.query_id, r.cid)
+        for r in (
+            qvecs.join(F.broadcast(cents), how="cross")
+            .select(
+                "query_id",
+                "cid",
+                cosine(F.col("qv"), F.col("cv"), None).alias("ccos"),
+            )
+            .withColumn("crank", F.row_number().over(probe_w))
+            .filter(F.col("crank") <= 1)
+            .select("query_id", "cid")
+        ).collect()
+    )
+    assert arrow_probes == window_probes == [(1, 10), (2, 10), (3, 10)]
+
+
+def test_rank_cosines_orders_nan_elements_above_and_nulls_below():
+    """The two degenerate sources rank OPPOSITE ways, like the JVM: a
+    genuine NaN element (denominator non-zero) maps to +inf (Spark sorts
+    NaN above every double); an exactly-zero denominator maps to -inf
+    (try_divide yields NULL, which loses). Non-degenerate cells stay
+    bit-equal to _fold_cosines."""
+    import numpy as np
+
+    A = np.array([[1.0, 0.0], [np.nan, 1.0], [0.0, 0.0]])
+    C = np.array([[1.0, 1.0], [0.0, 0.0]])
+    cn = np.zeros(2)
+    for i in range(2):
+        cn += C[:, i] * C[:, i]
+    cnorm = np.sqrt(cn)
+    key = similarity._rank_cosines(A, C, cnorm)
+    fold = similarity._fold_cosines(A[:1], C[:1], cnorm[:1])
+    assert key[0, 0] == fold[0, 0]          # normal cell: bit-equal
+    assert key[0, 1] == -np.inf             # zero-norm centroid: loses
+    assert key[1, 0] == np.inf              # NaN element: wins (Spark NaN order)
+    assert key[1, 1] == np.inf              # NaN elements: denom NaN -> NaN result
+    assert (key[2] == -np.inf).all()        # zero-norm vector: all lose, tie on cid
+
+
 def test_fold_cosines_property_bit_equal_to_scalar_fold():
     """Property test: _fold_cosines (the vectorized kernel under every
     Arrow assignment/probe map) must be BIT-identical to a scalar
