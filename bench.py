@@ -215,11 +215,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    cold_unreliable: list[str] = []
     spread: dict[str, list[float]] = {}
     retried: dict[str, int] = {}
+    discarded: dict[str, list[list[float]]] = {}
     for name in BENCH_QUERIES:
         samples = []
         retries = 0
+        first_discarded = False
         while len(samples) < SAMPLES:
             s0 = _steal_jiffies()
             t0 = time.time()
@@ -238,12 +241,24 @@ def main() -> None:
                 and (s1 - s0) / _HZ / max(dt, 1e-3) > 1.0
                 and retries < SAMPLES
             ):
+                # Record the poisoned sample (wall, steal_cores) so the
+                # diagnostics show what was thrown away — and remember
+                # when sample 0 was the victim: its retry runs WARMED
+                # (the discarded run touched every cache), so the cold
+                # number for that query is not a real cold time.
+                discarded.setdefault(name, []).append(
+                    [round(dt, 3), round((s1 - s0) / _HZ / max(dt, 1e-3), 2)]
+                )
+                if not samples:
+                    first_discarded = True
                 retries += 1
                 continue
             samples.append(round(dt, 3))
         if retries:
             retried[name] = retries
         cold[name] = samples[0]
+        if first_discarded:
+            cold_unreliable.append(name)
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [min(samples), max(samples)]
 
@@ -257,7 +272,9 @@ def main() -> None:
     # and ONLY stdout line.
     foreign_cores, steal_cores = _foreign_cores(cpu0, wall0)
     diagnostics = {"samples": SAMPLES, "cold": cold, "spread": spread,
-                   "steal_retries": retried}
+                   "steal_retries": retried,
+                   "discarded_samples": discarded,
+                   "cold_unreliable": cold_unreliable}
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
         with open(

@@ -429,6 +429,14 @@ def bpe_train(
         # symbols), so the reported counts stay exact and one recount per
         # ROUND replaces one recount per MERGE — batch_size fewer
         # vocabulary jobs and driver round-trips (r8 verdict item 4).
+        # Known aliasing exception (r10 advice): if an accepted merge's
+        # concatenation l+r happens to equal a PRE-EXISTING symbol that a
+        # later accept of the same round touches, that later merge also
+        # matches occurrences the earlier replace just created, so its
+        # recorded pair_count can be stale in that corner. All three
+        # replayers (engine, driver-local fast path, DuckDB oracle) run
+        # the identical greedy scan and replaces, so parity is unaffected
+        # — only the "counts stay exact" claim carries this asterisk.
         used: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
         for row in top:

@@ -293,6 +293,20 @@ def test_cosine_arrow_bit_equals_fold(emb):
     assert [r.fold is None for r in got] == [r.arrow is None for r in got]
 
 
+def test_cosine_arrow_names_ragged_lengths(spark):
+    """Ragged/mismatched vector pairs must fail with a descriptive
+    ValueError naming the lengths, not np.stack's opaque executor error
+    (r10 advice item)."""
+    from kafka_custom_transforms_spark.functions.vector import cosine_arrow
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0]), ([1.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    with pytest.raises(Exception, match="uniform, equal"):
+        df.select(cosine_arrow(F.col("a"), F.col("b"))).collect()
+
+
 def test_degenerate_vectors_are_excluded_not_ranked_first(spark):
     """A zero-norm or null embedding must be EXCLUDED from top-k under
     both cosine dispatch branches (r9 review: the fold form's NaN used to
