@@ -669,6 +669,97 @@ def _stream_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (r10) — the one outer mode
+    the streaming rows didn't cover: every purchase emits with its
+    in-window clicks or once with NULLs, AND every click that attributes
+    to no purchase emits once with NULLs. Same watermark/sentinel/bucket
+    machinery as _stream_outer_interval, with the full-outer twist: the
+    click side is exploded to its <=2 covering buckets, so an unmatched
+    click leaves one null row PER COPY, and a click whose only match sits
+    in its other bucket copy leaves a spurious null row — artifacts of
+    the bucketization, not of the join. They are reconciled in the batch
+    read-back of the sink (this row already reads the sink back): null
+    click rows collapse via distinct and drop via an anti-join against
+    the matched click ids. The purchase side is single-bucket, so its
+    outer rows need no reconciliation. State on both sides stays bounded
+    by watermark + range at any scale; the reconciliation inputs are the
+    join's own outputs (never the raw streams)."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-ssfull-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    sentinel = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+        F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias("event_type"),
+    )
+    ev.unionByName(sentinel).coalesce(1).write.parquet(d + "/staged")
+    schema = "event_id long, ts timestamp, event_type string"
+    grain = 60_000_000  # us; == window width, so a click covers <= 2 buckets
+    p = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .withColumn("bucket", F.floor(F.unix_micros(F.col("p_ts")) / F.lit(grain)))
+    )
+    c_us = F.unix_micros(F.col("c_ts"))
+    c = (
+        spark.readStream.schema(schema).parquet(d + "/staged")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(c_us / F.lit(grain)),
+                    F.floor((c_us + F.lit(grain)) / F.lit(grain)),
+                )
+            ),
+        )
+    )
+    # Same pushdown trap as the leftOuter row: NO side filters in the
+    # join condition, or they sink below an EventTimeWatermark node and
+    # stall outer emission. Sentinels are removed in the read-back.
+    j = p.join(
+        c,
+        (p["bucket"] == c["bucket"])
+        & F.expr("c_ts between p_ts - interval 60 seconds and p_ts"),
+        "fullOuter",
+    )
+    q = write_parquet_stream(j.drop("bucket"), d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    raw = spark.read.parquet(d + "/sink").filter(
+        ((F.col("p_id").isNull()) | (F.col("p_id") >= 0))
+        & ((F.col("c_id").isNull()) | (F.col("c_id") >= 0))
+    )
+    cols = ["p_id", "p_ts", "c_id", "c_ts"]
+    matched = raw.filter(F.col("p_id").isNotNull() & F.col("c_id").isNotNull())
+    unmatched_p = raw.filter(F.col("c_id").isNull()).select(*cols)
+    unmatched_c = (
+        raw.filter(F.col("p_id").isNull())
+        .select(*cols)
+        .distinct()
+        .join(matched.select("c_id").distinct(), "c_id", "left_anti")
+        .select(*cols)
+    )
+    return (
+        matched.select(*cols)
+        .unionByName(unmatched_p)
+        .unionByName(unmatched_c)
+        .select(
+            "p_id",
+            "c_id",
+            F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+            F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+        )
+    )
+
+
 def _events_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution: each purchase gets the latest preceding (or
     exactly coincident) click by the same user. Single-shuffle union+window
@@ -3079,6 +3170,110 @@ def _approx_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _observed_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.observe end-to-end (r10) — the production-monitoring
+    surface: in-flight data-quality counters collected by a
+    CollectMetrics node DURING the pipeline's own action (no second
+    scan), delivered driver-side through the Observation listener. The
+    observed metrics (row count, integer-cents sum, min) are taken
+    BEFORE the group-by and appended to every output row as literal
+    columns, so the driver's value-hash checks the metric VALUES against
+    the oracle's plain aggregates — the API's delivery path is what this
+    row pins, not just the aggregate arithmetic. The checkpoint is the
+    action that populates the observation; integer cents keep the sum
+    order-independent and bit-equal in DuckDB."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+    )
+    agg = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    out = agg.localCheckpoint(eager=True)
+    m = obs.get
+    return out.select(
+        "o_orderstatus",
+        "n",
+        "sum_cents",
+        F.lit(int(m["n_rows"])).cast("long").alias("obs_n_rows"),
+        F.lit(int(m["sum_cents"])).cast("long").alias("obs_sum_cents"),
+        F.lit(int(m["min_cents"])).cast("long").alias("obs_min_cents"),
+    )
+
+
+# Bounded driver pull for the CMS demo's key list: event_type is a
+# low-cardinality domain column; refuse to enumerate anything wider.
+MAX_CMS_KEYS = 1024
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_min_sketch frequency sketch (r10) — the heavy-hitter
+    complement of the HLL/KMV/theta distinct sketches: one pass builds a
+    seeded CMS over event_type (a ~100 KB mergeable summary whatever the
+    corpus size; counter addition is commutative, so the aggregate is
+    partitioning-independent), the binary sketch is deserialized
+    driver-side (org.apache.spark.util.sketch.CountMinSketch), and each
+    type's estimate is checked against its exact count INSIDE the row via
+    the CMS guarantee: exact <= est <= exact + eps * total. Pinned the
+    only way an approximate answer can be — by its guarantee, like
+    approx_quantile_orders — so the oracle emits the exact counts plus
+    literal true. The estimates ride back as a broadcast literal map;
+    only the sketch scalar and the <= MAX_CMS_KEYS key list ever reach
+    the driver."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    eps, conf, seed = 0.001, 0.99, 42
+    sk = ev.agg(
+        F.expr(
+            f"count_min_sketch(event_type, cast({eps} as double),"
+            f" cast({conf} as double), {seed})"
+        ).alias("sk")
+    ).collect()[0].sk
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(  # noqa: SLF001
+        bytes(sk)
+    )
+    keys = [
+        r.event_type
+        for r in ev.select("event_type").distinct().limit(MAX_CMS_KEYS + 1).collect()
+    ]
+    if len(keys) > MAX_CMS_KEYS:
+        raise ValueError(
+            f"cms_heavy_hitters: key column exceeds {MAX_CMS_KEYS} distinct "
+            "values — pick a low-cardinality column for the demo"
+        )
+    bound = float(eps) * cms.totalCount()
+    est_map = F.create_map(
+        *[
+            x
+            for t in keys
+            for x in (F.lit(t), F.lit(int(cms.estimateCount(t))).cast("long"))
+        ]
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            (
+                (est_map[F.col("event_type")] >= F.col("n"))
+                & (est_map[F.col("event_type")] <= F.col("n") + F.lit(bound))
+            ).alias("cms_ok"),
+        )
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -4188,8 +4383,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
 # rows. Round-10 rotation: the 26 remaining rows last recorded in r5
-# (registry order), then the first 11 rows last recorded in r6. New r10
-# rows (never recorded) displace the newest-recorded fills when added.
+# (registry order), the 3 new r10 rows (never recorded — they displaced
+# the 3 newest-recorded fills), then the first 8 rows last recorded in
+# r6 (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4217,11 +4413,13 @@ CORRECTNESS_WINDOW = [
     "tfidf_top_terms", "q5_local_supplier_volume", "grouping_sets_docs",
     "pagerank_doc_tree", "multimodal_wav_decode", "multimodal_mp4_decode",
     "arrow_vector_norms", "cube_docs",
-    # least-recently-recorded re-records (r6, first 11 in registry order)
+    # round-10 new rows (never recorded — outrank re-records)
+    "observed_orders_metrics", "cms_heavy_hitters",
+    "stream_full_outer_interval",
+    # least-recently-recorded re-records (r6, first 8 in registry order)
     "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
     "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
-    "dedup_minhash_incremental", "docs_tree_rollup", "lateral_top_orders",
-    "stream_outer_interval", "udaf_median_chars",
+    "dedup_minhash_incremental", "docs_tree_rollup",
 ]
 
 
@@ -4330,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tree_rollup": _docs_tree_rollup,
         "lateral_top_orders": _lateral_top_orders,
         "stream_outer_interval": _stream_outer_interval,
+        "stream_full_outer_interval": _stream_full_outer_interval,
         "orders_bulk_semi": _orders_bulk_semi,
         "udaf_median_chars": _udaf_median_chars,
         "dedup_incremental": _dedup_incremental,
@@ -4386,6 +4585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_doc_tree": _pagerank_doc_tree,
         "sketch_user_churn": _sketch_user_churn,
         "approx_quantile_orders": _approx_quantile_orders,
+        "observed_orders_metrics": _observed_orders_metrics,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
@@ -6160,6 +6361,13 @@ def oracle_sql() -> dict[str, str]:
             left join (select * from events where event_type = 'click') c
               on c.ts between p.ts - interval 60 second and p.ts
         """,
+        "stream_full_outer_interval": """
+            select p.event_id as p_id, c.event_id as c_id,
+                   epoch_us(p.ts) as p_ts_us, epoch_us(c.ts) as c_ts_us
+            from (select * from events where event_type = 'purchase') p
+            full join (select * from events where event_type = 'click') c
+              on c.ts between p.ts - interval 60 second and p.ts
+        """,
         "q22_idle_balances": """
             select c_nationkey,
                    cast(count(*) as bigint) as n_cust,
@@ -7353,6 +7561,36 @@ def oracle_sql() -> dict[str, str]:
                    true as p90_ok
             from orders
             group by o_orderpriority
+        """,
+        "observed_orders_metrics": """
+            with o as (
+              select o_orderstatus,
+                     cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+                       as cents
+              from orders
+            ),
+            g as (
+              select o_orderstatus,
+                     cast(count(*) as bigint) as n,
+                     cast(sum(cents) as bigint) as sum_cents
+              from o group by o_orderstatus
+            ),
+            t as (
+              select cast(count(*) as bigint) as obs_n_rows,
+                     cast(sum(cents) as bigint) as obs_sum_cents,
+                     cast(min(cents) as bigint) as obs_min_cents
+              from o
+            )
+            select g.o_orderstatus, g.n, g.sum_cents,
+                   t.obs_n_rows, t.obs_sum_cents, t.obs_min_cents
+            from g, t
+        """,
+        "cms_heavy_hitters": """
+            select event_type,
+                   cast(count(*) as bigint) as n,
+                   true as cms_ok
+            from events
+            group by event_type
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),

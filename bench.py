@@ -69,6 +69,11 @@ BENCH_QUERIES = (
     # round-9 engine additions
     "skew_join_aqe",
     "bloom_join_parts",
+    # round-10 engine additions (the streaming full-outer row is not
+    # benched — no stream_* row is; micro-batch orchestration wall time
+    # measures the harness, not the engine)
+    "observed_orders_metrics",
+    "cms_heavy_hitters",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -90,8 +95,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:35]
-DECODE_QUERIES = BENCH_QUERIES[35:]
+ENGINE_QUERIES = BENCH_QUERIES[:37]
+DECODE_QUERIES = BENCH_QUERIES[37:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -101,7 +106,7 @@ DECODE_QUERIES = BENCH_QUERIES[35:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "bloom_join_parts":
+if ENGINE_QUERIES[-1] != "cms_heavy_hitters":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")

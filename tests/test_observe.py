@@ -41,3 +41,28 @@ def test_observe_composes_with_smt_chain(spark):
     out = chain(ev.observe(obs, F.count(F.lit(1)).alias("n_in")))
     assert out.count() == 1000
     assert obs.get["n_in"] == 1000
+
+
+def test_observed_orders_metrics_row_carries_true_metrics(spark):
+    """The registry row appends the Observation's delivered metrics as
+    literal columns — they must equal an independent recomputation, and
+    the per-status group counts must sum to the observed row count (the
+    metrics are taken BEFORE the group-by)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["observed_orders_metrics"](spark, SF).collect()
+    o = load_table(spark, SF, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ref = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.min("cents").alias("m"),
+    ).collect()[0]
+    assert rows and all(
+        r.obs_n_rows == ref.n and r.obs_sum_cents == ref.s and r.obs_min_cents == ref.m
+        for r in rows
+    )
+    assert sum(r.n for r in rows) == ref.n

@@ -401,3 +401,30 @@ def test_upsert_sink_survives_pointer_dir_collision(spark):
     rows = sorted(map(tuple, read_upsert_table(spark, d + "/table").collect()))
     assert rows == [(1, "a", 10), (2, "b", 11)]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_full_outer_interval_matches_batch_full_join(spark, sf_dir):
+    """The r10 FULL OUTER stream-stream interval row (bucketized join +
+    batch read-back reconciliation of the click side's bucket-copy
+    artifacts) must equal the plain batch full-outer range join exactly:
+    matched pairs, null-padded purchases, and null-padded clicks."""
+    import __spark_entry__ as entry_mod
+
+    got = entry_mod.queries()["stream_full_outer_interval"](spark, sf_dir)
+    key = lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or 0)  # noqa: E731
+    got_rows = sorted(((r.p_id, r.c_id) for r in got.collect()), key=key)
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    ref = p.join(
+        c, F.expr("c_ts between p_ts - interval 60 seconds and p_ts"), "fullOuter"
+    )
+    ref_rows = sorted(((r.p_id, r.c_id) for r in ref.collect()), key=key)
+    assert got_rows == ref_rows
+    assert any(a is None for a, _ in got_rows)  # unmatched clicks present
+    assert any(b is None for _, b in got_rows)  # unmatched purchases present
