@@ -4318,6 +4318,42 @@ def _variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML ingestion (r10) — the from_xml half of the
+    semi-structured family (variant_events covers JSON/VARIANT): three
+    payload shapes (element, nested element, ATTRIBUTE — the XML-only
+    drift mode, parsed via the default ``_``-prefixed attribute field)
+    are derived deterministically per event, parsed with ONE lenient
+    unified schema (absent fields null), and the value recovered with
+    coalesced typed paths. The oracle recomputes the same values from the
+    base columns — checking the XML path extraction end-to-end without
+    needing an XML parser in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    shape = F.pmod(F.col("event_id"), F.lit(3))
+    x = (
+        F.when(shape == 0, F.concat(F.lit("<e><k>"), k, F.lit("</k></e>")))
+        .when(
+            shape == 1,
+            F.concat(F.lit("<e><n><k>"), k, F.lit("</k></n></e>")),
+        )
+        .otherwise(F.concat(F.lit('<e k="'), k, F.lit('"/>')))
+    )
+    parsed = F.from_xml(x, "k bigint, n struct<k bigint>, _k bigint")
+    got = F.coalesce(parsed["k"], parsed["n"]["k"], parsed["_k"])
+    return (
+        ev.withColumn("got", got)
+        .withColumn("shape", shape)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("got").alias("sum_k"),
+            F.sum(F.when(F.col("shape") == 2, 1).otherwise(0))
+            .cast("long").alias("n_attr"),
+        )
+    )
+
+
 def _sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL pipe syntax (|>): the operator-chain form of the
     order-priority rollup — FROM |> WHERE |> AGGREGATE ... GROUP BY.
@@ -4383,8 +4419,8 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
 # rows. Round-10 rotation: the 26 remaining rows last recorded in r5
-# (registry order), the 3 new r10 rows (never recorded — they displaced
-# the 3 newest-recorded fills), then the first 8 rows last recorded in
+# (registry order), the 4 new r10 rows (never recorded — they displaced
+# the 4 newest-recorded fills), then the first 7 rows last recorded in
 # r6 (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
@@ -4415,11 +4451,11 @@ CORRECTNESS_WINDOW = [
     "arrow_vector_norms", "cube_docs",
     # round-10 new rows (never recorded — outrank re-records)
     "observed_orders_metrics", "cms_heavy_hitters",
-    "stream_full_outer_interval",
-    # least-recently-recorded re-records (r6, first 8 in registry order)
+    "stream_full_outer_interval", "xml_events",
+    # least-recently-recorded re-records (r6, first 7 in registry order)
     "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
     "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
-    "dedup_minhash_incremental", "docs_tree_rollup",
+    "dedup_minhash_incremental",
 ]
 
 
@@ -4493,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_docs": _pack_bpe_docs,
         "bpe_train_docs": _bpe_train_docs,
         "variant_events": _variant_events,
+        "xml_events": _xml_events,
         "sql_pipe_syntax": _sql_pipe_syntax,
         "stream_tokenize_bpe": _stream_tokenize_bpe,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
@@ -5372,6 +5409,14 @@ def oracle_sql() -> dict[str, str]:
                      as n_nested,
                    sum(case when event_id % 3 = 2 then 1 else 0 end)::BIGINT
                      as n_arr
+            from events group by event_type
+        """,
+        "xml_events": """
+            select event_type,
+                   count(*)::BIGINT as n,
+                   sum(cast(props->>'$.k' as bigint))::BIGINT as sum_k,
+                   sum(case when event_id % 3 = 2 then 1 else 0 end)::BIGINT
+                     as n_attr
             from events group by event_type
         """,
         "sql_pipe_syntax": """

@@ -551,6 +551,38 @@ def test_bloom_join_injects_runtime_filter(spark, sf_dir):
     assert out.count() > 0
 
 
+def test_bloom_join_degrades_with_warning_when_declined(spark, sf_dir):
+    """The r10 correctness-path mode: with require_injection=False and a
+    threshold Catalyst must decline (10TB scan floor), the operator warns,
+    reports bloom_injected=False, and still returns the correct plain
+    join — it must NOT raise. With the default require_injection=True the
+    same decline raises (the regression pin above)."""
+    import warnings
+
+    from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
+    from kafka_custom_transforms_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = bloom_filtered_join(
+            spark, li, part, "l_partkey", "p_partkey",
+            app_scan_threshold="10TB", require_injection=False,
+        )
+    assert out.bloom_injected is False
+    assert any("bloom" in str(w.message) for w in caught)
+    ref = li.join(part, li["l_partkey"] == part["p_partkey"]).count()
+    assert out.count() == ref
+    with pytest.raises(AssertionError, match="not injected"):
+        bloom_filtered_join(
+            spark, li, part, "l_partkey", "p_partkey", app_scan_threshold="10TB"
+        )
+
+
 def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
     """Registry-wide anti-pattern guard: NO driver-contract query may plan
     a CartesianProduct. BroadcastNestedLoopJoin is allowed only because
