@@ -551,6 +551,33 @@ def test_bloom_join_injects_runtime_filter(spark, sf_dir):
     assert out.count() > 0
 
 
+def test_aqe_skew_join_without_split_is_still_correct(spark, sf_dir):
+    """The degradation contract behind the r10 threshold ladder: with
+    thresholds AQE can never meet (1 GB), the helper executes the plain
+    unsplit join — same row count as the split run, no exception. The
+    registry row's ladder falls through to exactly this plan when every
+    rung is declined."""
+    from kafka_custom_transforms_spark.functions.skew import aqe_split_skew_join
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 100 < 97, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 100)
+        .alias("skew_key"),
+    ).repartition(8, "event_id")
+    dim = (
+        ev.groupBy("skew_key").agg(F.count(F.lit(1)).alias("n_key"))
+        .localCheckpoint(eager=True)
+    )
+    out = aqe_split_skew_join(
+        spark, ev, dim, "skew_key",
+        threshold_bytes=1 << 30, advisory_bytes=1 << 29,
+    )
+    assert "skew=true" not in out.aqe_executed_plan
+    assert out.count() == ev.count()
+
+
 def test_bloom_join_degrades_with_warning_when_declined(spark, sf_dir):
     """The r10 correctness-path mode: with require_injection=False and a
     threshold Catalyst must decline (10TB scan floor), the operator warns,
