@@ -205,29 +205,25 @@ def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     turns near-duplicate detection into an equi-join on (band, hash) — the
     shuffle key is uniform by construction, so no skew at scale.
 
-    Statically unrolled over the (plan-time-constant) band count: the
-    higher-order ``transform(sequence(...), slice ...)`` form evaluates
-    its lambdas in the interpreter per row (SURVEY §8 cliff), where this
-    array of plain ``element_at``/``concat_ws``/``xxhash64`` expressions
-    stays inside whole-stage codegen — bit-identical values (same
-    comma-joined decimal string, same xxhash64(…, band) seed chain;
-    pinned in tests/test_dedup.py), measured ~2x faster on the bucket
-    stage at sf0.1."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            sig[b * rows_per_band + j].cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    ),
-                    F.lit(b).cast("int"),
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    Deliberately the higher-order-function form, NOT a statically
+    unrolled array (measured r10, interleaved A/B on the full
+    minhash_lsh query at sf0.1): the unrolled 32-band expression tree
+    (~400 nodes, duplicated across both self-join sides) pays plan
+    analysis + codegen on EVERY fresh query construction — 1.82 s vs
+    3.23 s medians end-to-end — even though a reused-plan microbench
+    shows the unrolled bucket STAGE 2x faster per row. A direct
+    xxhash64-on-longs variant lost the same way (2.20 vs 3.25 s). The
+    per-row interpreter cost here is ~1 us x bands per doc — never the
+    banded pipeline's bottleneck (the band JOIN is); re-visit with a
+    size-dispatched unroll (the similarity.UNROLL_MIN_ROWS pattern) only
+    if a profiled corpus shows this stage dominating."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                b,
+            ).alias("bh"),
+        ),
     )

@@ -291,11 +291,14 @@ def test_minhash_map_variant_matches_agg(spark, sf_dir):
         assert map_sigs == agg_sigs
 
 
-def test_band_hashes_unrolled_matches_hof_reference(spark, sf_dir):
-    """The statically-unrolled band_hashes (r10: codegen-able
-    element_at/concat_ws/xxhash64 expressions) must be bit-identical to
-    the interpreted higher-order transform/slice form it replaced, on
-    real corpus signatures — same (band, bh) structs in the same order."""
+def test_band_hashes_matches_inline_reference(spark, sf_dir):
+    """band_hashes must stay bit-identical to this spelled-out reference
+    on real corpus signatures — same (band, bh) structs in the same
+    order. Guards any future re-implementation (r10 note: a statically
+    unrolled variant WAS bit-identical but lost 1.8x end-to-end to
+    per-query plan-compile cost and was reverted — see the band_hashes
+    docstring; a replacement must both match values here AND beat the
+    HOF form in an interleaved full-query A/B)."""
     from pyspark.sql import functions as F
 
     from kafka_custom_transforms_spark.functions import texthash
