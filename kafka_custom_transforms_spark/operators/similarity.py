@@ -370,6 +370,13 @@ def _rank_cosines(A, C, cnorm):
     denom = np.sqrt(na)[:, None] * cnorm[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = dots / denom
+    # Fast path: a NaN can only arise from a 0/0 (zero-norm row/centroid —
+    # an exactly-zero denom forces exactly-zero dots) or NaN operands, so
+    # a NaN-free matrix needs no degenerate remapping; skip the two
+    # np.where passes the common all-finite batch would otherwise pay
+    # (measured +33% on similarity_topk_ivf before this gate, r10).
+    if not np.isnan(cos).any():
+        return cos
     return np.where(denom == 0.0, -np.inf, np.where(np.isnan(cos), np.inf, cos))
 
 
