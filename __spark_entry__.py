@@ -4418,10 +4418,10 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-10 rotation: the 26 remaining rows last recorded in r5
-# (registry order), the 4 new r10 rows (never recorded — they displaced
-# the 4 newest-recorded fills), then the first 7 rows last recorded in
-# r6 (registry order).
+# rows. Round-11 rotation: the 30 remaining rows last recorded in r6
+# (registry order), then the first 7 rows last recorded in r7 (registry
+# order). New r11 rows displace the newest-recorded fills (the tail of
+# the r7 group) as they land.
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4430,7 +4430,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 10
+CORRECTNESS_WINDOW_ROUND = 11
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4439,23 +4439,21 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # least-recently-recorded re-records (r5, remaining 26 in registry order)
-    "multimodal_mp4_tracks", "lm_quality_score", "tokenize_bpe_docs",
-    "graph_triangles_cosupplier", "q9_product_profit", "q11_top_part_value",
-    "q17_small_quantity_revenue", "q20_part_shipment_suppliers",
-    "q21_waiting_suppliers", "q2_min_cost_parts", "dedup_incremental",
-    "linear_score_embeddings", "fuzzy_match_customers", "pseudonymize_events",
-    "knn_label_vote", "text_repetition", "pack_texts", "text_normalize",
-    "tfidf_top_terms", "q5_local_supplier_volume", "grouping_sets_docs",
-    "pagerank_doc_tree", "multimodal_wav_decode", "multimodal_mp4_decode",
-    "arrow_vector_norms", "cube_docs",
-    # round-10 new rows (never recorded — outrank re-records)
-    "observed_orders_metrics", "cms_heavy_hitters",
-    "stream_full_outer_interval", "xml_events",
-    # least-recently-recorded re-records (r6, first 7 in registry order)
-    "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
-    "variant_events", "sql_pipe_syntax", "stream_tokenize_bpe",
-    "dedup_minhash_incremental",
+    # least-recently-recorded re-records (r6, remaining 30 in registry order)
+    "docs_tree_rollup", "lateral_top_orders", "stream_outer_interval",
+    "udaf_median_chars", "schema_evolution_read", "udtf_chunk_docs",
+    "python_source_envelope", "stream_python_source", "sql_cte_summary",
+    "stream_upsert_users", "corrupt_json_audit", "sliding_counts",
+    "session_window_native", "bucketed_join_orders", "salted_event_totals",
+    "pipeline_clean_corpus", "json_source_roundtrip", "orc_source_roundtrip",
+    "csv_source_roundtrip", "xml_source_roundtrip", "param_sql_nation_spend",
+    "sql_udf_doc_quality", "sketch_user_churn", "approx_quantile_orders",
+    "contract_orders", "events_gapfill_hourly", "sketch_merge_daily",
+    "sql_scripting_rollup", "collated_type_counts", "partitioned_source_prune",
+    # least-recently-recorded re-records (r7, first 7 in registry order)
+    "orders_bulk_semi", "split_train_holdout", "daily_activity_full_outer",
+    "dense_topk_orders", "histogram_order_values", "stratified_fixed_n",
+    "user_type_counts_json",
 ]
 
 
