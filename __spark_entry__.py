@@ -681,8 +681,12 @@ def _stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketization, not of the join. They are reconciled in the batch
     read-back of the sink (this row already reads the sink back): null
     click rows collapse via distinct and drop via an anti-join against
-    the matched click ids. The purchase side is single-bucket, so its
-    outer rows need no reconciliation. State on both sides stays bounded
+    the matched click ids. PRECONDITION: the distinct collapse is only
+    correct because c_id is UNIQUE per click (event_id) — two bucket
+    copies of one click are bit-identical rows. Do not copy this
+    reconciliation onto a non-unique key: distinct would then merge
+    genuinely different unmatched rows that share the key. The purchase
+    side is single-bucket, so its outer rows need no reconciliation. State on both sides stays bounded
     by watermark + range at any scale; the reconciliation inputs are the
     join's own outputs (never the raw streams)."""
     import tempfile
@@ -3231,8 +3235,16 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_quantile_orders — so the oracle emits the exact counts plus
     literal true. The estimates ride back as a broadcast literal map;
     only the sketch scalar and the <= MAX_CMS_KEYS key list ever reach
-    the driver."""
-    ev = load_table(spark, sf_dir, "events").select("event_type")
+    the driver. NULL keys are filtered up front (r10 advice): a null in
+    the distinct key list would blow up create_map ('null as map key'),
+    and a null groupBy group would read a null est_map entry, turning
+    cms_ok null — the sketch contract here is non-null keys only, and
+    the oracle filters identically."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .where(F.col("event_type").isNotNull())
+    )
     eps, conf, seed = 0.001, 0.99, 42
     sk = ev.agg(
         F.expr(
@@ -3720,10 +3732,13 @@ def _bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan-pin test (tests/test_plans.py), not here: injection depends
     on absolute scan-size thresholds and optimizer heuristics that shift
     with scale factor / compression / Spark version, and a declined
-    injection is still the correct plain join — this row retries once at
-    a zero scan threshold, then degrades with a warning rather than
-    aborting the whole correctness run. The filter is semantics-neutral,
-    so the oracle is the plain join + aggregate either way."""
+    injection is still the correct plain join — this row dry-run-probes
+    the optimizer first (plan analysis only, r10 advice: the old retry
+    re-executed the whole join once per declined attempt), drops to a
+    zero scan threshold if the default declines, then executes exactly
+    once and degrades with a warning if even 0b declines. The filter is
+    semantics-neutral, so the oracle is the plain join + aggregate
+    either way."""
     from kafka_custom_transforms_spark.operators.joins import bloom_filtered_join
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -3734,14 +3749,15 @@ def _bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
         "p_partkey", "p_brand"
     )
-    out = bloom_filtered_join(
-        spark, li, part, "l_partkey", "p_partkey", require_injection=False
+    probe = bloom_filtered_join(
+        spark, li, part, "l_partkey", "p_partkey",
+        require_injection=False, dry_run=True,
     )
-    if not out.bloom_injected:
-        out = bloom_filtered_join(
-            spark, li, part, "l_partkey", "p_partkey",
-            app_scan_threshold="0b", require_injection=False,
-        )
+    thr = "1KB" if probe.bloom_injected else "0b"
+    out = bloom_filtered_join(
+        spark, li, part, "l_partkey", "p_partkey",
+        app_scan_threshold=thr, require_injection=False,
+    )
     return out.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("rev").cast("double").alias("revenue"),
@@ -7633,6 +7649,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n,
                    true as cms_ok
             from events
+            where event_type is not null
             group by event_type
         """,
         "pagerank_doc_tree": """

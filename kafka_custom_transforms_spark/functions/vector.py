@@ -86,20 +86,24 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         )
         out = np.full(n, np.nan)
         if valid.any():
-            # Validate uniform lengths BEFORE np.stack: on ragged or
-            # mismatched-length pairs stack raises an opaque executor
-            # error, where the fold form degrades gracefully — name the
-            # offending lengths instead (r10 advice).
-            a_lens = {len(x) for x in av[valid]}
-            b_lens = {len(x) for x in bv[valid]}
-            if len(a_lens) > 1 or len(b_lens) > 1 or a_lens != b_lens:
+            try:
+                A = np.stack(av[valid].to_numpy()).astype(np.float64, copy=False)
+                B = np.stack(bv[valid].to_numpy()).astype(np.float64, copy=False)
+                if A.shape[1] != B.shape[1]:
+                    raise ValueError("length mismatch between sides")
+            except ValueError:
+                # Diagnostic path only: uniform batches never pay this
+                # scan (r11 advice — the eager pre-scan cost interpreter
+                # time per batch on the hot path). np.stack raises on
+                # ragged rows; the shape check catches uniform-but-unequal
+                # sides, which would otherwise IndexError mid-fold.
+                a_lens = {len(x) for x in av[valid]}
+                b_lens = {len(x) for x in bv[valid]}
                 raise ValueError(
                     "cosine_arrow: vector columns must be uniform, equal "
                     f"length within a batch; got lengths a={sorted(a_lens)} "
                     f"b={sorted(b_lens)}"
-                )
-            A = np.stack(av[valid].to_numpy()).astype(np.float64, copy=False)
-            B = np.stack(bv[valid].to_numpy()).astype(np.float64, copy=False)
+                ) from None
             dots = np.zeros(A.shape[0])
             na = np.zeros(A.shape[0])
             nb = np.zeros(A.shape[0])

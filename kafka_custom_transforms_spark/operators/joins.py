@@ -272,6 +272,7 @@ def bloom_filtered_join(
     *,
     app_scan_threshold: str = "1KB",
     require_injection: bool = True,
+    dry_run: bool = False,
 ) -> DataFrame:
     """Shuffle join executed with RUNTIME bloom-filter pushdown
     (InjectRuntimeFilter): the selective ``creation`` side builds a bloom
@@ -299,6 +300,15 @@ def bloom_filtered_join(
     heuristics that shift with scale factor, compression, and Spark
     version, and a declined optimization is still the CORRECT (just
     slower) plain join — degrading beats aborting the run.
+
+    ``dry_run=True`` stops after the optimizer probe: the returned frame
+    is the UNEXECUTED join (no localCheckpoint) carrying
+    ``.bloom_injected`` / ``.bloom_optimized_plan``, so callers can test
+    whether a threshold injects for the cost of one plan analysis and
+    only execute the variant they keep (r10 advice: the retry ladder
+    previously ran the full join once per declined attempt). Inspect
+    only — don't collect a dry-run frame: it would re-optimize OUTSIDE
+    the scoped confs, so the executed plan could differ from the probe.
     """
     from kafka_custom_transforms_spark.functions.skew import scoped_conf
 
@@ -315,13 +325,13 @@ def bloom_filtered_join(
             raise AssertionError(
                 "runtime bloom filter was not injected — check thresholds/join shape"
             )
-        if not injected:
+        if not injected and not dry_run:
             warnings.warn(
                 "bloom_filtered_join: runtime bloom filter was not injected; "
                 "executing the plain join (correct, unpruned)",
                 stacklevel=2,
             )
-        out = joined.localCheckpoint(eager=True)
+        out = joined if dry_run else joined.localCheckpoint(eager=True)
     out.bloom_optimized_plan = plan
     out.bloom_injected = injected
     return out
