@@ -278,11 +278,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    # Materialize the candidate set once: it is tiny (near-dup pairs), but
-    # lazily re-deriving it inside each verification join would recompute the
-    # whole signature pipeline per join branch; the checkpoint truncates the
-    # lineage so the verify stage reads only the materialized pairs.
-    cand = _materialize(cand, checkpoint)
+    # No eager checkpoint of cand: it appears exactly ONCE in the verify
+    # tree, and broadcast_cand evaluates it exactly once (the broadcast
+    # exchange collects it from the checkpointed sig, never re-running
+    # the signature pipeline). Dropping the eager job is a measured
+    # ~4% end-to-end win (r11 interleaved A/B, n=11: 1.265 vs 1.313 s
+    # medians at sf0.1). Two r11 NEGATIVE results pinned here so they
+    # are not retried: (1) replacing the banded self-join with
+    # groupBy(band,bh)+collect_list in-row pair expansion is a dead heat
+    # (1.751 vs 1.755) — AQE already reuses the single bucket shuffle
+    # stage across both self-join sides, so the join form ships no extra
+    # bytes; (2) fusing sets+sig into one (id, sh, sig) checkpoint LOSES
+    # (1.972 vs 1.762) — localCheckpoint reads don't column-prune, so
+    # every consumer drags the fat shingle arrays.
     return _verify_jaccard(sets, cand, threshold, broadcast_cand=True)
 
 

@@ -249,8 +249,16 @@ def lsh_topk_neighbors(
     cos_dim = _auto_cos_dim(base, dim, n_rows)
     bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)
     qb = hyperplane_buckets(queries, dim, id_col, vec_col, tables, bits_per_table)
+    # Broadcast the query-side buckets: queries are the small side by
+    # contract (same principle as topk_neighbors), so the base bucket
+    # frame NEVER shuffles — at cluster scale the bucket join moves only
+    # the ~|Q| x tables rows. Local sf0.1 A/B is neutral (1.732 vs
+    # 1.738 s medians, r11) — this is a scale-shape decision, not a
+    # microbench one. The cand->bvec join below is deliberately
+    # UNhinted: cand's size is corpus-dependent (hot buckets), and AQE
+    # reads its true post-distinct size at the shuffle boundary.
     cand = (
-        qb.alias("q")
+        F.broadcast(qb).alias("q")
         .join(bb.alias("b"), ["table", "bucket"])
         .filter(F.col("q.id") != F.col("b.id"))
         .select(F.col("q.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))

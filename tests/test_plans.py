@@ -116,6 +116,16 @@ def test_embedding_dedup_default_is_distributed(spark, sf_dir):
     assert "Scan ExistingRDD" not in plan, plan
 
 
+def test_lsh_topk_broadcasts_query_buckets(spark, sf_dir):
+    """The SRP-LSH bucket join must broadcast the query-side bucket frame
+    (queries are the small side by contract), so the base bucket frame
+    never shuffles — plus the existing query-vector broadcast in the
+    scoring join. r11: adopted as a scale-shape decision (local A/B
+    neutral); this pin keeps the base side shuffle-free."""
+    q = entry_mod.queries()["similarity_topk_lsh"](spark, sf_dir)
+    assert broadcast_join_count(q) >= 2
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from kafka_custom_transforms_spark.functions.skew import salted_agg
 
