@@ -3286,6 +3286,134 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap exact-distinct family (r11, functions/bitmap.py): the EXACT
+    mergeable complement of the HLL/KMV/theta/CMS sketch rows. Distinct
+    user_id per event_type is computed twice — directly
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count), and by building per-(type, day) bitmaps and OR-merging
+    them up (bitmap_or_agg) — and the row asserts the rollup is LOSSLESS,
+    the property that makes per-partition bitmap partials exact where
+    sketch merges are approximate. Scale: one shuffle on (group, bucket),
+    constant 4 KB state per cell, map-side partials; bucket count scales
+    with the KEY RANGE, not the row count. Partitioning invariance is
+    pinned in tests/test_bitmap.py. Oracle: plain count(distinct) +
+    literal true."""
+    from kafka_custom_transforms_spark.functions.bitmap import (
+        bucket_bitmaps, distinct_counts, merge_bitmaps)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    direct = distinct_counts(
+        bucket_bitmaps(ev, "user_id", ["event_type"]), ["event_type"], "n_exact"
+    )
+    daily = bucket_bitmaps(ev, "user_id", ["event_type", "day"])
+    merged = distinct_counts(
+        merge_bitmaps(daily, ["event_type"]), ["event_type"], "n_merged"
+    )
+    return direct.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("n_exact") == F.col("n_merged")).alias("merge_lossless"),
+    )
+
+
+def _listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg … WITHIN GROUP (ORDER BY …)`` — the new-in-4
+    ordered string aggregation surface (like the pipe-syntax row): one
+    CSV of supplier names per nation, deterministic because the
+    within-group sort totally orders the (unique) names. Dimension join
+    broadcasts nation. Oracle: DuckDB string_agg with the matching ORDER
+    BY — both engines sort ASCII names identically."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_name")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.expr(
+                "listagg(s_name, ',') within group (order by s_name)"
+            ).alias("suppliers_csv"),
+        )
+    )
+
+
+def _aes_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic column encryption joined to the pseudonymize family:
+    aes_encrypt in GCM with a FIXED IV (deterministic ciphertext, unlike
+    the default random IV) so every derived value is oracle-stable, and
+    AUTHENTICATED (unlike ECB) so a wrong-key try_aes_decrypt is
+    guaranteed NULL by the GCM tag check — ECB's PKCS padding would
+    false-positive ~0.4% of wrong-key decrypts into non-null garbage.
+    Pins per row: ciphertext length (GCM layout = 12-byte IV + plaintext
+    + 16-byte tag, pure arithmetic for the oracle), key roundtrip
+    identity, and key-rotation hygiene (old ciphertexts are unreadable
+    under the new key). Pure codegen expressions — encrypt-at-scale is
+    one map pass, no shuffle."""
+    k1, k2 = "0123456789abcdef", "fedcba9876543210"
+    iv = "000102030405060708090a0b"  # 12-byte GCM IV, hex
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ct = F.expr(f"aes_encrypt(c_name, '{k1}', 'GCM', 'DEFAULT', unhex('{iv}'))")
+    return cust.select(
+        "c_custkey",
+        F.length(ct).cast("long").alias("ct_len"),
+        (
+            F.expr(
+                f"cast(aes_decrypt(aes_encrypt(c_name, '{k1}', 'GCM', 'DEFAULT',"
+                f" unhex('{iv}')), '{k1}', 'GCM') as string)"
+            )
+            == F.col("c_name")
+        ).alias("roundtrip_ok"),
+        F.expr(
+            f"try_aes_decrypt(aes_encrypt(c_name, '{k1}', 'GCM', 'DEFAULT',"
+            f" unhex('{iv}')), '{k2}', 'GCM')"
+        ).isNull().alias("wrong_key_null"),
+    )
+
+
+def _tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-native block sampling: ``TABLESAMPLE (10 PERCENT) REPEATABLE
+    (42)`` — the Sample operator sits directly above the scan, so
+    sampling happens BEFORE any downstream work (the 100 TB property:
+    a 10% sample costs ~10% of the pipeline, which no post-hoc filter on
+    a computed column can promise). Unlike the md5-hash sampling rows
+    (sample_docs_hash / split_train_holdout — cross-engine reproducible
+    by VALUE), REPEATABLE's RNG is per-partition, so membership is only
+    stable for a fixed layout+session; this row therefore pins the
+    INVARIANTS, cms_ok-style: exact total (oracle-checked), sample size
+    inside +-5pp binomial bounds, sample ⊆ table, and same-seed
+    re-sample identity. All four are aggregates — no driver collect."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    o.createOrReplaceTempView("kcts_tablesample_orders")
+    samp = "select o_orderkey from kcts_tablesample_orders tablesample (10 percent) repeatable (42)"
+    s1, s2 = spark.sql(samp), spark.sql(samp)
+    total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_samp = s1.agg(F.count(F.lit(1)).alias("n_samp"))
+    outside = s1.join(o, "o_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_outside")
+    )
+    drift = (
+        s1.exceptAll(s2)
+        .unionByName(s2.exceptAll(s1))
+        .agg(F.count(F.lit(1)).alias("n_drift"))
+    )
+    return (
+        total.crossJoin(F.broadcast(n_samp))
+        .crossJoin(F.broadcast(outside))
+        .crossJoin(F.broadcast(drift))
+        .select(
+            "n_total",
+            F.col("n_samp").between(
+                F.lit(0.05) * F.col("n_total"), F.lit(0.15) * F.col("n_total")
+            ).alias("in_bounds"),
+            (F.col("n_outside") == 0).alias("subset_ok"),
+            (F.col("n_drift") == 0).alias("repeatable_ok"),
+        )
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -4435,9 +4563,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
 # rows. Round-11 rotation: the 30 remaining rows last recorded in r6
-# (registry order), then the first 7 rows last recorded in r7 (registry
-# order). New r11 rows displace the newest-recorded fills (the tail of
-# the r7 group) as they land.
+# (registry order), the 4 new r11 rows (never recorded — they displaced
+# the 4 newest-recorded fills, the tail of the r7 group), then the
+# first 3 rows last recorded in r7 (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4466,10 +4594,11 @@ CORRECTNESS_WINDOW = [
     "sql_udf_doc_quality", "sketch_user_churn", "approx_quantile_orders",
     "contract_orders", "events_gapfill_hourly", "sketch_merge_daily",
     "sql_scripting_rollup", "collated_type_counts", "partitioned_source_prune",
-    # least-recently-recorded re-records (r7, first 7 in registry order)
+    # round-11 new rows (never recorded — outrank re-records)
+    "bitmap_distinct_users", "listagg_nation_suppliers",
+    "aes_roundtrip_customers", "tablesample_orders",
+    # least-recently-recorded re-records (r7, first 3 in registry order)
     "orders_bulk_semi", "split_train_holdout", "daily_activity_full_outer",
-    "dense_topk_orders", "histogram_order_values", "stratified_fixed_n",
-    "user_type_counts_json",
 ]
 
 
@@ -4638,6 +4767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_orders": _approx_quantile_orders,
         "observed_orders_metrics": _observed_orders_metrics,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "bitmap_distinct_users": _bitmap_distinct_users,
+        "listagg_nation_suppliers": _listagg_nation_suppliers,
+        "aes_roundtrip_customers": _aes_roundtrip_customers,
+        "tablesample_orders": _tablesample_orders,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
@@ -7651,6 +7784,35 @@ def oracle_sql() -> dict[str, str]:
             from events
             where event_type is not null
             group by event_type
+        """,
+        "bitmap_distinct_users": """
+            select event_type,
+                   cast(count(distinct user_id) as bigint) as n_exact,
+                   true as merge_lossless
+            from events
+            where user_id is not null
+            group by event_type
+        """,
+        "listagg_nation_suppliers": """
+            select n_name,
+                   cast(count(*) as bigint) as n_suppliers,
+                   string_agg(s_name, ',' order by s_name) as suppliers_csv
+            from supplier join nation on s_nationkey = n_nationkey
+            group by n_name
+        """,
+        "aes_roundtrip_customers": """
+            select c_custkey,
+                   cast(strlen(c_name) + 28 as bigint) as ct_len,
+                   true as roundtrip_ok,
+                   true as wrong_key_null
+            from customer
+        """,
+        "tablesample_orders": """
+            select cast(count(*) as bigint) as n_total,
+                   true as in_bounds,
+                   true as subset_ok,
+                   true as repeatable_ok
+            from orders
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),

@@ -1,0 +1,70 @@
+"""Exact distinct counting over the bitmap aggregate family.
+
+The EXACT, mergeable complement of the approximate distinct sketches
+(HLL / KMV / theta): non-negative integer keys are bucketed
+(``bitmap_bucket_number``: 32768 bit positions per bucket), each
+(group, bucket) cell aggregates a fixed-size bitmap
+(``bitmap_construct_agg`` over ``bitmap_bit_position``), and the group's
+distinct count is the SUM of per-bucket popcounts (``bitmap_count``).
+Buckets of independently-built bitmaps OR-merge without loss
+(``bitmap_or_agg``) — bit-set union is idempotent and commutative — so
+per-partition / per-day partials roll up exactly, the property the
+approximate sketches can only deliver with error.
+
+Scale shape: one shuffle keyed on (groups…, bucket); state per cell is a
+constant 4 KB bitmap whatever the row count; map-side partial aggregation
+collapses repeats before the exchange. Key-space cost is proportional to
+the RANGE of the key (one bucket per occupied 32768-wide key window), not
+the row count — the right tool for dense surrogate-key domains; for
+unbounded/string domains use the sketches.
+
+No reference counterpart (the reference is 3 Kafka Connect SMTs —
+SURVEY.md §0); this extends the engine's sketch family per the driver
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["bucket_bitmaps", "distinct_counts", "merge_bitmaps"]
+
+_BUCKET = "_bm_bucket"
+_BM = "_bm_bits"
+
+
+def bucket_bitmaps(df: DataFrame, key: str, groups: list[str]) -> DataFrame:
+    """Per-(groups…, bucket) bitmap of the key's occupied bit positions.
+
+    NULL keys are excluded (a NULL contributes no bit, mirroring
+    count(distinct key)'s NULL semantics). The key must be integral and
+    non-negative — ``bitmap_bit_position`` is undefined below 0, so
+    negative keys raise at runtime under ANSI rather than aliasing."""
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(*groups, F.expr(f"bitmap_bucket_number({key})").alias(_BUCKET))
+        .agg(F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias(_BM))
+    )
+
+
+def distinct_counts(bitmaps: DataFrame, groups: list[str], alias: str = "n_distinct") -> DataFrame:
+    """Exact distinct count per group: sum of per-bucket popcounts.
+
+    Correct because bucket number and bit position partition the key
+    space — every distinct key sets exactly one bit in exactly one
+    bucket's bitmap."""
+    return (
+        bitmaps.groupBy(*groups)
+        .agg(F.sum(F.expr(f"bitmap_count({_BM})")).cast("long").alias(alias))
+    )
+
+
+def merge_bitmaps(bitmaps: DataFrame, groups: list[str]) -> DataFrame:
+    """OR-merge finer-grained bitmaps up to ``groups`` — exact rollup of
+    partials built per day / per partition / per source. Input must carry
+    the bucket column from :func:`bucket_bitmaps`; extra grouping columns
+    beyond ``groups`` are rolled away by the union."""
+    return (
+        bitmaps.groupBy(*groups, _BUCKET)
+        .agg(F.expr(f"bitmap_or_agg({_BM})").alias(_BM))
+    )
