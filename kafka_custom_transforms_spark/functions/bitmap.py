@@ -37,9 +37,11 @@ def bucket_bitmaps(df: DataFrame, key: str, groups: list[str]) -> DataFrame:
     """Per-(groups…, bucket) bitmap of the key's occupied bit positions.
 
     NULL keys are excluded (a NULL contributes no bit, mirroring
-    count(distinct key)'s NULL semantics). The key must be integral and
-    non-negative — ``bitmap_bit_position`` is undefined below 0, so
-    negative keys raise at runtime under ANSI rather than aliasing."""
+    count(distinct key)'s NULL semantics). The key must be integral;
+    negative keys are handled exactly — (bucket_number, bit_position) is
+    a bijection over the full long range (buckets <= 0 hold the negative
+    windows; verified empirically over [-50000, 50000) in
+    tests/test_bitmap.py)."""
     return (
         df.filter(F.col(key).isNotNull())
         .groupBy(*groups, F.expr(f"bitmap_bucket_number({key})").alias(_BUCKET))

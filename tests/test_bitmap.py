@@ -63,6 +63,17 @@ def test_bitmap_or_merge_is_lossless(spark):
     assert direct[("b",)] == 2
 
 
+def test_bitmap_exact_over_negative_keys(spark):
+    """(bucket_number, bit_position) is a bijection over the full long
+    range — negative keys land in buckets <= 0 without aliasing any
+    positive key's bit."""
+    df = spark.range(-50000, 50000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    df = df.unionAll(df)  # duplicates must collapse
+    assert _counts(df, "k", ["g"]) == {("g",): 100000}
+
+
 def test_bitmap_excludes_null_keys(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", None), ("a", 1), ("b", None)], "g string, k long"
