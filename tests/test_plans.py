@@ -643,6 +643,10 @@ def test_no_query_plan_contains_cartesian_product(spark, sf_dir):
         # triangle stats: three 1-row aggregates cross-joined into the
         # single summary row — bounded by construction
         "graph_triangles_cosupplier",
+        # tablesample invariants: four 1-row aggregates (total, sample
+        # size, subset check, repeat check) cross-joined into the single
+        # summary row — bounded by construction
+        "tablesample_orders",
     }
     SKIP = {
         n
