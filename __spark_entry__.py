@@ -686,9 +686,10 @@ def _stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies of one click are bit-identical rows. Do not copy this
     reconciliation onto a non-unique key: distinct would then merge
     genuinely different unmatched rows that share the key. The purchase
-    side is single-bucket, so its outer rows need no reconciliation. State on both sides stays bounded
-    by watermark + range at any scale; the reconciliation inputs are the
-    join's own outputs (never the raw streams)."""
+    side is single-bucket, so its outer rows need no reconciliation.
+    State on both sides stays bounded by watermark + range at any scale;
+    the reconciliation inputs are the join's own outputs (never the raw
+    streams)."""
     import tempfile
 
     from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
@@ -3294,9 +3295,11 @@ def _bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap_count), and by building per-(type, day) bitmaps and OR-merging
     them up (bitmap_or_agg) — and the row asserts the rollup is LOSSLESS,
     the property that makes per-partition bitmap partials exact where
-    sketch merges are approximate. Scale: one shuffle on (group, bucket),
-    constant 4 KB state per cell, map-side partials; bucket count scales
-    with the KEY RANGE, not the row count. Partitioning invariance is
+    sketch merges are approximate. Scale: per branch, one exchange on
+    (group, bucket) with map-side partial_bitmap_construct_agg plus one
+    group-level popcount-sum exchange; constant 4 KB state per cell;
+    bucket count scales with the KEY RANGE, not the row count (see
+    functions/bitmap.py + SCALE.md). Partitioning invariance is
     pinned in tests/test_bitmap.py. Oracle: plain count(distinct) +
     literal true."""
     from kafka_custom_transforms_spark.functions.bitmap import (

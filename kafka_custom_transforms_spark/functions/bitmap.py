@@ -25,7 +25,7 @@ mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["bucket_bitmaps", "distinct_counts", "merge_bitmaps"]
 
