@@ -1,6 +1,6 @@
 """Property-based tests (hypothesis): the JSON schemaless paths of
-drop_fields / hoist_field against independent pure-Python models, over
-arbitrary nested JSON objects."""
+drop_fields / hoist_field / to_json_string against independent pure-Python
+models, over arbitrary nested JSON objects and typed maps."""
 
 from __future__ import annotations
 
@@ -8,7 +8,7 @@ import json
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from kafka_custom_transforms_spark import drop_fields, hoist_field
+from kafka_custom_transforms_spark import drop_fields, hoist_field, to_json_string
 
 KEYS = st.sampled_from(["k1", "k2", "parent", "child", "x"])
 SCALARS = st.one_of(st.none(), st.integers(-1000, 1000), st.text(max_size=8))
@@ -64,3 +64,50 @@ def test_json_hoist_partition_matches_model(spark, objs):
     got = [json.loads(r.value) for r in hoist_field("magic", keep)(df).collect()]
     want = [_model_hoist(o, "magic", set(keep)) for o in objs]
     assert got == want
+
+
+# ---- to_json_string (J1/J3, StructuredSchemalessToJsonString.java:45-62) ----
+# Model: Jackson writeValueAsString on a Map is round-trippable JSON of the
+# same entries — so json.loads(Spark to_json(m)) must equal the input dict
+# exactly (nulls preserved, unicode/control chars escaped losslessly).
+
+MAP_KEYS = st.text(
+    st.characters(codec="utf-8", exclude_characters="\x00"), min_size=1, max_size=6
+)
+STR_VALS = st.one_of(
+    st.none(), st.text(st.characters(codec="utf-8", exclude_characters="\x00"), max_size=10)
+)
+LONG_LISTS = st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=4))
+INNER_MAPS = st.one_of(st.none(), st.dictionaries(MAP_KEYS, st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=3))
+
+
+def _roundtrip(spark, rows, ddl):
+    df = spark.createDataFrame([(m,) for m in rows], f"value {ddl}")
+    out = to_json_string()(df).collect()
+    return [None if r.value is None else json.loads(r.value) for r in out]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(maps=st.lists(st.dictionaries(MAP_KEYS, STR_VALS, max_size=4), min_size=1, max_size=4))
+def test_to_json_string_map_roundtrips_exactly(spark, maps):
+    assert _roundtrip(spark, maps, "map<string,string>") == maps
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(maps=st.lists(st.dictionaries(MAP_KEYS, LONG_LISTS, max_size=3), min_size=1, max_size=3))
+def test_to_json_string_array_values_roundtrip(spark, maps):
+    assert _roundtrip(spark, maps, "map<string,array<bigint>>") == maps
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(maps=st.lists(st.dictionaries(MAP_KEYS, INNER_MAPS, max_size=3), min_size=1, max_size=3))
+def test_to_json_string_nested_map_roundtrips(spark, maps):
+    assert _roundtrip(spark, maps, "map<string,map<string,bigint>>") == maps
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), min_size=1, max_size=5))
+def test_to_json_string_non_map_passthrough_identity(spark, vals):
+    # J3: schemaless non-Map values are returned untouched (:61)
+    df = spark.createDataFrame([(v,) for v in vals], "value bigint")
+    assert [r.value for r in to_json_string()(df).collect()] == vals
