@@ -1,0 +1,62 @@
+"""Oracle parity for the pre-staged round-12 registry candidates
+(tools/staging_r12.py) — the same normalize-and-compare as
+tests/test_oracle_parity.py, so lifting them into the registry next round
+is a no-risk move."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from staging_r12 import STAGED, STAGED_ORACLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_staged_rows_have_oracles_and_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    assert set(STAGED) == set(STAGED_ORACLES)
+    # staging means staging: the <=4-rows/round budget is enforced by
+    # keeping these OUT of the registry until the round-12 rotation commit
+    assert not set(STAGED) & set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, ddb, name):
+    sdf = STAGED[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(STAGED_ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    pd.testing.assert_frame_equal(_normalize(sdf), _normalize(odf))
