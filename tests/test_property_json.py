@@ -8,7 +8,12 @@ import json
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from kafka_custom_transforms_spark import drop_fields, hoist_field, to_json_string
+from kafka_custom_transforms_spark import (
+    drop_fields,
+    hoist_field,
+    to_json_string,
+    transform_chain,
+)
 
 KEYS = st.sampled_from(["k1", "k2", "parent", "child", "x"])
 SCALARS = st.one_of(st.none(), st.integers(-1000, 1000), st.text(max_size=8))
@@ -111,3 +116,23 @@ def test_to_json_string_non_map_passthrough_identity(spark, vals):
     # J3: schemaless non-Map values are returned untouched (:61)
     df = spark.createDataFrame([(v,) for v in vals], "value bigint")
     assert [r.value for r in to_json_string()(df).collect()] == vals
+
+
+# ---- transform chain (Connect `transforms=a,b,c`, README.md:13-15) ----
+# The deployed configuration is a CHAIN, not a single transform; pin that
+# composing drop -> hoist -> to_json on the JSON path equals composing the
+# pure-Python models (each operator must emit valid input for the next;
+# to_json_string is the J3 passthrough on an already-string column).
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(objs=st.lists(JSON_OBJS, min_size=1, max_size=5), paths=PATHS)
+def test_json_chain_matches_composed_models(spark, objs, paths):
+    keep = ["k1", "parent"]
+    chain = transform_chain(drop_fields(paths), hoist_field("magic", keep), to_json_string())
+    df = spark.createDataFrame([(json.dumps(o),) for o in objs], "value string")
+    got = [json.loads(r.value) for r in chain(df).collect()]
+    want = [
+        _model_hoist(_model_drop(o, "", set(paths)), "magic", set(keep)) for o in objs
+    ]
+    assert got == want
