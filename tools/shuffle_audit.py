@@ -79,11 +79,34 @@ def _totals(app_id: str) -> dict:
     return prev or _read_totals(app_id)
 
 
+def _audit(spark, app_id, queries, names, dirs):
+    """Per-query stage-metric deltas for each (label, sf_dir) in dirs."""
+    rows: dict[str, dict[str, dict]] = {}
+    for label, sf_dir in dirs:
+        for name in names:
+            before = _totals(app_id)
+            queries[name](spark, sf_dir).count()
+            after = _totals(app_id)
+            rows.setdefault(name, {})[label] = {k: after[k] - before[k] for k in before}
+            print(f"  {label} {name}: "
+                  f"in {rows[name][label]['input_rows']} rows "
+                  f"shuf {rows[name][label]['shuffle_write']/1e6:.2f}MB",
+                  file=sys.stderr)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sfs", default="sf0.01,sf0.1")
     ap.add_argument("--out", default="SHUFFLE.md")
     ap.add_argument("--queries", default="", help="comma list; default = bench engine rows")
+    ap.add_argument(
+        "--x10",
+        action="store_true",
+        help="append a beyond-bench section: the scale_stress x10 replica "
+        "vs sf0.1 for the stress query set (generates /tmp/stress_x10 if "
+        "missing)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -111,22 +134,10 @@ def main() -> None:
     app_id = _rest("/api/v1/applications")[0]["id"]
     queries = entry_mod.queries()
 
-    rows: dict[str, dict[str, dict]] = {}
     wall0 = time.time()
     sfs = args.sfs.split(",")
-    for sf in sfs:
-        sf_dir = f"/root/testdata/{sf}"
-        for name in names:
-            before = _totals(app_id)
-            queries[name](spark, sf_dir).count()
-            after = _totals(app_id)
-            rows.setdefault(name, {})[sf] = {
-                k: after[k] - before[k] for k in before
-            }
-            print(f"  {sf} {name}: "
-                  f"in {rows[name][sf]['input_rows']} rows "
-                  f"shuf {rows[name][sf]['shuffle_write']/1e6:.2f}MB",
-                  file=sys.stderr)
+    rows = _audit(spark, app_id, queries, names,
+                  [(sf, f"/root/testdata/{sf}") for sf in sfs])
 
     mb = lambda b: b / 1e6  # noqa: E731
     lines = [
@@ -199,6 +210,64 @@ def main() -> None:
             + ", ".join(f"`{n}`" for n in no_shuffle)
             + "."
         )
+    x10_summary = None
+    if args.x10:
+        from pathlib import Path
+
+        from scale_stress import STRESS_QUERIES, _gen_dataset
+
+        outdir = Path("/tmp/stress_x10")
+        if not (outdir / "embeddings.parquet").exists():
+            gen = _gen_dataset(10, outdir)
+            print(f"  x10 replica generated in {gen:.1f}s", file=sys.stderr)
+        srows = _audit(spark, app_id, queries, list(STRESS_QUERIES),
+                       [("x1", "/root/testdata/sf0.1"), ("x10", str(outdir))])
+        lines += [
+            "",
+            "## Beyond bench: the scale_stress x10 replica (50k docs / 6M lineitem)",
+            "",
+            "Same audit over STRESS.md's decorrelated x10 tables — the byte "
+            "view of that wall-time curve. `similarity_topk` is the "
+            "brute-force yardstick whose COMPUTE grows ~K^2 (44.5x wall in "
+            "STRESS.md); its SHUFFLE stays linear because the quadratic work "
+            "is map-side scoring against a broadcast query set — quadratic "
+            "compute with linear data movement is exactly what a "
+            "scale-out-able exact baseline should look like.",
+            "",
+            "Growth above 10x here is map-side-combine SATURATION, not "
+            "super-linear movement. q18 groups lineitem by l_orderkey (~4 "
+            "rows per group): at x1 the partial aggregate emits ~1 record "
+            "per group (147k, perfect combine); at x10 the per-task "
+            "distinct-key count overflows the partial hash map, which "
+            "degrades to pass-through by contract (5.3M records ≈ the 6M-row "
+            "input — verified on the exchange's own SQLMetrics). The "
+            "exchange is bounded by INPUT rows, so growth is linear past "
+            "the saturation point; when a 1x-input shuffle matters at "
+            "cluster scale, the fix is bucketing the fact table on the "
+            "group key (SCALE.md). Ratios on sub-0.1MB bases "
+            "(q1_pricing_summary: 6 groups x per-task partial rows) are "
+            "floor noise.",
+            "",
+            "| query | input Mrows @x10 | shuffle MB @x10 | growth x1->x10 |",
+            "|---|---|---|---|",
+        ]
+        for name in STRESS_QUERIES:
+            big, small = srows[name]["x10"], srows[name]["x1"]
+            growth = (
+                f"{big['shuffle_write'] / small['shuffle_write']:.1f}x"
+                if small["shuffle_write"]
+                else "0 at x1"
+            )
+            lines.append(
+                f"| {name} | {big['input_rows']/1e6:.2f} "
+                f"| {mb(big['shuffle_write']):.2f} | {growth} |"
+            )
+        x10_summary = {
+            n: round(srows[n]["x10"]["shuffle_write"]
+                     / max(srows[n]["x1"]["shuffle_write"], 1), 2)
+            for n in STRESS_QUERIES
+        }
+
     lines += [
         "",
         f"Wall: {time.time() - wall0:.1f}s, single sample per cell (byte "
@@ -219,6 +288,8 @@ def main() -> None:
             sf: round(sum(rows[n][sf]["input_rows"] for n in names) / 1e6, 2) for sf in sfs
         },
     }
+    if x10_summary is not None:
+        summary["x10_shuffle_growth"] = x10_summary
     print(json.dumps(summary))
     spark.stop()
 
