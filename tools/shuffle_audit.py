@@ -41,20 +41,22 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-UI_PORT = 4099
+UI_PORT = 4099  # requested start port; Spark may bind +1.. if taken
+UI_BASE = f"http://127.0.0.1:{UI_PORT}"  # rebound from sc.uiWebUrl in main()
 
 
 def _rest(path: str):
-    with urllib.request.urlopen(f"http://127.0.0.1:{UI_PORT}{path}", timeout=10) as r:
+    with urllib.request.urlopen(f"{UI_BASE}{path}", timeout=10) as r:
         return json.loads(r.read())
 
 
 def _read_totals(app_id: str) -> dict:
-    out = {"input_rows": 0, "shuffle_write": 0, "shuffle_records": 0}
+    out = {"input_rows": 0, "shuffle_write": 0, "shuffle_records": 0, "spill": 0}
     for st in _rest(f"/api/v1/applications/{app_id}/stages?status=complete"):
         out["input_rows"] += st.get("inputRecords", 0)
         out["shuffle_write"] += st.get("shuffleWriteBytes", 0)
         out["shuffle_records"] += st.get("shuffleWriteRecords", 0)
+        out["spill"] += st.get("memoryBytesSpilled", 0) + st.get("diskBytesSpilled", 0)
     return out
 
 
@@ -131,6 +133,13 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # If UI_PORT was taken, Spark bound the next free port — querying the
+    # configured port would silently read a DIFFERENT app's metrics. The
+    # context's own uiWebUrl is authoritative for the PORT; keep loopback
+    # for the host (uiWebUrl advertises the hostname, and this box only
+    # resolves loopback reliably).
+    global UI_BASE
+    UI_BASE = "http://127.0.0.1:" + spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
     app_id = _rest("/api/v1/applications")[0]["id"]
     queries = entry_mod.queries()
 
@@ -203,6 +212,19 @@ def main() -> None:
         "growth — collision pairs scale with bucket occupancy, bounded by "
         "the band/row trade-off, not a hidden quadratic.",
     ]
+    spill_total = sum(
+        rows[n][sf]["spill"] for n in names for sf in sfs
+    )
+    lines.append(
+        f"- Spill across every query at every scale: "
+        f"{spill_total/1e6:.1f} MB"
+        + (
+            " — zero; no operator exceeds executor memory at these sizes, "
+            "and partition sizing (SCALE.md) keeps it that way at 100 TB."
+            if spill_total == 0
+            else " (memory+disk, see per-query logs)."
+        )
+    )
     if no_shuffle:
         lines.append(
             f"- {len(no_shuffle)} rows shuffle ZERO bytes at either scale "
