@@ -33,6 +33,7 @@ DuckDB oracles compare exactly (no float formatting in the hashed output).
 from __future__ import annotations
 
 import functools
+import itertools
 from collections.abc import Callable, Sequence
 
 import pandas as pd
@@ -613,6 +614,25 @@ def simhash_signatures_wide(
     )
 
 
+def _and_band_layout(total_bits: int, bits_per_long: int, chunks: int) -> list:
+    """Partition ``total_bits`` into ``chunks`` contiguous slices that never
+    span a long boundary: (long_idx, shift, width) per slice.  Slice counts
+    are split across longs proportionally, widths as evenly as the per-long
+    budget allows — pigeonhole needs disjoint coverage, not equal widths."""
+    n_longs = total_bits // bits_per_long
+    base, extra = divmod(chunks, n_longs)
+    out = []
+    for li in range(n_longs):
+        n_slices = base + (1 if li < extra else 0)
+        wbase, wextra = divmod(bits_per_long, n_slices)
+        off = 0
+        for s in range(n_slices):
+            wdt = wbase + (1 if s < wextra else 0)
+            out.append((li, off, wdt))
+            off += wdt
+    return out
+
+
 def simhash_pairs_wide(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -624,6 +644,7 @@ def simhash_pairs_wide(
     chunks: int = 16,
     checkpoint: str = "local",
     shingler: str = "arrow",
+    band_and: int = 1,
 ) -> DataFrame:
     """Pairs with wide-SimHash hamming distance <= max_hamming — the scale
     variant of :func:`simhash_pairs` (SCALE.md: wide signatures cut slice-
@@ -642,14 +663,21 @@ def simhash_pairs_wide(
     The sf0.01 corpus margin is wide (true pairs at hamming <= 13, nearest
     non-pair at 34), so max_hamming=15 reproduces the 60-bit result set
     there exactly.
+
+    ``band_and=2`` is the corpus-scale dial for the SAME result set: band on
+    all C(c,2) chunk PAIRS with c = max_hamming + 2 slices, so hamming <=
+    c-2 = max_hamming still pigeonhole-guarantees a matching band — recall
+    stays exact while a random collision needs ~13 agreeing bits instead
+    of 7.  Measured on the decorrelated x30 stress replica (150k docs,
+    r11): candidate tuples drop 1.45B -> 197M (7.4x, and the ratio is a
+    constant factor on the n^2 term) for an 8.5x LINEAR band-row cost
+    (2.4M -> 20.4M rows).  The default stays 1: below ~50k docs the
+    C(17,2)=136-struct band explode costs more in plan compile than the
+    collision term it removes (the r10 fresh-query lesson), and the
+    registry row runs at 5k docs.
     """
-    if max_hamming >= chunks:
-        raise ValueError("pigeonhole requires max_hamming < chunks")
-    if chunks % n_longs or bits_per_long % (chunks // n_longs):
-        raise ValueError("chunks must split evenly across the signature longs")
-    per_long = chunks // n_longs
-    w = bits_per_long // per_long
-    mask = (1 << w) - 1
+    if band_and not in (1, 2):
+        raise ValueError("band_and must be 1 (OR banding) or 2 (chunk-pair AND banding)")
     sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     # Signature form follows the shingler trade-off flag (same rule as the
     # MinHash pipeline): 'arrow' uses the shuffle-free per-doc map form,
@@ -657,33 +685,68 @@ def simhash_pairs_wide(
     wide_sig = simhash_signatures_wide_map if shingler == "arrow" else simhash_signatures_wide
     sigs = _materialize(wide_sig(sets, bits_per_long, n_longs), checkpoint)
     sig_names = [f"sig{i}" for i in range(n_longs)]
-    slices = sigs.select(
-        "id",
-        *sig_names,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i * per_long + c).alias("chunk"),
-                        F.shiftright(F.col(f"sig{i}"), c * w)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("sv"),
-                    )
-                    for i in range(n_longs)
-                    for c in range(per_long)
-                ]
-            )
-        ).alias("cs"),
-    ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
     ham = functools.reduce(
         lambda acc, name: acc
         + F.bit_count(F.col(f"a.{name}").bitwiseXOR(F.col(f"b.{name}"))),
         sig_names[1:],
         F.bit_count(F.col(f"a.{sig_names[0]}").bitwiseXOR(F.col(f"b.{sig_names[0]}"))),
     )
+
+    if band_and == 2:
+        # c slices such that missing up to max_hamming of them still leaves
+        # TWO intact: hamming <= c-2 <=> some chunk-pair band matches.
+        c = max_hamming + 2
+        layout = _and_band_layout(bits_per_long * n_longs, bits_per_long, c)
+        max_w = max(wdt for _, _, wdt in layout)
+        sv = [
+            F.shiftright(F.col(f"sig{li}"), off).bitwiseAND(F.lit((1 << wdt) - 1))
+            for li, off, wdt in layout
+        ]
+        bands = sigs.select(
+            "id",
+            *sig_names,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i * c + j).alias("chunk"),
+                            (sv[i].cast("long") * F.lit(1 << max_w) + sv[j].cast("long")).alias("sv"),
+                        )
+                        for i, j in itertools.combinations(range(c), 2)
+                    ]
+                )
+            ).alias("cs"),
+        ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
+    else:
+        if max_hamming >= chunks:
+            raise ValueError("pigeonhole requires max_hamming < chunks")
+        if chunks % n_longs or bits_per_long % (chunks // n_longs):
+            raise ValueError("chunks must split evenly across the signature longs")
+        per_long = chunks // n_longs
+        w = bits_per_long // per_long
+        mask = (1 << w) - 1
+        bands = sigs.select(
+            "id",
+            *sig_names,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i * per_long + cc).alias("chunk"),
+                            F.shiftright(F.col(f"sig{i}"), cc * w)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("sv"),
+                        )
+                        for i in range(n_longs)
+                        for cc in range(per_long)
+                    ]
+                )
+            ).alias("cs"),
+        ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
+
     return (
-        slices.alias("a")
-        .join(slices.alias("b"), ["chunk", "sv"])
+        bands.alias("a")
+        .join(bands.alias("b"), ["chunk", "sv"])
         .filter((F.col("a.id") < F.col("b.id")) & (ham <= F.lit(max_hamming)))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()

@@ -411,6 +411,52 @@ def test_simhash_wide_validates_config(docs):
         dedup.simhash_pairs_wide(docs, max_hamming=16, chunks=16)
     with pytest.raises(ValueError, match="split evenly"):
         dedup.simhash_pairs_wide(docs, max_hamming=10, chunks=15)
+    with pytest.raises(ValueError, match="band_and"):
+        dedup.simhash_pairs_wide(docs, band_and=3)
+
+
+def test_simhash_wide_and_banding_same_pairs(docs):
+    """band_and=2 (chunk-pair AND banding, the corpus-scale dial) must
+    return EXACTLY the OR-banding pair set: c = max_hamming + 2 slices
+    keeps the pigeonhole guarantee tight (hamming <= c-2), so recall is
+    exact by construction, not by data margin."""
+    or_pairs = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=15, chunks=16))
+    and_pairs = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=15, band_and=2))
+    assert and_pairs == or_pairs
+    assert len(and_pairs) > 0
+
+
+def test_and_band_layout_covers_bits_disjointly():
+    """The chunk-pair layout must partition every signature bit exactly
+    once, never span a long, and (pigeonhole) leave >= 2 intact slices —
+    hence a matching band — for ANY 15-bit corruption."""
+    import random
+
+    layout = dedup._and_band_layout(112, 56, 17)
+    assert len(layout) == 17
+    per_long = {}
+    for li, off, wdt in layout:
+        assert off + wdt <= 56
+        per_long.setdefault(li, []).append((off, wdt))
+    for li, slices in per_long.items():
+        covered = sorted(slices)
+        pos = 0
+        for off, wdt in covered:
+            assert off == pos  # contiguous, disjoint
+            pos += wdt
+        assert pos == 56  # full coverage
+
+    # pigeonhole at the tight boundary: flip EXACTLY 15 bits, assert at
+    # least two slices stay intact (=> some chunk-pair band key matches)
+    rng = random.Random(7)
+    for _ in range(200):
+        flipped = set(rng.sample(range(112), 15))
+        intact = sum(
+            1
+            for li, off, wdt in layout
+            if not any((li * 56 + off) <= b < (li * 56 + off + wdt) for b in flipped)
+        )
+        assert intact >= 2
 
 
 def test_shingle_udf_matches_expression(spark, sf_dir):

@@ -80,7 +80,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
     con.execute(
         f"""
         copy (
-          select d.doc_id + c.c * {DOC_OFF} as doc_id,
+          select d.doc_id + cast(c.c as bigint) * {DOC_OFF} as doc_id,
                  case when c.c = 0 then d.text
                       else array_to_string(
                              list_transform(string_split(d.text, ' '),
@@ -100,7 +100,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
     con.execute(
         f"""
         copy (
-          select * replace (l_orderkey + c.c * {KEY_OFF} as l_orderkey)
+          select * replace (l_orderkey + cast(c.c as bigint) * {KEY_OFF} as l_orderkey)
           from read_parquet('{SRC}/lineitem.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/lineitem.parquet' (format parquet)
@@ -109,8 +109,8 @@ def _gen_dataset(k: int, outdir: Path) -> float:
     con.execute(
         f"""
         copy (
-          select * replace (o_orderkey + c.c * {KEY_OFF} as o_orderkey,
-                            o_custkey + c.c * {KEY_OFF} as o_custkey)
+          select * replace (o_orderkey + cast(c.c as bigint) * {KEY_OFF} as o_orderkey,
+                            o_custkey + cast(c.c as bigint) * {KEY_OFF} as o_custkey)
           from read_parquet('{SRC}/orders.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/orders.parquet' (format parquet)
@@ -119,7 +119,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
     con.execute(
         f"""
         copy (
-          select * replace (c_custkey + c.c * {KEY_OFF} as c_custkey)
+          select * replace (c_custkey + cast(c.c as bigint) * {KEY_OFF} as c_custkey)
           from read_parquet('{SRC}/customer.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/customer.parquet' (format parquet)
