@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import math
 from collections.abc import Callable, Sequence
 
 import pandas as pd
@@ -766,6 +767,57 @@ def _derive_n_blocks(n_rows: int, dim: int, task_mem_bytes: int) -> int:
     return max(1, math.ceil(2 * n_rows * dim * 8 / max(task_mem_bytes, 1)))
 
 
+def plan_srp_lsh(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_occupancy: int = 128,
+    max_tables: int = 64,
+    max_bits: int = 24,
+) -> tuple[int, int]:
+    """(tables, bits_per_table) for SRP-LSH sized to the corpus AND the
+    threshold — the planning step that makes the >2M-row dispatch honestly
+    sub-quadratic.
+
+    Fixed bucket bits are a hidden quadratic: candidate tuples grow
+    ~tables * n^2 / 2^bits, so any constant ``bits`` is overwhelmed by a
+    growing corpus (the simhash x30 measurement in SCALE.md is the same
+    failure mode).  Sizing:
+
+    - ``bits = ceil(log2(n / target_occupancy))`` keeps per-table bucket
+      occupancy constant, making candidates ~tables * occupancy * n / 2 —
+      LINEAR in n.
+    - SRP per-bit agreement for a pair exactly at the threshold is
+      p = 1 - arccos(threshold)/pi (worst case over qualifying pairs), so
+      per-table collision is p^bits and ``tables`` must satisfy
+      1 - (1 - p^bits)^tables >= target_recall.
+
+    Low thresholds make SRP physically weak (p -> 0.5), and no table count
+    rescues recall at high bits: the function raises with guidance instead
+    of silently returning a configuration that is either quadratic or
+    near-zero-recall.  Exactness note: recall applies to CANDIDATES; the
+    verify stage keeps precision 1.0 regardless.
+    """
+    if not 0 < target_recall < 1:
+        raise ValueError("plan_srp_lsh: target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
+    if bits > max_bits:
+        bits = max_bits  # 2^24 buckets: occupancy grows again past ~2e9 rows
+    per_table = p**bits
+    # tables needed so that missing a qualifying pair in EVERY table is rare
+    if per_table <= 0 or (needed := math.log1p(-target_recall) / math.log1p(-per_table)) > max_tables:
+        raise ValueError(
+            f"plan_srp_lsh: SRP-LSH cannot reach recall {target_recall} at "
+            f"threshold {threshold} for {n_rows} rows (per-bit agreement "
+            f"p={p:.3f}, per-table p^{bits}={per_table:.2e} would need "
+            f"{math.inf if per_table <= 0 else math.ceil(needed)} tables > "
+            f"{max_tables}). Use method='block' (exact, quadratic compute) "
+            "or raise the threshold."
+        )
+    return max(1, math.ceil(needed)), bits
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -777,6 +829,9 @@ def embedding_dup_pairs(
     max_broadcast_rows: int = 1_000_000,
     auto_lsh_rows: int = 2_000_000,
     task_mem_bytes: int = 64 << 20,
+    lsh_tables: int | None = None,
+    lsh_bits: int | None = None,
+    lsh_target_recall: float = 0.9,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (a_id, b_id), a_id < b_id.
 
@@ -821,6 +876,11 @@ def embedding_dup_pairs(
     (similarity.hyperplane_buckets) verified with the exact JVM cosine —
     use when the corpus has a real similarity gap (recall at per-bit
     agreement p is 1-(1-p^bits)^tables per pair; exact only above the gap).
+    ``lsh_tables``/``lsh_bits`` default to :func:`plan_srp_lsh`: bits sized
+    to the corpus (constant bucket occupancy -> linear candidates), tables
+    to the threshold's per-bit agreement (>= ``lsh_target_recall``). A
+    threshold too low for SRP raises with guidance instead of silently
+    shipping a quadratic or near-zero-recall configuration.
 
     ``method="join"``: pure-JVM broadcast nested-loop self-join with the
     unrolled cosine expression — no Python anywhere, but broadcasts the
@@ -834,6 +894,7 @@ def embedding_dup_pairs(
     id_sql_type = df.schema[id_col].dataType.simpleString()
     pair_schema = f"a_id {id_sql_type}, b_id {id_sql_type}"
 
+    n_rows: int | None = None
     if method == "auto":
         n_rows = vecs.count()
         if n_rows > auto_lsh_rows:
@@ -862,7 +923,15 @@ def embedding_dup_pairs(
 
         if dim is None:
             raise ValueError("embedding_dup_pairs: method='lsh' requires dim")
-        buckets = hyperplane_buckets(df, dim, id_col, vec_col, tables=12, bits_per_table=8)
+        if lsh_tables is None or lsh_bits is None:
+            planned = plan_srp_lsh(
+                n_rows if n_rows is not None else vecs.count(), threshold, lsh_target_recall
+            )
+            lsh_tables = lsh_tables if lsh_tables is not None else planned[0]
+            lsh_bits = lsh_bits if lsh_bits is not None else planned[1]
+        buckets = hyperplane_buckets(
+            df, dim, id_col, vec_col, tables=lsh_tables, bits_per_table=lsh_bits
+        )
         cand = (
             buckets.alias("a")
             .join(buckets.alias("b"), ["table", "bucket"])

@@ -132,6 +132,57 @@ def test_embedding_auto_dispatch(emb):
     assert len(above) > 0 and set(above) <= set(exact)  # lsh: exact precision
 
 
+def test_plan_srp_lsh_is_linear_and_recall_bounded():
+    """The SRP planner must keep per-table bucket occupancy bounded (the
+    anti-quadratic property fixed bits lack) and hit the target recall
+    under the SRP collision model, across corpus sizes and thresholds."""
+    import math
+
+    for n in (10_000, 2_000_000, 50_000_000, 2_000_000_000):
+        for thr in (0.9, 0.95, 0.99):
+            if (n, thr) == (2_000_000_000, 0.9):
+                # genuine physical limit: p^24 = 0.024 needs 96 tables —
+                # the guardrail (64) correctly refuses rather than
+                # shipping it silently
+                with pytest.raises(ValueError, match="method='block'"):
+                    dedup.plan_srp_lsh(n, thr, target_recall=0.9)
+                continue
+            tables, bits = dedup.plan_srp_lsh(n, thr, target_recall=0.9)
+            p = 1 - math.acos(thr) / math.pi
+            model_recall = 1 - (1 - p**bits) ** tables
+            assert model_recall >= 0.9 - 1e-9, (n, thr, tables, bits)
+            # occupancy bounded (within 2x of the target; the bits cap at
+            # 2^24 only loosens this beyond ~2e9 rows)
+            if bits < 24:
+                assert n / 2**bits <= 256, (n, thr, bits)
+            assert tables <= 64
+
+
+def test_plan_srp_lsh_refuses_infeasible_threshold():
+    """Low thresholds make SRP physically weak at scale: the planner must
+    raise with block/threshold guidance, never silently return a quadratic
+    or near-zero-recall configuration."""
+    with pytest.raises(ValueError, match="method='block'"):
+        dedup.plan_srp_lsh(5_000_000, 0.45)
+
+
+def test_embedding_lsh_planned_finds_planted_duplicate(spark):
+    """Wiring: method='lsh' with planner defaults. An exactly duplicated
+    vector collides in EVERY table (per-bit agreement 1), so the planted
+    pair must be found at any planned configuration; output stays a subset
+    of the exact pair set (verify keeps precision 1.0)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, list(rows[0][1])))  # planted exact duplicate of id 0
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = _pairs(dedup.embedding_dup_pairs(df, threshold=0.95, dim=8, method="lsh"))
+    exact = _pairs(dedup.embedding_dup_pairs(df, threshold=0.95, dim=8, method="join"))
+    assert (0, 99) in got
+    assert set(got) <= set(exact)
+
+
 def test_derive_n_blocks_formula():
     """n_blocks follows the two-blocks-per-task memory formula and never
     exceeds what memory requires (replication is n x n_blocks rows)."""
