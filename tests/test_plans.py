@@ -177,6 +177,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert j.count() == plain
 
 
+def test_bucketed_aggregation_has_no_exchange(spark, sf_dir):
+    """Aggregation on the bucket key must need ZERO Exchange nodes — the
+    bucketed scan already provides the required distribution. This is the
+    prescribed fix for map-side-combine saturation on high-cardinality
+    group keys (the measured q18 byte step in SHUFFLE.md / SURVEY §8):
+    bucketing the fact table turns the ~input-sized shuffle into none."""
+    import tempfile
+
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+    from kafka_custom_transforms_spark.sources.bucketing import write_bucketed_table
+
+    d = tempfile.mkdtemp(prefix="kcts-bucketed-agg-test-")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(li, "kcts_bucketed_agg_li", ["l_orderkey"], 4, f"{d}/li")
+    agg = (
+        spark.table("kcts_bucketed_agg_li")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = plan_str(agg)
+    assert "Exchange" not in plan  # distribution satisfied by bucketing
+    plain = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).count()
+    )
+    assert agg.count() == plain
+
+
 def test_repetition_stats_is_shuffle_free(spark, sf_dir):
     """Gopher repetition filters are pure per-row expressions: the plan
     must contain no Exchange and stay in whole-stage codegen territory."""
