@@ -621,6 +621,11 @@ def _and_band_layout(total_bits: int, bits_per_long: int, chunks: int) -> list:
     are split across longs proportionally, widths as evenly as the per-long
     budget allows — pigeonhole needs disjoint coverage, not equal widths."""
     n_longs = total_bits // bits_per_long
+    if chunks < n_longs:
+        raise ValueError(
+            f"_and_band_layout: need at least one slice per signature long "
+            f"(chunks={chunks} < n_longs={n_longs})"
+        )
     base, extra = divmod(chunks, n_longs)
     out = []
     for li in range(n_longs):
@@ -642,7 +647,7 @@ def simhash_pairs_wide(
     bits_per_long: int = 56,
     n_longs: int = 2,
     max_hamming: int = 15,
-    chunks: int = 16,
+    chunks: int | None = None,
     checkpoint: str = "local",
     shingler: str = "arrow",
     band_and: int = 1,
@@ -679,6 +684,13 @@ def simhash_pairs_wide(
     """
     if band_and not in (1, 2):
         raise ValueError("band_and must be 1 (OR banding) or 2 (chunk-pair AND banding)")
+    if band_and == 2 and chunks is not None:
+        raise ValueError(
+            "chunks is not used with band_and=2 (the slice count is fixed at "
+            "c = max_hamming + 2 to keep the pigeonhole guarantee tight)"
+        )
+    if chunks is None:
+        chunks = 16
     sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     # Signature form follows the shingler trade-off flag (same rule as the
     # MinHash pipeline): 'arrow' uses the shuffle-free per-doc map form,
@@ -698,11 +710,14 @@ def simhash_pairs_wide(
         # TWO intact: hamming <= c-2 <=> some chunk-pair band matches.
         c = max_hamming + 2
         layout = _and_band_layout(bits_per_long * n_longs, bits_per_long, c)
-        max_w = max(wdt for _, _, wdt in layout)
         sv = [
             F.shiftright(F.col(f"sig{li}"), off).bitwiseAND(F.lit((1 << wdt) - 1))
             for li, off, wdt in layout
         ]
+        # The two slice values stay SEPARATE join columns: packing them into
+        # one long (sv_i * 2^max_w + sv_j) overflows 64 bits whenever a slice
+        # is >= 32 bits wide (small max_hamming -> few, wide slices), which
+        # ANSI mode turns into a runtime SparkArithmeticException.
         bands = sigs.select(
             "id",
             *sig_names,
@@ -711,13 +726,19 @@ def simhash_pairs_wide(
                     *[
                         F.struct(
                             F.lit(i * c + j).alias("chunk"),
-                            (sv[i].cast("long") * F.lit(1 << max_w) + sv[j].cast("long")).alias("sv"),
+                            sv[i].alias("sv"),
+                            sv[j].alias("sv2"),
                         )
                         for i, j in itertools.combinations(range(c), 2)
                     ]
                 )
             ).alias("cs"),
-        ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
+        ).select(
+            "id", *sig_names,
+            F.col("cs.chunk").alias("chunk"),
+            F.col("cs.sv").alias("sv"),
+            F.col("cs.sv2").alias("sv2"),
+        )
     else:
         if max_hamming >= chunks:
             raise ValueError("pigeonhole requires max_hamming < chunks")
@@ -745,9 +766,10 @@ def simhash_pairs_wide(
             ).alias("cs"),
         ).select("id", *sig_names, F.col("cs.chunk").alias("chunk"), F.col("cs.sv").alias("sv"))
 
+    join_keys = ["chunk", "sv", "sv2"] if band_and == 2 else ["chunk", "sv"]
     return (
         bands.alias("a")
-        .join(bands.alias("b"), ["chunk", "sv"])
+        .join(bands.alias("b"), join_keys)
         .filter((F.col("a.id") < F.col("b.id")) & (ham <= F.lit(max_hamming)))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
@@ -774,6 +796,7 @@ def plan_srp_lsh(
     target_occupancy: int = 128,
     max_tables: int = 64,
     max_bits: int = 24,
+    bits: int | None = None,
 ) -> tuple[int, int]:
     """(tables, bits_per_table) for SRP-LSH sized to the corpus AND the
     threshold — the planning step that makes the >2M-row dispatch honestly
@@ -797,13 +820,19 @@ def plan_srp_lsh(
     of silently returning a configuration that is either quadratic or
     near-zero-recall.  Exactness note: recall applies to CANDIDATES; the
     verify stage keeps precision 1.0 regardless.
+
+    ``bits`` overrides the occupancy-derived slice width; tables are then
+    sized for THAT width, so a caller pinning bits still gets the recall
+    target (or an explicit infeasibility error), never a silently
+    mismatched table count.
     """
     if not 0 < target_recall < 1:
         raise ValueError("plan_srp_lsh: target_recall must be in (0, 1)")
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
-    if bits > max_bits:
-        bits = max_bits  # 2^24 buckets: occupancy grows again past ~2e9 rows
+    if bits is None:
+        bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
+        if bits > max_bits:
+            bits = max_bits  # 2^24 buckets: occupancy grows again past ~2e9 rows
     per_table = p**bits
     # tables needed so that missing a qualifying pair in EVERY table is rare
     if per_table <= 0 or (needed := math.log1p(-target_recall) / math.log1p(-per_table)) > max_tables:
@@ -924,8 +953,15 @@ def embedding_dup_pairs(
         if dim is None:
             raise ValueError("embedding_dup_pairs: method='lsh' requires dim")
         if lsh_tables is None or lsh_bits is None:
+            # Resolve bits first (occupancy, or the user's override), then
+            # tables FOR THOSE BITS (recall): a user-supplied lsh_bits with
+            # planner tables sized for different bits would silently break
+            # the recall target.
             planned = plan_srp_lsh(
-                n_rows if n_rows is not None else vecs.count(), threshold, lsh_target_recall
+                n_rows if n_rows is not None else vecs.count(),
+                threshold,
+                lsh_target_recall,
+                bits=lsh_bits,
             )
             lsh_tables = lsh_tables if lsh_tables is not None else planned[0]
             lsh_bits = lsh_bits if lsh_bits is not None else planned[1]

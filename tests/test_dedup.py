@@ -166,6 +166,22 @@ def test_plan_srp_lsh_refuses_infeasible_threshold():
         dedup.plan_srp_lsh(5_000_000, 0.45)
 
 
+def test_plan_srp_lsh_bits_override_keeps_recall_consistent():
+    """A caller pinning bits must get a table count sized for THOSE bits —
+    planner tables computed for different bits would silently break the
+    recall target. Infeasible pinned bits raise instead."""
+    import math
+
+    for pinned in (16, 24):
+        tables, bits = dedup.plan_srp_lsh(2_000_000, 0.95, bits=pinned)
+        assert bits == pinned
+        p = 1 - math.acos(0.95) / math.pi
+        assert 1 - (1 - p**bits) ** tables >= 0.9 - 1e-9, (pinned, tables)
+    # threshold 0.9 at pinned bits=24 needs ~96 tables — over the guardrail
+    with pytest.raises(ValueError, match="method='block'"):
+        dedup.plan_srp_lsh(2_000_000, 0.9, bits=24)
+
+
 def test_embedding_lsh_planned_finds_planted_duplicate(spark):
     """Wiring: method='lsh' with planner defaults. An exactly duplicated
     vector collides in EVERY table (per-bit agreement 1), so the planted
@@ -475,6 +491,25 @@ def test_simhash_wide_and_banding_same_pairs(docs):
     and_pairs = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=15, band_and=2))
     assert and_pairs == or_pairs
     assert len(and_pairs) > 0
+
+
+def test_simhash_wide_and_banding_wide_slices_no_overflow(docs):
+    """max_hamming=1 gives c=3 slices up to 56 bits wide: the band keys must
+    join as two separate columns (a packed sv_i*2^w + sv_j key overflows
+    64 bits under ANSI mode for any slice >= 32 bits). Equality with the
+    OR form still holds at this threshold."""
+    or_pairs = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=1, chunks=16))
+    and_pairs = _pairs(dedup.simhash_pairs_wide(docs, max_hamming=1, band_and=2))
+    assert and_pairs == or_pairs
+
+
+def test_simhash_wide_and_banding_rejects_chunks(docs):
+    """band_and=2 fixes the slice count at c = max_hamming + 2; a
+    user-supplied chunks value must raise, not be silently ignored."""
+    with pytest.raises(ValueError, match="chunks is not used"):
+        dedup.simhash_pairs_wide(docs, max_hamming=15, chunks=16, band_and=2)
+    with pytest.raises(ValueError, match="at least one slice per signature long"):
+        dedup._and_band_layout(112, 56, 1)
 
 
 def test_and_band_layout_covers_bits_disjointly():

@@ -188,20 +188,30 @@ def main() -> None:
         for n in names
         if rows[n][sfs[0]]["shuffle_write"]
     }
-    worst = max(growths, key=growths.get)
-    wg = growths[worst]
-    above = {n: g for n, g in sorted(growths.items(), key=lambda kv: -kv[1]) if g > 11.0}
+    if growths:
+        worst = max(growths, key=growths.get)
+        wg = growths[worst]
+        above = {n: g for n, g in sorted(growths.items(), key=lambda kv: -kv[1]) if g > 11.0}
+        growth_line = (
+            "- Rows above ~11x growth over the 10x step (10-11x is linear "
+            "within shuffle-compression and AQE partition-count variance): "
+            + (
+                ", ".join(f"`{n}` {g:.1f}x" for n, g in above.items())
+                or f"none (worst: `{worst}` at {wg:.1f}x)"
+            )
+            + "."
+        )
+    else:
+        worst, wg = None, None
+        growth_line = (
+            "- No audited row shuffled any bytes at the small scale factor — "
+            "growth ratios are undefined for this query subset."
+        )
     lines += [
         "",
         "## Reading",
         "",
-        "- Rows above ~11x growth over the 10x step (10-11x is linear within "
-        "shuffle-compression and AQE partition-count variance): "
-        + (
-            ", ".join(f"`{n}` {g:.1f}x" for n, g in above.items())
-            or f"none (worst: `{worst}` at {wg:.1f}x)"
-        )
-        + ".",
+        growth_line,
         "- Queries with shuffle-rows/input-rows well under 1 are "
         "map-side-combined or broadcast-joined: the scan dominates and the "
         "exchange carries only aggregates/survivors — exactly the 100 TB "
@@ -302,7 +312,7 @@ def main() -> None:
         "metric": "shuffle_audit",
         "sfs": sfs,
         "worst_growth_query": worst,
-        "worst_growth": round(wg, 2),
+        "worst_growth": round(wg, 2) if wg is not None else None,
         "total_shuffle_mb": {
             sf: round(sum(mb(rows[n][sf]["shuffle_write"]) for n in names), 1) for sf in sfs
         },

@@ -48,10 +48,11 @@ def recursive_cte_doc_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The loop join matches children by their COMPUTED PARENT id, not by an
 # OR over the two child ids: `child = 2p+1 OR child = 2p+2` plans as a
 # nested-loop join per iteration (O(frontier x table)), while
-# `parent(child) = p` is a plain hash-joinable equi-join.  The cast form
-# of floor-div is portable (Spark and DuckDB both return double for
-# integer `/`, and cast truncates; ids are far below 2^53 so the double
-# is exact).
+# `parent(child) = p` is a plain hash-joinable equi-join.  floor() is
+# explicit because bare CAST diverges between engines: Spark truncates
+# double->bigint while DuckDB rounds half-to-even (child 4: parent 1 vs
+# 2), so `cast((id-1)/2 as bigint)` is NOT portable; cast(floor(...)) is
+# (ids are far below 2^53, the double division is exact).
 _RECURSIVE_SQL = """
 WITH RECURSIVE walk (doc_id, depth) AS (
   SELECT doc_id, 0 FROM {docs} WHERE doc_id = 0
@@ -59,7 +60,7 @@ WITH RECURSIVE walk (doc_id, depth) AS (
   SELECT d.doc_id, w.depth + 1
   FROM walk w
   JOIN {docs} d
-    ON d.doc_id >= 1 AND CAST((d.doc_id - 1) / 2 AS BIGINT) = w.doc_id
+    ON d.doc_id >= 1 AND CAST(floor((d.doc_id - 1) / 2) AS BIGINT) = w.doc_id
 )
 SELECT w.depth AS depth,
        cast(count(*) AS bigint)       AS n_docs,
