@@ -3301,11 +3301,16 @@ def _bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket count scales with the KEY RANGE, not the row count (see
     functions/bitmap.py + SCALE.md). Partitioning invariance is
     pinned in tests/test_bitmap.py. Oracle: plain count(distinct) +
-    literal true."""
+    literal true. NULL event_type is filtered up front (mirrored in the
+    oracle): the final direct-vs-merged equi-join would silently drop a
+    NULL group that both aggregation branches kept — the same null-key
+    hazard the CMS row guards against."""
     from kafka_custom_transforms_spark.functions.bitmap import (
         bucket_bitmaps, distinct_counts, merge_bitmaps)
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    ).select(
         "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     direct = distinct_counts(
@@ -3387,11 +3392,15 @@ def _tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable for a fixed layout+session; this row therefore pins the
     INVARIANTS, cms_ok-style: exact total (oracle-checked), sample size
     inside +-5pp binomial bounds, sample ⊆ table, and same-seed
-    re-sample identity. All four are aggregates — no driver collect."""
+    re-sample identity. All four are aggregates — no driver collect.
+    s1 is localCheckpoint-ed so the identity check compares two genuine
+    EXECUTIONS of the sample: two plan-identical subtrees in one query
+    share a ReusedExchange, which would compare the sample with itself
+    and make repeatable_ok vacuously true."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     o.createOrReplaceTempView("kcts_tablesample_orders")
     samp = "select o_orderkey from kcts_tablesample_orders tablesample (10 percent) repeatable (42)"
-    s1, s2 = spark.sql(samp), spark.sql(samp)
+    s1, s2 = spark.sql(samp).localCheckpoint(), spark.sql(samp)
     total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     n_samp = s1.agg(F.count(F.lit(1)).alias("n_samp"))
     outside = s1.join(o, "o_orderkey", "left_anti").agg(
@@ -7793,7 +7802,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct user_id) as bigint) as n_exact,
                    true as merge_lossless
             from events
-            where user_id is not null
+            where user_id is not null and event_type is not null
             group by event_type
         """,
         "listagg_nation_suppliers": """

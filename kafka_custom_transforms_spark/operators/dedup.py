@@ -350,7 +350,11 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against full sets.
     ``broadcast_cand`` hints the (tiny) pair set into both joins — used by
-    the MinHash path, whose candidates have already been materialized."""
+    the MinHash path. Caller contract: ``cand`` is consumed ONCE here (the
+    broadcast build evaluates it a single time); a caller adding a second
+    consumer must materialize it first or the banded self-join upstream
+    re-executes per consumer (the r11 eager-checkpoint removal relies on
+    this single-use property)."""
     c = F.broadcast(cand) if broadcast_cand else cand
     return (
         sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))

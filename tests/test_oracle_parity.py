@@ -7,18 +7,17 @@ Uses sf0.001 for speed; the driver runs the same comparison at sf0.01.
 
 from __future__ import annotations
 
-import math
+import sys
 
 import duckdb
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
+sys.path.insert(0, "/root/repo/tools")
+from parity_common import TABLES, normalize as _normalize  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
 
 
 @pytest.fixture(scope="module")
@@ -28,21 +27,6 @@ def ddb():
         con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
     yield con
     con.close()
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # canonical string form per cell: exact for ints/strings; floats use repr
-    # (bit-identical floats produce identical reprs)
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return repr(v)
-        return str(v)
-
-    out = df.map(cell)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
 QUERIES = sorted(entry_mod.queries())

@@ -5,7 +5,6 @@ is a no-risk move."""
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -13,12 +12,10 @@ import pandas as pd
 import pytest
 
 sys.path.insert(0, "/root/repo/tools")
+from parity_common import TABLES, normalize as _normalize  # noqa: E402
 from staging_r12 import STAGED, STAGED_ORACLES  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
 
 
 @pytest.fixture(scope="module")
@@ -28,20 +25,6 @@ def ddb():
         con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
     yield con
     con.close()
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return repr(v)
-        return str(v)
-
-    out = df.map(cell)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
 def test_staged_rows_have_oracles_and_are_not_registered():

@@ -23,35 +23,16 @@ survive the container, so it is now a committed tool (SURVEY §10).
 from __future__ import annotations
 
 import json
-import math
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return repr(v)
-        return str(v)
-
-    out = df.map(cell)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
-        drop=True
-    )
+from parity_common import TABLES, normalize as _normalize  # noqa: E402
 
 
 def main(argv: list[str]) -> int:

@@ -180,7 +180,7 @@ def _write_report(
         "once data-bound.",
         "",
         "| query | " + " | ".join(f"x{k} s" for k in ks)
-        + f" | x{kN}/x{k0} ratio (ideal <= {kN // k0}) |",
+        + f" | x{kN}/x{k0} ratio (ideal <= {kN / k0:g}) |",
         "|---|" + "---|" * (len(ks) + 1),
     ]
     ratios: dict[str, float] = {}
@@ -203,7 +203,7 @@ def _write_report(
         "## Reading",
         "",
         f"- Largest non-yardstick growth: {worst_q} at {non_yard[worst_q]}x "
-        f"over the {kN // k0}x data step — every bucketed/partitioned "
+        f"over the {kN / k0:g}x data step — every bucketed/partitioned "
         "operator stays at-or-below linear while per-query fixed overhead "
         "(plan compile, Python worker round-trips) amortizes.",
         f"- The ANN payoff, measured: brute-force top-k {bfN:.1f}s vs IVF "
@@ -244,7 +244,7 @@ def main() -> int:
             f"steal_cores={saved['steal_cores']}, "
             f"wall={saved['wall_sec']}s, gen_secs={saved['gen_secs']}."
         )
-        _write_report(args.out, ks, medians, 3, telemetry)
+        _write_report(args.out, ks, medians, saved.get("samples", args.samples), telemetry)
         return 0
 
     ks = [int(x) for x in args.ks.split(",")]
@@ -299,6 +299,7 @@ def main() -> int:
             {
                 "metric": "scale_stress",
                 "ks": ks,
+                "samples": args.samples,
                 "medians": medians,
                 "gen_secs": {str(k): round(v, 1) for k, v in gen_secs.items()},
                 "steal_cores": steal_cores,
