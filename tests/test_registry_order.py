@@ -126,3 +126,23 @@ def test_no_duplicate_keys_and_all_callable():
     assert len(q) == len(set(q))
     assert all(callable(v) for v in q.values())
     assert len(set(entry_mod.CORRECTNESS_WINDOW)) == 50
+
+
+def test_rotate_window_tool_agrees_with_committed_window():
+    """tools/rotate_window.py must select exactly the committed window's
+    row SET for the current round (intra-window order beyond the SMT
+    prefix is free) — the tool and these guards encode the same rule, and
+    this pin catches them drifting apart."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "rotate_window.py"),
+         str(entry_mod.CORRECTNESS_WINDOW_ROUND)],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    ns: dict = {}
+    exec(out, ns)  # the tool prints executable Python
+    assert ns["CORRECTNESS_WINDOW_ROUND"] == entry_mod.CORRECTNESS_WINDOW_ROUND
+    assert set(ns["CORRECTNESS_WINDOW"]) == set(entry_mod.CORRECTNESS_WINDOW)
+    assert ns["CORRECTNESS_WINDOW"][:13] == SMT_CORE
