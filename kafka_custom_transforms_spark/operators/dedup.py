@@ -837,6 +837,19 @@ def plan_srp_lsh(
         bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
         if bits > max_bits:
             bits = max_bits  # 2^24 buckets: occupancy grows again past ~2e9 rows
+    else:
+        # Pinned bits get the SAME anti-quadratic contract as derived ones:
+        # a tiny pin (few, huge buckets) is exactly the silent quadratic
+        # this planner exists to refuse.
+        if not 1 <= bits <= 62:
+            raise ValueError(f"plan_srp_lsh: bits must be in [1, 62], got {bits}")
+        if n_rows / 2**bits > 16 * target_occupancy:
+            raise ValueError(
+                f"plan_srp_lsh: pinned bits={bits} leaves per-table bucket "
+                f"occupancy ~{n_rows / 2**bits:.0f} at {n_rows} rows "
+                f"(> 16x the {target_occupancy} target) — candidates would "
+                "be ~quadratic. Raise bits or drop the pin."
+            )
     per_table = p**bits
     # tables needed so that missing a qualifying pair in EVERY table is rare
     if per_table <= 0 or (needed := math.log1p(-target_recall) / math.log1p(-per_table)) > max_tables:

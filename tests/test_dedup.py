@@ -745,3 +745,14 @@ def test_map_forms_fail_loudly_on_bad_inputs(spark):
     unreduced = lambda col: F.transform(col, lambda s: F.xxhash64(s))  # no pmod
     with pytest.raises(Exception, match="MERSENNE_P"):
         texthash.minhash_signature_map(sets, perms, base_hashes=unreduced).collect()
+
+
+def test_plan_srp_lsh_validates_pinned_bits():
+    """Pinned bits get the same anti-quadratic contract as derived ones:
+    out-of-range pins raise a clear error (not a bare math domain error),
+    and a tiny pin whose buckets would make candidates ~quadratic is
+    refused rather than silently returned."""
+    with pytest.raises(ValueError, match=r"bits must be in \[1, 62\]"):
+        dedup.plan_srp_lsh(2_000_000, 0.95, bits=0)
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup.plan_srp_lsh(2_000_000, 0.95, bits=1)

@@ -7,6 +7,7 @@ Uses sf0.001 for speed; the driver runs the same comparison at sf0.01.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -14,7 +15,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 from parity_common import TABLES, normalize as _normalize  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -7,13 +7,15 @@ the least-recently-recorded rows (the round-7 rotation closed the
 never-recorded backlog, so re-records are the steady state from here)."""
 
 import glob
-import json
 import os
 import re
+import sys
 
 import __spark_entry__ as entry_mod
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from rotate_window import last_recorded as _tool_last_recorded  # noqa: E402
 
 SMT_CORE = [
     "smt_drop_struct", "smt_drop_subtree", "smt_drop_json_schema",
@@ -26,29 +28,19 @@ SMT_CORE = [
 
 def _last_recorded() -> dict[str, int]:
     """Map each query name to the newest round whose committed
-    CORRECTNESS_r*.json contains it.
-
-    The record whose round number EQUALS ``CORRECTNESS_WINDOW_ROUND`` is
-    excluded: that file is the record OF the current window (the driver
-    writes it after the builder pins the window), not a staleness
-    signal. The exclusion is keyed on the round NUMBER, not key-set
-    equality, so a window left unrotated (and its round marker unbumped)
-    is caught as soon as the next round's record lands: that record's
-    round differs from the stale marker, so it counts, and the window's
-    fill rows are suddenly the MOST-recently-recorded rows — failing
+    CORRECTNESS_r*.json contains it — shared with tools/rotate_window.py
+    (one implementation; a drift between the tool and these guards is
+    impossible by construction). The record whose round number EQUALS
+    ``CORRECTNESS_WINDOW_ROUND`` is excluded: that file is the record OF
+    the current window (the driver writes it after the builder pins the
+    window), not a staleness signal. The exclusion is keyed on the round
+    NUMBER, not key-set equality, so a window left unrotated (and its
+    round marker unbumped) is caught as soon as the next round's record
+    lands: that record's round differs from the stale marker, so it
+    counts, and the window's fill rows are suddenly the MOST-recently-
+    recorded rows — failing
     ``test_window_fill_rows_are_least_recently_recorded`` below."""
-    last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m is None:
-            continue  # suffixed files (e.g. *_repro) are not driver records
-        rnum = int(m.group(1))
-        if rnum == entry_mod.CORRECTNESS_WINDOW_ROUND:
-            continue  # this round's own record
-        with open(path) as f:
-            for key in json.load(f):
-                last[key] = max(last.get(key, 0), rnum)
-    return last
+    return _tool_last_recorded(entry_mod.CORRECTNESS_WINDOW_ROUND)
 
 
 def test_window_is_the_first_50_keys():

@@ -5,13 +5,14 @@ is a no-risk move."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 from parity_common import TABLES, normalize as _normalize  # noqa: E402
 from staging_r12 import STAGED, STAGED_ORACLES  # noqa: E402
 
