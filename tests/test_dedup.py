@@ -756,3 +756,54 @@ def test_plan_srp_lsh_validates_pinned_bits():
         dedup.plan_srp_lsh(2_000_000, 0.95, bits=0)
     with pytest.raises(ValueError, match="quadratic"):
         dedup.plan_srp_lsh(2_000_000, 0.95, bits=1)
+
+
+def test_and_band_layout_pigeonhole_property():
+    """Generalize the c=17 layout pin: for ANY max_hamming in [1, 20], the
+    c = max_hamming + 2 layout must partition all 112 bits disjointly
+    without spanning a long, and any exactly-max_hamming-bit corruption
+    must leave >= 2 intact slices (the AND-banding recall guarantee at its
+    tight boundary)."""
+    import random
+
+    rng = random.Random(11)
+    for mh in range(1, 21):
+        c = mh + 2
+        layout = dedup._and_band_layout(112, 56, c)
+        assert len(layout) == c
+        per_long: dict[int, int] = {}
+        for li, off, wdt in layout:
+            assert 0 < wdt and off + wdt <= 56
+            per_long[li] = per_long.get(li, 0) + wdt
+        assert per_long == {0: 56, 1: 56}
+        for _ in range(50):
+            flipped = set(rng.sample(range(112), mh))
+            intact = sum(
+                1
+                for li, off, wdt in layout
+                if not any(li * 56 + off <= b < li * 56 + off + wdt for b in flipped)
+            )
+            assert intact >= 2, (mh, sorted(flipped))
+
+
+def test_plan_srp_lsh_contract_property():
+    """Over random (n, threshold, target_recall): the planner either raises
+    a guidance ValueError or returns a configuration that meets the recall
+    target under the SRP model with bounded tables and sane bits — never a
+    silent contract violation."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    for _ in range(300):
+        n = rng.randrange(100, 3_000_000_000)
+        thr = rng.uniform(0.3, 0.999)
+        recall = rng.uniform(0.5, 0.99)
+        try:
+            tables, bits = dedup.plan_srp_lsh(n, thr, target_recall=recall)
+        except ValueError as e:
+            assert "method='block'" in str(e)
+            continue
+        assert 1 <= tables <= 64 and 4 <= bits <= 24
+        p = 1 - math.acos(thr) / math.pi
+        assert 1 - (1 - p**bits) ** tables >= recall - 1e-9
