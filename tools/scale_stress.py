@@ -164,7 +164,9 @@ def _write_report(
     medians: dict[int, dict[str, float]],
     samples: int,
     telemetry: str,
+    queries: list[str] | None = None,
 ) -> None:
+    queries = list(queries) if queries else list(STRESS_QUERIES)
     k0, kN = ks[0], ks[-1]
     lines = [
         "# STRESS — wall time beyond bench scale "
@@ -184,7 +186,7 @@ def _write_report(
         "|---|" + "---|" * (len(ks) + 1),
     ]
     ratios: dict[str, float] = {}
-    for q in STRESS_QUERIES:
+    for q in queries:
         vals = [medians[k][q] for k in ks]
         ratios[q] = round(vals[-1] / vals[0], 1) if vals[0] else float("nan")
         lines.append(
@@ -192,33 +194,36 @@ def _write_report(
             + f" | {ratios[q]}x |"
         )
     non_yard = {q: r for q, r in ratios.items() if q != "similarity_topk"}
-    worst_q = max(non_yard, key=non_yard.get)
-    bf0, bfN = medians[k0]["similarity_topk"], medians[kN]["similarity_topk"]
-    ivf0, ivfN = (
-        medians[k0]["similarity_topk_ivf"],
-        medians[kN]["similarity_topk_ivf"],
-    )
-    lines += [
-        "",
-        "## Reading",
-        "",
-        f"- Largest non-yardstick growth: {worst_q} at {non_yard[worst_q]}x "
-        f"over the {kN / k0:g}x data step — every bucketed/partitioned "
-        "operator stays at-or-below linear while per-query fixed overhead "
-        "(plan compile, Python worker round-trips) amortizes.",
-        f"- The ANN payoff, measured: brute-force top-k {bfN:.1f}s vs IVF "
-        f"{ivfN:.1f}s at x{kN} ({bfN / ivfN:.1f}x), up from "
-        f"{bf0 / ivf0:.1f}x at x{k0}. The gap widens exactly as designed — "
-        "IVF scores ~n_probe/sqrt(n) of the corpus per query while the "
-        "exact baseline scores all of it, and the query set grows with "
-        "the corpus (vec_id % 50).",
-        f"- dedup_exact is flat ({ratios['dedup_exact']}x): the min_by "
-        "partial aggregation collapses map-side, so the shuffle carries "
-        "only group survivors regardless of input size.",
-        "",
-        f"Telemetry: {telemetry}",
-        "",
-    ]
+    lines += ["", "## Reading", ""]
+    if non_yard:
+        worst_q = max(non_yard, key=non_yard.get)
+        lines.append(
+            f"- Largest non-yardstick growth: {worst_q} at {non_yard[worst_q]}x "
+            f"over the {kN / k0:g}x data step — every bucketed/partitioned "
+            "operator stays at-or-below linear while per-query fixed overhead "
+            "(plan compile, Python worker round-trips) amortizes."
+        )
+    if "similarity_topk" in queries and "similarity_topk_ivf" in queries:
+        bf0, bfN = medians[k0]["similarity_topk"], medians[kN]["similarity_topk"]
+        ivf0, ivfN = (
+            medians[k0]["similarity_topk_ivf"],
+            medians[kN]["similarity_topk_ivf"],
+        )
+        lines.append(
+            f"- The ANN payoff, measured: brute-force top-k {bfN:.1f}s vs IVF "
+            f"{ivfN:.1f}s at x{kN} ({bfN / ivfN:.1f}x), up from "
+            f"{bf0 / ivf0:.1f}x at x{k0}. The gap widens exactly as designed — "
+            "IVF scores ~n_probe/sqrt(n) of the corpus per query while the "
+            "exact baseline scores all of it, and the query set grows with "
+            "the corpus (vec_id % 50)."
+        )
+    if "dedup_exact" in queries:
+        lines.append(
+            f"- dedup_exact is flat ({ratios['dedup_exact']}x): the min_by "
+            "partial aggregation collapses map-side, so the shuffle carries "
+            "only group survivors regardless of input size."
+        )
+    lines += ["", f"Telemetry: {telemetry}", ""]
     Path(out).write_text("\n".join(lines))
 
 
@@ -227,6 +232,12 @@ def main() -> int:
     ap.add_argument("--ks", default="1,3,10")
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--out", default="STRESS.md")
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma list overriding the default stress set (ad-hoc A/Bs at "
+        "replica scale used to need throwaway scripts for this)",
+    )
     ap.add_argument(
         "--from-json",
         dest="from_json",
@@ -244,10 +255,14 @@ def main() -> int:
             f"steal_cores={saved['steal_cores']}, "
             f"wall={saved['wall_sec']}s, gen_secs={saved['gen_secs']}."
         )
-        _write_report(args.out, ks, medians, saved.get("samples", args.samples), telemetry)
+        _write_report(
+            args.out, ks, medians, saved.get("samples", args.samples), telemetry,
+            queries=saved.get("queries"),
+        )
         return 0
 
     ks = [int(x) for x in args.ks.split(",")]
+    stress_queries = args.queries.split(",") if args.queries else list(STRESS_QUERIES)
 
     import bench as bench_mod  # telemetry helpers (same process conventions)
     import __spark_entry__ as entry_mod
@@ -269,9 +284,9 @@ def main() -> int:
         else:
             gen_secs[k] = 0.0
         print(f"x{k}: dataset ready ({gen_secs[k]:.1f}s gen)", file=sys.stderr)
-        res: dict[str, list[float]] = {q: [] for q in STRESS_QUERIES}
+        res: dict[str, list[float]] = {q: [] for q in stress_queries}
         for rnd in range(args.samples + 1):
-            for name in STRESS_QUERIES:
+            for name in stress_queries:
                 t0 = time.time()
                 queries[name](spark, str(outdir)).count()
                 dt = time.time() - t0
@@ -293,13 +308,14 @@ def main() -> int:
         f"wall={round(wall, 1)}s, "
         f"gen_secs={ {k: round(v, 1) for k, v in gen_secs.items()} }."
     )
-    _write_report(args.out, ks, medians, args.samples, telemetry)
+    _write_report(args.out, ks, medians, args.samples, telemetry, queries=stress_queries)
     print(
         json.dumps(
             {
                 "metric": "scale_stress",
                 "ks": ks,
                 "samples": args.samples,
+                "queries": stress_queries,
                 "medians": medians,
                 "gen_secs": {str(k): round(v, 1) for k, v in gen_secs.items()},
                 "steal_cores": steal_cores,
