@@ -7,7 +7,8 @@ lift these verbatim.
 Each entry mirrors the registry contract exactly: a ``(spark, sf_dir) ->
 DataFrame`` callable plus a DuckDB oracle SQL string with matching column
 names.  ``tests/test_staging_r12.py`` runs the same normalize-and-compare
-as ``tests/test_oracle_parity.py`` at sf0.001.
+as ``tests/test_oracle_parity.py`` at sf0.001; all four were additionally
+verified at the driver's gate scale, sf0.01, late r11 (4/4 OK).
 
 Staged rows (all surfaces absent from the current 195):
   - recursive_cte_doc_depth  — Spark 4 ``WITH RECURSIVE`` (new SQL surface,
