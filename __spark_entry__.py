@@ -3426,6 +3426,103 @@ def _tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The recursive-CTE loop join matches children by their COMPUTED PARENT
+# id, not by an OR over the two child ids: `child = 2p+1 OR child = 2p+2`
+# plans as a nested-loop join per iteration (O(frontier x table)), while
+# `parent(child) = p` is a plain hash-joinable equi-join.  floor() is
+# explicit because bare CAST diverges between engines: Spark truncates
+# double->bigint while DuckDB rounds half-to-even (child 4: parent 1 vs
+# 2), so `cast((id-1)/2 as bigint)` is NOT portable; cast(floor(...)) is
+# (ids are far below 2^53, the double division is exact).
+_RECURSIVE_DEPTH_SQL = """
+WITH RECURSIVE walk (doc_id, depth) AS (
+  SELECT doc_id, 0 FROM {docs} WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, w.depth + 1
+  FROM walk w
+  JOIN {docs} d
+    ON d.doc_id >= 1 AND CAST(floor((d.doc_id - 1) / 2) AS BIGINT) = w.doc_id
+)
+SELECT w.depth AS depth,
+       cast(count(*) AS bigint)       AS n_docs,
+       cast(sum(d.n_chars) AS bigint) AS sum_chars
+FROM walk w JOIN {docs} d ON d.doc_id = w.doc_id
+GROUP BY w.depth
+"""
+
+
+def _recursive_cte_doc_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram of the implicit binary doc tree (i -> 2i+1, 2i+2;
+    the same tree as pagerank_doc_tree) via Spark 4 recursive CTE — the
+    new-in-4 iterative SQL surface (like the pipe-syntax row).  The
+    recursion is a bounded iterative equi-join (log2(N) rounds); each
+    round shuffles only the frontier, not the full table.  DuckDB runs
+    the identical WITH RECURSIVE statement as the oracle."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("kcts_docs_rec")
+    return spark.sql(_RECURSIVE_DEPTH_SQL.format(docs="kcts_docs_rec"))
+
+
+def _approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4.1's approx_top_k sketch.  maxItemsTracked
+    (10000) far exceeds the key cardinality, so every tracked count is
+    exact and the top-k boundary is tie-free on this data — the oracle is
+    the exact GROUP BY top-k.  Scale shape: one partial/final aggregate
+    pair, sketch size O(maxItemsTracked) per partition regardless of row
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    hit = sk.select(F.explode("tk").alias("h"))
+    return hit.select(
+        F.col("h.item").alias("event_type"),
+        F.col("h.count").cast("long").alias("cnt"),
+    )
+
+
+def _order_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per return flag: mode(l_linenumber) (tie-free:
+    linenumber 1 exists in every order, strictly most frequent) and the
+    discrete quantiles of l_quantity.  percentile_disc selects actual data
+    values — no interpolation arithmetic — so cross-engine equality is
+    exact; one shuffle on the group key.  The oracle re-derives
+    percentile_disc's documented convention (smallest value with
+    cume_dist >= q) with a window, NOT DuckDB quantile_disc, whose
+    floor(q*(n-1)) indexing diverges at e.g. n=10, q=0.75."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("kcts_li_stats")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               cast(mode(l_linenumber) AS bigint) AS mode_linenumber,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS q50_qty,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75_qty
+        FROM kcts_li_stats
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def _phrase_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over an inverted index: posexplode the corpus into
+    (doc_id, pos, word) postings, filter the two posting lists, and join
+    on adjacency (same doc, pos+1).  Both sides co-partition on doc_id —
+    one shuffle each, then a local sort-merge; per-doc hit count and first
+    position.  At 100 TB the postings frame is the materialization point
+    (bucket by doc_id); stopword terms skew the term-filtered sides, not
+    the join key."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    a = words.filter(F.col("w") == "table").select("doc_id", F.col("pos").alias("p0"))
+    b = words.filter(F.col("w") == "scan").select("doc_id", F.col("pos").alias("p1"))
+    hits = a.join(b, (a.doc_id == b.doc_id) & (b.p1 == a.p0 + 1)).select(a.doc_id, "p0")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -4574,10 +4671,10 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-11 rotation: the 30 remaining rows last recorded in r6
-# (registry order), the 4 new r11 rows (never recorded — they displaced
-# the 4 newest-recorded fills, the tail of the r7 group), then the
-# first 3 rows last recorded in r7 (registry order).
+# rows. Round-12 rotation: the 4 new r12 rows (never recorded, lifted
+# from tools/staging_r12.py where they were pre-verified at sf0.001 and
+# sf0.01 during r11), then the next 33 rows last recorded in r7
+# (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -4586,7 +4683,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 11
+CORRECTNESS_WINDOW_ROUND = 12
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4595,22 +4692,21 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # least-recently-recorded re-records (r6, remaining 30 in registry order)
-    "docs_tree_rollup", "lateral_top_orders", "stream_outer_interval",
-    "udaf_median_chars", "schema_evolution_read", "udtf_chunk_docs",
-    "python_source_envelope", "stream_python_source", "sql_cte_summary",
-    "stream_upsert_users", "corrupt_json_audit", "sliding_counts",
-    "session_window_native", "bucketed_join_orders", "salted_event_totals",
-    "pipeline_clean_corpus", "json_source_roundtrip", "orc_source_roundtrip",
-    "csv_source_roundtrip", "xml_source_roundtrip", "param_sql_nation_spend",
-    "sql_udf_doc_quality", "sketch_user_churn", "approx_quantile_orders",
-    "contract_orders", "events_gapfill_hourly", "sketch_merge_daily",
-    "sql_scripting_rollup", "collated_type_counts", "partitioned_source_prune",
-    # round-11 new rows (never recorded — outrank re-records)
-    "bitmap_distinct_users", "listagg_nation_suppliers",
-    "aes_roundtrip_customers", "tablesample_orders",
-    # least-recently-recorded re-records (r7, first 3 in registry order)
-    "orders_bulk_semi", "split_train_holdout", "daily_activity_full_outer",
+    # round-12 new rows (never recorded — outrank re-records)
+    "recursive_cte_doc_depth", "approx_topk_event_types",
+    "order_stats_lineitem", "phrase_index_docs",
+    # least-recently-recorded re-records (r7, 33 in registry order)
+    "dense_topk_orders", "histogram_order_values", "stratified_fixed_n",
+    "user_type_counts_json", "unpivot_token_stats", "multimodal_frame_sample",
+    "text_tokens_re", "text_token_stats", "text_language_id", "text_quality",
+    "text_fingerprint", "text_pii_scan", "text_pii_redact", "text_rollup",
+    "multimodal_stats", "window_top_orders", "windowed_counts",
+    "value_outliers_zscore", "arrow_label_centroids",
+    "user_activity_similarity", "doc_length_quantiles", "scd2_user_states",
+    "events_calendar", "props_k_stats", "pivot_event_counts",
+    "orders_above_cust_avg", "rollup_docs", "customers_without_orders",
+    "median_order_value", "top_tokens", "sample_docs_hash",
+    "window_running_totals", "setops_users",
 ]
 
 
@@ -4783,6 +4879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_nation_suppliers": _listagg_nation_suppliers,
         "aes_roundtrip_customers": _aes_roundtrip_customers,
         "tablesample_orders": _tablesample_orders,
+        "recursive_cte_doc_depth": _recursive_cte_doc_depth,
+        "approx_topk_event_types": _approx_topk_event_types,
+        "order_stats_lineitem": _order_stats_lineitem,
+        "phrase_index_docs": _phrase_index_docs,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
@@ -7825,6 +7925,49 @@ def oracle_sql() -> dict[str, str]:
                    true as subset_ok,
                    true as repeatable_ok
             from orders
+        """,
+        "recursive_cte_doc_depth": _RECURSIVE_DEPTH_SQL.format(docs="documents"),
+        "approx_topk_event_types": """
+            select event_type, cast(count(*) as bigint) as cnt
+            from events group by event_type order by cnt desc limit 3
+        """,
+        "order_stats_lineitem": """
+            with ranked as (
+              select l_returnflag, l_quantity, l_linenumber,
+                     cume_dist() over (partition by l_returnflag
+                                       order by l_quantity) as cd
+              from lineitem
+            ),
+            q as (
+              select l_returnflag,
+                     min(case when cd >= 0.25 then l_quantity end) as q25_qty,
+                     min(case when cd >= 0.50 then l_quantity end) as q50_qty,
+                     min(case when cd >= 0.75 then l_quantity end) as q75_qty
+              from ranked group by l_returnflag
+            ),
+            m as (
+              select l_returnflag,
+                     cast(mode(l_linenumber) as bigint) as mode_linenumber
+              from lineitem group by l_returnflag
+            )
+            select q.l_returnflag, m.mode_linenumber,
+                   q.q25_qty, q.q50_qty, q.q75_qty
+            from q join m using (l_returnflag)
+        """,
+        "phrase_index_docs": """
+            with words as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as w,
+                     unnest(range(0, len(string_split(text, ' ')))) as pos
+              from documents
+            )
+            select a.doc_id,
+                   cast(count(*) as bigint) as n_hits,
+                   cast(min(a.pos) as bigint) as first_pos
+            from words a
+            join words b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+            where a.w = 'table' and b.w = 'scan'
+            group by a.doc_id
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),

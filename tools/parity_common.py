@@ -2,10 +2,10 @@
 
 The driver's gate compares Spark output against the DuckDB oracle by
 column names, row count, and exact cell values (order-insensitive; floats
-via repr so bit-identical doubles compare equal). Three consumers replicate
-that comparison — ``tests/test_oracle_parity.py`` (sf0.001 pytest flavor),
-``tests/test_staging_r12.py`` (pre-staged rows), and
-``tools/parity_sweep.py`` (the sf0.01 standalone replica) — and previously
+via repr so bit-identical doubles compare equal). Two consumers replicate
+that comparison — ``tests/test_oracle_parity.py`` (sf0.001 pytest flavor)
+and ``tools/parity_sweep.py`` (the sf0.01 standalone replica; staged-row
+test modules for future rounds import it too) — and previously
 each carried its own copy of the normalizer, so a change to one could
 silently diverge from the others. They all import THIS module now.
 """
