@@ -793,6 +793,20 @@ def _derive_n_blocks(n_rows: int, dim: int, task_mem_bytes: int) -> int:
     return max(1, math.ceil(2 * n_rows * dim * 8 / max(task_mem_bytes, 1)))
 
 
+def _occupancy_bits(
+    n_rows: int, target_occupancy: int = 128, max_bits: int = 24
+) -> int:
+    """Bucket-slice width that keeps per-table occupancy constant as the
+    corpus grows — the anti-quadratic half of :func:`plan_srp_lsh`, split
+    out so a caller who pins ``lsh_tables`` (taking ownership of recall)
+    can still get corpus-sized bits without the recall feasibility gate."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
+    # 2^24 buckets: occupancy grows again past ~2e9 rows
+    return min(bits, max_bits)
+
+
 def plan_srp_lsh(
     n_rows: int,
     threshold: float,
@@ -834,9 +848,7 @@ def plan_srp_lsh(
         raise ValueError("plan_srp_lsh: target_recall must be in (0, 1)")
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     if bits is None:
-        bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
-        if bits > max_bits:
-            bits = max_bits  # 2^24 buckets: occupancy grows again past ~2e9 rows
+        bits = _occupancy_bits(n_rows, target_occupancy, max_bits)
     else:
         # Pinned bits get the SAME anti-quadratic contract as derived ones:
         # a tiny pin (few, huge buckets) is exactly the silent quadratic
@@ -851,6 +863,11 @@ def plan_srp_lsh(
                 "be ~quadratic. Raise bits or drop the pin."
             )
     per_table = p**bits
+    if per_table >= 1.0:
+        # threshold=1.0 (exact-duplicate intent): p=1, every qualifying
+        # pair collides in any single table — log1p(-1) would be a math
+        # domain error, and one table trivially meets any recall target.
+        return 1, bits
     # tables needed so that missing a qualifying pair in EVERY table is rare
     if per_table <= 0 or (needed := math.log1p(-target_recall) / math.log1p(-per_table)) > max_tables:
         raise ValueError(
@@ -969,19 +986,24 @@ def embedding_dup_pairs(
 
         if dim is None:
             raise ValueError("embedding_dup_pairs: method='lsh' requires dim")
-        if lsh_tables is None or lsh_bits is None:
+        if lsh_tables is not None and lsh_bits is None:
+            # The user pinned the table count and with it took ownership of
+            # recall — derive bits from occupancy alone. Routing through
+            # plan_srp_lsh here could raise its tables-infeasibility error
+            # over a table count we are about to discard, making an explicit
+            # lsh_tables unusable at low thresholds.
+            lsh_bits = _occupancy_bits(n_rows if n_rows is not None else vecs.count())
+        elif lsh_tables is None:
             # Resolve bits first (occupancy, or the user's override), then
             # tables FOR THOSE BITS (recall): a user-supplied lsh_bits with
             # planner tables sized for different bits would silently break
             # the recall target.
-            planned = plan_srp_lsh(
+            lsh_tables, lsh_bits = plan_srp_lsh(
                 n_rows if n_rows is not None else vecs.count(),
                 threshold,
                 lsh_target_recall,
                 bits=lsh_bits,
             )
-            lsh_tables = lsh_tables if lsh_tables is not None else planned[0]
-            lsh_bits = lsh_bits if lsh_bits is not None else planned[1]
         buckets = hyperplane_buckets(
             df, dim, id_col, vec_col, tables=lsh_tables, bits_per_table=lsh_bits
         )

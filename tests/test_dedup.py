@@ -182,6 +182,43 @@ def test_plan_srp_lsh_bits_override_keeps_recall_consistent():
         dedup.plan_srp_lsh(2_000_000, 0.9, bits=24)
 
 
+def test_plan_srp_lsh_threshold_one_returns_one_table():
+    """threshold=1.0 is a legal exact-duplicate intent: per-bit agreement
+    p=1 makes per-table collision certain, so ONE table suffices at any
+    recall target — the planner must return (1, bits), not crash on
+    log1p(-1) (the r11 ADVICE domain error)."""
+    for n in (10_000, 2_000_000, 50_000_000):
+        tables, bits = dedup.plan_srp_lsh(n, 1.0, target_recall=0.99)
+        assert tables == 1
+        assert bits == dedup._occupancy_bits(n)
+
+
+def test_embedding_lsh_tables_pin_alone_is_usable(spark):
+    """Pinning lsh_tables WITHOUT lsh_bits means the caller owns recall:
+    the dispatch must derive bits from occupancy alone and never route the
+    discarded table count through the planner's recall feasibility gate —
+    at threshold 0.45 that gate raises (r11 ADVICE), which would make an
+    explicit lsh_tables unusable at exactly the thresholds where a user
+    most wants manual control."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, list(rows[0][1])))  # planted exact duplicate of id 0
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # sanity: the planner itself refuses this threshold at scale
+    with pytest.raises(ValueError, match="method='block'"):
+        dedup.plan_srp_lsh(5_000_000, 0.45)
+    got = _pairs(
+        dedup.embedding_dup_pairs(
+            df, threshold=0.45, dim=8, method="lsh", lsh_tables=8
+        )
+    )
+    exact = _pairs(dedup.embedding_dup_pairs(df, threshold=0.45, dim=8, method="join"))
+    assert (0, 99) in got
+    assert set(got) <= set(exact)
+
+
 def test_embedding_lsh_planned_finds_planted_duplicate(spark):
     """Wiring: method='lsh' with planner defaults. An exactly duplicated
     vector collides in EVERY table (per-bit agreement 1), so the planted

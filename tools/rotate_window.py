@@ -68,7 +68,18 @@ def main(argv: list[str]) -> int:
         for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
-    next_round = int(argv[1]) if len(argv) > 1 else max(rounds) + 1
+    if len(argv) > 1:
+        next_round = int(argv[1])
+    elif rounds:
+        next_round = max(rounds) + 1
+    else:
+        print(
+            "no committed CORRECTNESS_r*.json records to infer the round "
+            "from — pass next_round explicitly: "
+            "python tools/rotate_window.py <next_round>",
+            file=sys.stderr,
+        )
+        return 1
     last = last_recorded(next_round)
     registry = list(entry_mod.queries().keys())
 
