@@ -643,6 +643,14 @@ def _and_band_layout(total_bits: int, bits_per_long: int, chunks: int) -> list:
     return out
 
 
+# Measured AND-banding crossover (r11, decorrelated sf0.1 replicas): at
+# 50k docs chunk-pair banding LOSES 2.1x (the C(17,2)=136-struct band
+# explode costs more than the collision term it removes), at 150k it WINS
+# 1.4x, and the gap widens with n because OR-banding's collision term is
+# ~n^2/2^w while the band-row cost is linear. 100k is the midpoint.
+AND_BAND_CROSSOVER = 100_000
+
+
 def simhash_pairs_wide(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -654,7 +662,8 @@ def simhash_pairs_wide(
     chunks: int | None = None,
     checkpoint: str = "local",
     shingler: str = "arrow",
-    band_and: int = 1,
+    band_and: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Pairs with wide-SimHash hamming distance <= max_hamming — the scale
     variant of :func:`simhash_pairs` (SCALE.md: wide signatures cut slice-
@@ -681,11 +690,26 @@ def simhash_pairs_wide(
     of 7.  Measured on the decorrelated x30 stress replica (150k docs,
     r11): candidate tuples drop 1.45B -> 197M (7.4x, and the ratio is a
     constant factor on the n^2 term) for an 8.5x LINEAR band-row cost
-    (2.4M -> 20.4M rows).  The default stays 1: below ~50k docs the
-    C(17,2)=136-struct band explode costs more in plan compile than the
-    collision term it removes (the r10 fresh-query lesson), and the
-    registry row runs at 5k docs.
+    (2.4M -> 20.4M rows).
+
+    ``band_and=None`` (the default) auto-dispatches on the corpus size —
+    the same promote-the-measured-crossover move :func:`plan_srp_lsh` made
+    for the SRP quadratic, so a caller at 1M docs no longer needs to read
+    this docstring to avoid the OR-banding n^2 collision term: AND banding
+    above :data:`AND_BAND_CROSSOVER` (measured ~100k docs: loses 2.1x at
+    50k to the 136-struct band explode, wins 1.4x at 150k, widening with
+    n), OR banding below it.  ``n_rows`` supplies a known corpus size;
+    when absent the dispatch pays one count() job.  Pinning ``chunks``
+    pins the OR layout (chunk count is meaningless under AND banding), so
+    it also pins band_and=1 with no count job — the registry row at 5k
+    docs does exactly that.  Explicit ``band_and`` overrides everything.
     """
+    if band_and is None:
+        if chunks is not None:
+            band_and = 1  # an explicit OR-band layout is a band_and=1 pin
+        else:
+            n = n_rows if n_rows is not None else df.count()
+            band_and = 2 if n >= AND_BAND_CROSSOVER else 1
     if band_and not in (1, 2):
         raise ValueError("band_and must be 1 (OR banding) or 2 (chunk-pair AND banding)")
     if band_and == 2 and chunks is not None:

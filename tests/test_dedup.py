@@ -540,6 +540,35 @@ def test_simhash_wide_and_banding_wide_slices_no_overflow(docs):
     assert and_pairs == or_pairs
 
 
+def test_simhash_wide_band_and_auto_dispatch(docs):
+    """band_and=None must dispatch on the corpus size at the measured
+    ~100k-doc crossover (AND_BAND_CROSSOVER): below it the OR-banding plan
+    (no sv2 join column), at/above it the chunk-pair AND plan (sv2
+    present) — and the dispatched AND plan still returns EXACTLY the OR
+    pair set. Pinning chunks pins the OR layout regardless of size (chunk
+    count is meaningless under AND banding), so the registry row's
+    explicit chunks=16 keeps its plan and pays no count job."""
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    lo = dedup.simhash_pairs_wide(
+        docs, max_hamming=15, n_rows=dedup.AND_BAND_CROSSOVER - 1
+    )
+    hi = dedup.simhash_pairs_wide(
+        docs, max_hamming=15, n_rows=dedup.AND_BAND_CROSSOVER
+    )
+    assert "sv2" not in plan(lo)
+    assert "sv2" in plan(hi)
+    assert _pairs(hi) == _pairs(lo)  # dispatch changes the plan, never the pairs
+    # chunks pin -> OR layout even above the crossover
+    pinned = dedup.simhash_pairs_wide(
+        docs, max_hamming=15, chunks=16, n_rows=10 * dedup.AND_BAND_CROSSOVER
+    )
+    assert "sv2" not in plan(pinned)
+    # auto without n_rows counts the real (40-doc) corpus -> OR banding
+    assert "sv2" not in plan(dedup.simhash_pairs_wide(docs, max_hamming=15))
+
+
 def test_simhash_wide_and_banding_rejects_chunks(docs):
     """band_and=2 fixes the slice count at c = max_hamming + 2; a
     user-supplied chunks value must raise, not be silently ignored."""
