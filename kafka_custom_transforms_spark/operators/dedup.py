@@ -1355,6 +1355,7 @@ def minhash_incremental(
     num_perm: int = 32,
     bands: int = 8,
     est_threshold: float = 0.5,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Survivor ids of a new batch checked against the signature STORE of
     everything already ingested — the near-dup analogue of the exact
@@ -1373,13 +1374,29 @@ def minhash_incremental(
     oracle reproduces the semantics from raw signature slices."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    if checkpoint not in ("local", "reliable", "none"):
+        raise ValueError(
+            f"checkpoint mode must be local|reliable|none, got {checkpoint!r}"
+        )
     r = num_perm // bands
     # batch_sigs feeds BOTH the bucket join and the final anti-join: lazily
     # checkpoint so the shingle+hash+signature subtree runs once per action
     # instead of once per branch (lazy — plan construction stays job-free;
     # the real pipeline reads signatures from the persisted store anyway,
     # and an ingest batch is bounded by definition).
-    batch_sigs = batch_sigs.localCheckpoint(eager=False)
+    #
+    # ``checkpoint="none"`` is for callers whose batch_sigs is ALREADY
+    # materialized (checkpointed or read from storage): re-materializing it
+    # here is pure overhead — the r12 interleaved A/B on the registry row
+    # (one shared signature checkpoint upstream) measured 2.25 -> 1.65 s
+    # median from skipping it. Sharing one banding exchange between the
+    # store and batch sides (AQE ReusedExchange over a pre-filter banded
+    # frame) was A/B'd at the same time and adds NOTHING once the redundant
+    # checkpoint is gone (1.63 vs 1.65 s, noise) — don't retry it.
+    if checkpoint == "reliable":
+        batch_sigs = batch_sigs.checkpoint(eager=False)
+    elif checkpoint == "local":
+        batch_sigs = batch_sigs.localCheckpoint(eager=False)
 
     def buckets(sigs: DataFrame) -> DataFrame:
         return sigs.select(

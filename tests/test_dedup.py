@@ -746,7 +746,7 @@ def test_duplicate_spans_partial_aggregates_and_no_window(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_minhash_incremental_drops_planted_near_dup(spark):
+def test_minhash_incremental_drops_planted_near_dup(spark, tmp_path):
     """A batch doc nearly identical to a store doc is dropped; an
     unrelated doc survives; the store carries only (id, sig)."""
     from kafka_custom_transforms_spark.operators.dedup import (
@@ -771,6 +771,17 @@ def test_minhash_incremental_drops_planted_near_dup(spark):
     assert len(store.first().sig) == 32
     survivors = sorted(r.id for r in minhash_incremental(batch, store).collect())
     assert survivors == [2]
+    # checkpoint modes are result-identical; "none" is the registry row's
+    # already-materialized-batch path, bad modes raise
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for mode in ("none", "reliable"):
+        got = sorted(
+            r.id
+            for r in minhash_incremental(batch, store, checkpoint=mode).collect()
+        )
+        assert got == [2], mode
+    with pytest.raises(ValueError, match="checkpoint mode"):
+        minhash_incremental(batch, store, checkpoint="bogus")
 
 
 def test_minhash_incremental_empty_store_keeps_all(spark):
