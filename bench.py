@@ -79,6 +79,11 @@ BENCH_QUERIES = (
     "listagg_nation_suppliers",
     "aes_roundtrip_customers",
     "tablesample_orders",
+    # round-12 engine additions
+    "recursive_cte_doc_depth",
+    "approx_topk_event_types",
+    "order_stats_lineitem",
+    "phrase_index_docs",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -100,8 +105,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:41]
-DECODE_QUERIES = BENCH_QUERIES[41:]
+ENGINE_QUERIES = BENCH_QUERIES[:45]
+DECODE_QUERIES = BENCH_QUERIES[45:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -111,7 +116,7 @@ DECODE_QUERIES = BENCH_QUERIES[41:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "tablesample_orders":
+if ENGINE_QUERIES[-1] != "phrase_index_docs":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")
