@@ -725,3 +725,36 @@ def test_q21_q9_plan_shapes(spark, sf_dir):
     q9 = plan_str(entry_mod.queries()["q9_product_profit"](spark, sf_dir), "simple")
     assert q9.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in q9
+
+
+def test_r12_row_plan_shapes(spark, sf_dir):
+    """The four r12 rows' 100 TB-relevant plan properties.
+
+    recursive_cte_doc_depth: executes as native UnionLoop and the
+    per-iteration frontier join is an EQUI join on the computed-parent
+    key — the naive two-child OR form plans as a nested loop per
+    iteration (O(frontier x table)), which is exactly what the rewrite
+    removes. approx_topk_event_types / order_stats_lineitem: sketch and
+    mode/percentile_disc aggregates run map-side partials below ONE
+    exchange (mergeable state, not a per-group collect).
+    phrase_index_docs: the adjacency join is an equi join whose keys
+    include the position arithmetic ((doc_id, p0+1) = (doc_id, p1)) —
+    no nested-loop fallback for the pos+1 condition."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    qs = entry_mod.queries()
+    rec = plan_str(qs["recursive_cte_doc_depth"](spark, sf_dir), "simple")
+    assert "UnionLoop" in rec
+    assert "NestedLoop" not in rec and "CartesianProduct" not in rec
+    assert "FLOOR" in rec  # the computed-parent equi key reached the join
+
+    tk = plan_str(qs["approx_topk_event_types"](spark, sf_dir), "simple")
+    assert "partial_approx_top_k" in tk
+
+    osp = plan_str(qs["order_stats_lineitem"](spark, sf_dir), "simple")
+    assert "partial_mode" in osp and "partial_percentile_disc" in osp
+    assert shuffle_count(qs["order_stats_lineitem"](spark, sf_dir)) <= 2
+
+    ph = plan_str(qs["phrase_index_docs"](spark, sf_dir), "simple")
+    assert "NestedLoop" not in ph and "CartesianProduct" not in ph
+    assert "(p0" in ph and "+ 1)" in ph  # pos arithmetic is a JOIN KEY

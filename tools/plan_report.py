@@ -53,6 +53,10 @@ SHOWCASE = {
     "similarity_topk_lsh": "query-side bucket frame broadcast: base buckets never shuffle; scoring join left to AQE (pinned in tests/test_plans.py)",
     "tablesample_orders": "Sample operator directly above the scan — sampling happens before ALL downstream work (pinned in tests/test_bitmap.py)",
     "aes_roundtrip_customers": "fixed-IV GCM encrypt/decrypt as pure codegen projection: one map pass, zero shuffles",
+    "recursive_cte_doc_depth": "native UnionLoop; the per-iteration frontier join is an EQUI join on the computed-parent key (the two-child OR form would nested-loop every round) — pinned in tests/test_plans.py",
+    "approx_topk_event_types": "partial_approx_top_k map-side partials; only O(maxItemsTracked) sketch state crosses the exchange",
+    "order_stats_lineitem": "mode + percentile_disc WITHIN GROUP as mergeable ObjectHashAggregate partials below ONE group-key exchange — no per-group collect, no global sort",
+    "phrase_index_docs": "postings adjacency join: (doc_id, p0+1) = (doc_id, p1) are the JOIN KEYS (position arithmetic stays equi), term filters precede the join",
 }
 
 
