@@ -73,7 +73,7 @@ DOC_OFF = 10_000_000
 KEY_OFF = 100_000_000
 
 
-def _gen_dataset(k: int, outdir: Path) -> float:
+def _gen_dataset(k: int, outdir: Path, src: str = SRC) -> float:
     """Synthesize the K-fold replica; returns generation wall seconds."""
     import duckdb
     import numpy as np
@@ -100,7 +100,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
                              list_transform(string_split(d.text, ' '),
                                             w -> w || '~' || c.c), ' '))
                  end as n_chars
-          from read_parquet('{SRC}/documents.parquet') d,
+          from read_parquet('{src}/documents.parquet') d,
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/documents.parquet' (format parquet)
         """
@@ -110,7 +110,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
         copy (
           select * replace (l_orderkey + cast(c.c as bigint) * {KEY_OFF} as l_orderkey,
                             l_partkey + cast(c.c as bigint) * {KEY_OFF} as l_partkey)
-          from read_parquet('{SRC}/lineitem.parquet'),
+          from read_parquet('{src}/lineitem.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/lineitem.parquet' (format parquet)
         """
@@ -119,7 +119,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
         f"""
         copy (
           select * replace (p_partkey + cast(c.c as bigint) * {KEY_OFF} as p_partkey)
-          from read_parquet('{SRC}/part.parquet'),
+          from read_parquet('{src}/part.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/part.parquet' (format parquet)
         """
@@ -129,7 +129,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
         copy (
           select * replace (event_id + cast(c.c as bigint) * {KEY_OFF} as event_id,
                             user_id + cast(c.c as bigint) * {KEY_OFF} as user_id)
-          from read_parquet('{SRC}/events.parquet'),
+          from read_parquet('{src}/events.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/events.parquet' (format parquet)
         """
@@ -139,7 +139,7 @@ def _gen_dataset(k: int, outdir: Path) -> float:
         copy (
           select * replace (o_orderkey + cast(c.c as bigint) * {KEY_OFF} as o_orderkey,
                             o_custkey + cast(c.c as bigint) * {KEY_OFF} as o_custkey)
-          from read_parquet('{SRC}/orders.parquet'),
+          from read_parquet('{src}/orders.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/orders.parquet' (format parquet)
         """
@@ -148,17 +148,17 @@ def _gen_dataset(k: int, outdir: Path) -> float:
         f"""
         copy (
           select * replace (c_custkey + cast(c.c as bigint) * {KEY_OFF} as c_custkey)
-          from read_parquet('{SRC}/customer.parquet'),
+          from read_parquet('{src}/customer.parquet'),
                (select unnest([{copies}]) as c) c
         ) to '{outdir}/customer.parquet' (format parquet)
         """
     )
     con.close()
 
-    src = pq.read_table(f"{SRC}/embeddings.parquet")
-    vec = np.asarray(src["embedding"].to_pylist(), dtype=np.float32)
-    ids = src["vec_id"].to_numpy()
-    labels = src["label"].to_numpy()
+    src_tbl = pq.read_table(f"{src}/embeddings.parquet")
+    vec = np.asarray(src_tbl["embedding"].to_pylist(), dtype=np.float32)
+    ids = src_tbl["vec_id"].to_numpy()
+    labels = src_tbl["label"].to_numpy()
     dim = vec.shape[1]
     out_ids, out_vecs, out_labels = [], [], []
     for c in range(k):
