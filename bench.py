@@ -215,10 +215,34 @@ def _foreign_cores(cpu0: tuple[int, int, int] | None, wall0: float) -> tuple[flo
     return round(foreign_jiffies / hz / wall, 3), round(steal_jiffies / hz / wall, 3)
 
 
+def _host_speed_probe() -> dict[str, float]:
+    """Single-core host-speed reference, measured BEFORE the Spark session:
+    a pure-Python loop (interpreter-bound, like the codec rows) and md5
+    over 200 MB (memory/crypto-bound). Neither depends on repo code, so a
+    round-over-round shift in these numbers is HOST drift, not a code
+    change — the discriminator the r12 close needed when every shared row
+    (including untouched pure-Python decoders) read 1.1-1.4x over the r11
+    idle anchor while steal and loadavg gates were green."""
+    import hashlib
+
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    pyloop = time.time() - t0
+    buf = b"x" * 1_000_000
+    t0 = time.time()
+    for _ in range(200):
+        hashlib.md5(buf).digest()
+    md5 = time.time() - t0
+    return {"pyloop_sec": round(pyloop, 3), "md5_200mb_sec": round(md5, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     loadavg_start = _loadavg()
+    host_speed = _host_speed_probe()
     cpu0 = _cpu_probe()
     wall0 = time.time()
     spark = get_spark("kcts-bench")
@@ -312,6 +336,7 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "foreign_busy_cores": foreign_cores,
                 "steal_cores": steal_cores,
+                "host_speed": host_speed,
             }
         )
     )
