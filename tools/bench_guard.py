@@ -126,6 +126,18 @@ def main() -> None:
     base_t = sum(base["queries"][q] for q in shared)
     print(f"  shared-query total: {cur_t:.1f}s (was {base_t:.1f}s, "
           f"{len(shared)} queries)")
+    # Informational only — never changes pass/fail. When both records carry
+    # the code-independent host_speed probe (bench.py, r12), a probe ratio
+    # well off 1.0 says the HOST drifted between the measurements (SURVEY
+    # §8 slow-host entry, adjudicated r12 with an unchanged-tree control
+    # run) — read the per-query ratios through that lens.
+    hs_cur, hs_base = cur.get("host_speed"), base.get("host_speed")
+    if hs_cur and hs_base:
+        for key in ("pyloop_sec", "md5_200mb_sec"):
+            a, b = hs_cur.get(key), hs_base.get(key)
+            if a and b:
+                print(f"  host_speed {key}: {a:.3f}s vs {b:.3f}s "
+                      f"({a / b:.2f}x — host drift if far from 1.0)")
     if failures:
         print(f"bench_guard: FAIL — regressed: {', '.join(failures)}")
         sys.exit(1)
