@@ -1,0 +1,46 @@
+"""Oracle parity for the pre-staged round-14 registry candidates
+(tools/staging_r14.py) — the same normalize-and-compare as
+tests/test_oracle_parity.py, so lifting them into the registry next round
+is a no-risk move (the r12/r13 lifts followed exactly this playbook)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from parity_common import TABLES, normalize as _normalize  # noqa: E402
+from staging_r14 import STAGED, STAGED_ORACLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_staged_rows_have_oracles_and_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    assert set(STAGED) == set(STAGED_ORACLES)
+    # staging means staging: the <=4-rows/round budget is enforced by
+    # keeping these OUT of the registry until the round-14 rotation commit
+    assert not set(STAGED) & set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, ddb, name):
+    sdf = STAGED[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(STAGED_ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    pd.testing.assert_frame_equal(_normalize(sdf), _normalize(odf))
