@@ -44,3 +44,15 @@ def test_staged_query_matches_oracle(spark, ddb, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf) and len(sdf) > 0
     pd.testing.assert_frame_equal(_normalize(sdf), _normalize(odf))
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_hygiene(spark, name):
+    """The registry-wide cartesian/BNLJ guard (tests/test_plans.py) only
+    sweeps REGISTERED rows — pin the same hygiene here so the eventual
+    lift cannot surprise it."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    p = plan_str(STAGED[name](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
