@@ -812,8 +812,6 @@ def _derive_n_blocks(n_rows: int, dim: int, task_mem_bytes: int) -> int:
     ``n x n_blocks`` rows — more blocks than memory requires is pure
     replication cost. Floor of 1: a single in-memory matmul is optimal for
     corpora that fit one task."""
-    import math
-
     return max(1, math.ceil(2 * n_rows * dim * 8 / max(task_mem_bytes, 1)))
 
 
@@ -824,8 +822,6 @@ def _occupancy_bits(
     corpus grows — the anti-quadratic half of :func:`plan_srp_lsh`, split
     out so a caller who pins ``lsh_tables`` (taking ownership of recall)
     can still get corpus-sized bits without the recall feasibility gate."""
-    import math
-
     bits = max(4, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
     # 2^24 buckets: occupancy grows again past ~2e9 rows
     return min(bits, max_bits)

@@ -56,3 +56,31 @@ def test_staged_plan_hygiene(spark, name):
     p = plan_str(STAGED[name](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ols_matches_duckdb_regr_builtins(spark, ddb):
+    """Blindness-breaker for ols_quantity_price: the row's DuckDB oracle
+    shares the closed-form expression with the Spark side, so a formula
+    bug would pass parity (it DID — the r12 self-review caught an
+    intercept off by 100x in the slope*mean_x term that both sides
+    replicated). Check against DuckDB's INDEPENDENT regr_slope /
+    regr_intercept implementation; tolerance covers its streaming-float
+    accumulation vs our exact integer sufficient statistics."""
+    got = {
+        r["l_returnflag"]: r
+        for r in STAGED["ols_quantity_price"](spark, SF_DIR).collect()
+    }
+    ref = ddb.execute(
+        """
+        select l_returnflag,
+               regr_slope(l_extendedprice, l_quantity) as slope,
+               regr_intercept(l_extendedprice, l_quantity) as intercept
+        from lineitem group by l_returnflag
+        """
+    ).fetchall()
+    assert len(ref) == len(got) > 0
+    for flag, slope, intercept in ref:
+        assert abs(got[flag]["slope"] - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(got[flag]["intercept"] - intercept) <= 1e-6 * max(
+            1.0, abs(intercept)
+        ), (flag, got[flag]["intercept"], intercept)

@@ -261,8 +261,10 @@ def _write_report(
         (
             "skew_join_aqe",
             "the hot key keeps its ~97% share so its partition grows "
-            "K-fold; the ratio staying ~K means AQE keeps splitting it at "
-            "map-output boundaries instead of serializing one giant task",
+            "K-fold; the ratio staying AT OR BELOW the data step means AQE "
+            "keeps splitting it at map-output boundaries instead of "
+            "serializing one giant task — a ratio far above the step would "
+            "mean the split was declined",
         ),
         (
             "bloom_join_parts",
@@ -273,7 +275,8 @@ def _write_report(
         ),
     ):
         if q in queries:
-            lines.append(f"- {q} at {ratios[q]}x: {note}.")
+            verdict = "" if ratios[q] <= kN / k0 else " — ABOVE the data step, investigate"
+            lines.append(f"- {q} at {ratios[q]}x over the {kN / k0:g}x step{verdict}: {note}.")
     lines += ["", f"Telemetry: {telemetry}", ""]
     Path(out).write_text("\n".join(lines))
 

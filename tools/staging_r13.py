@@ -91,7 +91,14 @@ def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slope in (cents per milli-unit); rescale x1000/100 -> price units per
     # quantity unit. Single double expression — deterministic everywhere.
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(10.0)
-    intercept = (sy / F.lit(100.0) - slope * sx / F.lit(100000.0)) / n
+    # intercept = mean_y - slope * mean_x in PRICE/QUANTITY units: sy is in
+    # cents (/100), sx in milli-units (/1000). The original staging draft
+    # divided the slope term by 100000 — off by 100x — and the oracle
+    # mirrored the same expression, so parity was structurally blind to it;
+    # caught by the r12 self-review against DuckDB's regr_intercept
+    # (52906.76 vs 51847.11 on sf0.001 flag 'A'), now pinned by
+    # tests/test_staging_r13.py::test_ols_matches_duckdb_regr_builtins.
+    intercept = (sy / F.lit(100.0) - slope * sx / F.lit(1000.0)) / n
     return s.select(
         "l_returnflag",
         "n",
@@ -235,7 +242,7 @@ STAGED_ORACLES = {
                         - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
                      / (cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
                         - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * 10.0)
-                    * cast(sx AS DOUBLE) / 100000.0)
+                    * cast(sx AS DOUBLE) / 1000.0)
                / cast(n AS DOUBLE) AS intercept
         FROM s
     """,
