@@ -84,3 +84,28 @@ def test_ols_matches_duckdb_regr_builtins(spark, ddb):
         assert abs(got[flag]["intercept"] - intercept) <= 1e-6 * max(
             1.0, abs(intercept)
         ), (flag, got[flag]["intercept"], intercept)
+
+
+def test_percentile_cont_matches_duckdb_quantile_cont(spark, ddb):
+    """Independent-implementation check for percentile_cont_lineitem: the
+    row's oracle DERIVES the pos=q*(n-1) convention with a window, so a
+    shared misreading of the convention could pass parity. DuckDB's
+    quantile_cont builtin implements the same SQL-standard convention
+    independently — on this integer-valued data with quarter fractions
+    every interpolation is exact, so equality is EXACT, not approximate."""
+    got = {
+        r["l_returnflag"]: (r["c25_qty"], r["c50_qty"], r["c75_qty"])
+        for r in STAGED["percentile_cont_lineitem"](spark, SF_DIR).collect()
+    }
+    ref = ddb.execute(
+        """
+        select l_returnflag,
+               quantile_cont(l_quantity, 0.25),
+               quantile_cont(l_quantity, 0.50),
+               quantile_cont(l_quantity, 0.75)
+        from lineitem group by l_returnflag
+        """
+    ).fetchall()
+    assert len(ref) == len(got) > 0
+    for flag, *qs in ref:
+        assert got[flag] == tuple(qs), (flag, got[flag], qs)

@@ -56,3 +56,35 @@ def test_staged_plan_hygiene(spark, name):
     p = plan_str(STAGED[name](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ts_pattern_similarity_matches_pure_python_model(spark):
+    """Independent-implementation check for ts_pattern_similarity: the
+    row's DuckDB oracle is GENERATED from the same TS_PATTERN constants
+    and sum expressions, so a shared formula bug would pass parity (the
+    r12 OLS lesson). Recompute the full top-20 from the raw parquet with
+    plain Python integer arithmetic — exact equality required."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from staging_r14 import TS_PATTERN, _P_NORM2, ts_pattern_similarity
+
+    rows = duckdb.execute(
+        f"select user_id, hour(ts) as h from '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    prof = defaultdict(Counter)
+    for uid, h in rows:
+        prof[uid][h] += 1
+    model = []
+    for uid, c in prof.items():
+        dot = sum(c[h] * TS_PATTERN[h] for h in range(24))
+        n2 = sum(c[h] * c[h] for h in range(24))
+        model.append((dot * dot * 1000 // (n2 * _P_NORM2), uid, n2))
+    model.sort(key=lambda t: (-t[0], t[1]))
+    want = [(uid, sim, n2) for sim, uid, n2 in model[:20]]
+    got = [
+        (r["user_id"], r["sim_milli"], r["profile_norm2"])
+        for r in ts_pattern_similarity(spark, SF_DIR).collect()
+    ]
+    assert got == want
