@@ -3531,6 +3531,150 @@ def _phrase_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percentile_cont_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (interpolated) quantiles of l_quantity per return flag —
+    percentile_cont WITHIN GROUP, the continuous complement of
+    order_stats_lineitem's percentile_disc.  percentile_cont's convention
+    is pos = q*(n-1) with linear interpolation; q in {.25,.5,.75} makes
+    every fraction a quarter, and l_quantity is integer-valued 1..50, so
+    lo + (hi-lo)*frac is EXACT in binary — cross-engine equality is
+    bitwise, not approximate.  One shuffle on the group key; the
+    within-group sort is per-group local.  The oracle derives the
+    convention explicitly with a window (derive-don't-trust, same as the
+    percentile_disc row); tests/test_independent_oracles.py additionally
+    pins it against DuckDB's independent quantile_cont builtin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("kcts_li_cont")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS c25_qty,
+               percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity) AS c50_qty,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS c75_qty
+        FROM kcts_li_cont
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def _ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ordinary least squares of l_extendedprice on
+    l_quantity per return flag.  The five sufficient statistics (n, Sx,
+    Sy, Sxy, Sxx) are summed as BIGINTs over integer-scaled columns
+    (quantity in milli-units, price in cents: per-row products max ~5e10,
+    sums fit int64 past sf1), so the aggregation is order-independent and
+    partitioning-invariant; slope and intercept come from ONE closed-form
+    double evaluation at the end — the same int64->double conversions and
+    IEEE ops in any engine.  This is regression at 100 TB shape: one
+    partial/final aggregate pair, constant state per group, no second
+    pass.  The oracle mirrors the closed form, so
+    tests/test_independent_oracles.py pins the result against DuckDB's
+    independent regr_slope/regr_intercept (that check caught a 100x
+    intercept bug in the staging draft that shared-formula parity was
+    structurally blind to)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity") * 1000).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx"))
+    # slope in (cents per milli-unit); rescale x1000/100 -> price units per
+    # quantity unit. Single double expression — deterministic everywhere.
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(10.0)
+    # intercept = mean_y - slope * mean_x in PRICE/QUANTITY units: sy is in
+    # cents (/100), sx in milli-units (/1000).
+    intercept = (sy / F.lit(100.0) - slope * sx / F.lit(1000.0)) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def _url_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url over deterministically synthesized URLs — the string/web
+    extraction surface — aggregated with GROUP BY ALL and count_if (both
+    new-in-Spark-4 SQL conveniences DuckDB shares).  The oracle does NOT
+    re-parse: it reconstructs host/path/param from the same base columns,
+    so Spark's parser is checked against ground truth.  Pure per-row
+    expressions + one aggregate: zero extra shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.concat(
+            F.lit("https://ev-"),
+            F.col("event_type"),
+            F.lit(".example.com/u/"),
+            F.col("user_id").cast("string"),
+            F.lit("/p?k="),
+            F.get_json_object(F.col("props"), "$.k"),
+            F.lit("&src=kcts"),
+        ).alias("url"),
+    ).createOrReplaceTempView("kcts_urls")
+    return spark.sql(
+        """
+        SELECT parse_url(url, 'HOST') AS host,
+               count(*) AS n,
+               count_if(parse_url(url, 'QUERY', 'k') >= '50') AS n_high_k,
+               min(parse_url(url, 'PATH')) AS min_path
+        FROM kcts_urls
+        GROUP BY ALL
+        """
+    )
+
+
+def _str_to_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface: build a k=v CSV per event, parse it with
+    str_to_map, and consume the map with element_at, map_contains_key,
+    and map_filter — per-row codegen expressions, then one aggregate.
+    The oracle recomputes every value from the base columns (the map is
+    derived, so ground truth needs no map type in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    csv = F.concat(
+        F.lit("k="),
+        k.cast("string"),
+        F.lit(",uid="),
+        F.col("user_id").cast("string"),
+        F.lit(",type="),
+        F.col("event_type"),
+    )
+    m = F.expr("str_to_map(csv, ',', '=')")
+    return (
+        ev.select("event_type", "user_id", k.alias("k"), csv.alias("csv"))
+        .select(
+            "event_type",
+            m.getItem("k").cast("long").alias("k_back"),
+            F.size(m).alias("m_size"),
+            F.expr("map_contains_key(str_to_map(csv, ',', '=') , 'uid')").alias("has_uid"),
+            F.size(
+                F.expr(
+                    "map_filter(str_to_map(csv, ',', '='), "
+                    "(mk, mv) -> try_cast(mv AS BIGINT) % 2 = 0)"
+                )
+            ).alias("n_even_vals"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k_back").cast("long").alias("sum_k"),
+            F.sum(F.col("m_size").cast("long")).alias("sum_sizes"),
+            F.sum(F.when(F.col("has_uid"), 1).otherwise(0)).cast("long").alias("n_has_uid"),
+            F.sum(F.col("n_even_vals").cast("long")).alias("sum_even_vals"),
+        )
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -4683,9 +4827,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-12 rotation: the 4 new r12 rows (never recorded, lifted
-# from tools/staging_r12.py where they were pre-verified at sf0.001 and
-# sf0.01 during r11), then the next 33 rows last recorded in r7
+# rows. Round-13 rotation: the 4 new r13 rows (never recorded, lifted
+# from tools/staging_r13.py where they were pre-verified at sf0.001 and
+# sf0.01 during r12), then the next 33 rows last recorded in r7/r8
 # (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
@@ -4695,7 +4839,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 12
+CORRECTNESS_WINDOW_ROUND = 13
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4704,21 +4848,21 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-12 new rows (never recorded — outrank re-records)
-    "recursive_cte_doc_depth", "approx_topk_event_types",
-    "order_stats_lineitem", "phrase_index_docs",
-    # least-recently-recorded re-records (r7, 33 in registry order)
-    "dense_topk_orders", "histogram_order_values", "stratified_fixed_n",
-    "user_type_counts_json", "unpivot_token_stats", "multimodal_frame_sample",
-    "text_tokens_re", "text_token_stats", "text_language_id", "text_quality",
-    "text_fingerprint", "text_pii_scan", "text_pii_redact", "text_rollup",
-    "multimodal_stats", "window_top_orders", "windowed_counts",
-    "value_outliers_zscore", "arrow_label_centroids",
-    "user_activity_similarity", "doc_length_quantiles", "scd2_user_states",
-    "events_calendar", "props_k_stats", "pivot_event_counts",
-    "orders_above_cust_avg", "rollup_docs", "customers_without_orders",
-    "median_order_value", "top_tokens", "sample_docs_hash",
-    "window_running_totals", "setops_users",
+    # round-13 new rows (never recorded — outrank re-records)
+    "percentile_cont_lineitem", "ols_quantity_price",
+    "url_parse_events", "str_to_map_props",
+    # least-recently-recorded re-records (1 from r7, 32 from r8, registry order)
+    "topn_pagination", "similarity_topk", "similarity_topk_lsh",
+    "similarity_topk_ivf", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_semantic", "dedup_clusters", "dedup_survivors",
+    "dedup_lines_global", "q1_pricing_summary", "dedup_streaming_batch",
+    "events_asof_attrib", "events_range_counts", "events_interval_pairs",
+    "decontaminate_docs", "decontaminate_bloom", "q6_forecast_revenue",
+    "ntile_customer_quartiles", "global_shuffle_shards", "kmv_sketch_tokens",
+    "quantize_embeddings", "label_centroids", "profile_orders",
+    "zorder_events", "trailing_counts_range", "props_variant_agg",
+    "q10_returned_items", "q4_late_orders", "q7_nation_volume",
 ]
 
 
@@ -4895,6 +5039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk_event_types": _approx_topk_event_types,
         "order_stats_lineitem": _order_stats_lineitem,
         "phrase_index_docs": _phrase_index_docs,
+        "percentile_cont_lineitem": _percentile_cont_lineitem,
+        "ols_quantity_price": _ols_quantity_price,
+        "url_parse_events": _url_parse_events,
+        "str_to_map_props": _str_to_map_props,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
@@ -7980,6 +8128,84 @@ def oracle_sql() -> dict[str, str]:
             join words b on b.doc_id = a.doc_id and b.pos = a.pos + 1
             where a.w = 'table' and b.w = 'scan'
             group by a.doc_id
+        """,
+        # pos = q*(n-1), linear interpolation — the SQL-standard convention
+        # derived explicitly (trust nothing about quantile_cont's indexing).
+        "percentile_cont_lineitem": """
+            WITH ranked AS (
+              SELECT l_returnflag, l_quantity,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_quantity) - 1 AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            ),
+            pieces AS (
+              SELECT l_returnflag, q,
+                     min(CASE WHEN rn = cast(floor(q * (n - 1)) AS BIGINT)
+                              THEN l_quantity END) AS lo,
+                     min(CASE WHEN rn = cast(ceil(q * (n - 1)) AS BIGINT)
+                              THEN l_quantity END) AS hi,
+                     min(q * (n - 1) - floor(q * (n - 1))) AS frac
+              FROM ranked, (SELECT unnest([0.25, 0.50, 0.75]) AS q)
+              GROUP BY l_returnflag, q
+            )
+            SELECT l_returnflag,
+                   min(CASE WHEN q = 0.25 THEN lo + (hi - lo) * frac END) AS c25_qty,
+                   min(CASE WHEN q = 0.50 THEN lo + (hi - lo) * frac END) AS c50_qty,
+                   min(CASE WHEN q = 0.75 THEN lo + (hi - lo) * frac END) AS c75_qty
+            FROM pieces
+            GROUP BY l_returnflag
+        """,
+        "ols_quantity_price": """
+            WITH scaled AS (
+              SELECT l_returnflag,
+                     cast(l_quantity * 1000 AS BIGINT) AS x,
+                     cast(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag,
+                     cast(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM scaled GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   (cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+                      - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+                   / (cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+                      - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * 10.0 AS slope,
+                   (cast(sy AS DOUBLE) / 100.0
+                      - ((cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+                            - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+                         / (cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+                            - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * 10.0)
+                        * cast(sx AS DOUBLE) / 1000.0)
+                   / cast(n AS DOUBLE) AS intercept
+            FROM s
+        """,
+        # Ground truth from the base columns — no URL parser on the oracle side.
+        "url_parse_events": """
+            SELECT 'ev-' || event_type || '.example.com' AS host,
+                   count(*) AS n,
+                   cast(sum(CASE WHEN (props->>'$.k') >= '50'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k,
+                   min('/u/' || user_id || '/p') AS min_path
+            FROM events
+            GROUP BY 1
+        """,
+        "str_to_map_props": """
+            SELECT event_type,
+                   cast(count(*) AS BIGINT) AS n,
+                   cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   cast(count(*) * 3 AS BIGINT) AS sum_sizes,
+                   cast(count(*) AS BIGINT) AS n_has_uid,
+                   cast(sum(CASE WHEN cast(props->>'$.k' AS BIGINT) % 2 = 0
+                                 THEN 1 ELSE 0 END
+                            + CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS sum_even_vals
+            FROM events
+            GROUP BY event_type
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),

@@ -1,0 +1,86 @@
+"""Independent-implementation checks for registry rows whose DuckDB
+oracle SHARES a formula with the Spark side — shared-formula parity is
+structurally blind to a bug both sides replicate (it happened: the r12
+staging draft of ols_quantity_price had an intercept off by 100x that
+its mirrored oracle reproduced; DuckDB's regr_intercept caught it).
+These tests pin such rows against DuckDB builtins that implement the
+same math INDEPENDENTLY.
+
+Lifted from tests/test_staging_r13.py when the rows entered the registry
+in round 13; unlike the staging tests these call the REGISTERED rows, so
+they keep guarding against a future registry-side regression."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from parity_common import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_ols_matches_duckdb_regr_builtins(spark, ddb):
+    """ols_quantity_price vs DuckDB's independent regr_slope /
+    regr_intercept; tolerance covers its streaming-float accumulation vs
+    our exact integer sufficient statistics."""
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["l_returnflag"]: r
+        for r in entry_mod.queries()["ols_quantity_price"](spark, SF_DIR).collect()
+    }
+    ref = ddb.execute(
+        """
+        select l_returnflag,
+               regr_slope(l_extendedprice, l_quantity) as slope,
+               regr_intercept(l_extendedprice, l_quantity) as intercept
+        from lineitem group by l_returnflag
+        """
+    ).fetchall()
+    assert len(ref) == len(got) > 0
+    for flag, slope, intercept in ref:
+        assert abs(got[flag]["slope"] - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(got[flag]["intercept"] - intercept) <= 1e-6 * max(
+            1.0, abs(intercept)
+        ), (flag, got[flag]["intercept"], intercept)
+
+
+def test_percentile_cont_matches_duckdb_quantile_cont(spark, ddb):
+    """percentile_cont_lineitem's oracle DERIVES the pos=q*(n-1)
+    convention with a window, so a shared misreading of the convention
+    could pass parity. DuckDB's quantile_cont builtin implements the same
+    SQL-standard convention independently — on this integer-valued data
+    with quarter fractions every interpolation is exact, so equality is
+    EXACT, not approximate."""
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["l_returnflag"]: (r["c25_qty"], r["c50_qty"], r["c75_qty"])
+        for r in entry_mod.queries()["percentile_cont_lineitem"](spark, SF_DIR).collect()
+    }
+    ref = ddb.execute(
+        """
+        select l_returnflag,
+               quantile_cont(l_quantity, 0.25),
+               quantile_cont(l_quantity, 0.50),
+               quantile_cont(l_quantity, 0.75)
+        from lineitem group by l_returnflag
+        """
+    ).fetchall()
+    assert len(ref) == len(got) > 0
+    for flag, *qs in ref:
+        assert got[flag] == tuple(qs), (flag, got[flag], qs)
