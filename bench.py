@@ -225,16 +225,19 @@ def _host_speed_probe() -> dict[str, float]:
     idle anchor while steal and loadavg gates were green."""
     import hashlib
 
-    t0 = time.time()
+    # perf_counter, not time.time(): the probe's whole job is cross-run
+    # comparability, and wall clock is NTP-step sensitive — a clock step
+    # during the burn would masquerade as host drift (r12 advice).
+    t0 = time.perf_counter()
     x = 0
     for i in range(20_000_000):
         x += i
-    pyloop = time.time() - t0
+    pyloop = time.perf_counter() - t0
     buf = b"x" * 1_000_000
-    t0 = time.time()
+    t0 = time.perf_counter()
     for _ in range(200):
         hashlib.md5(buf).digest()
-    md5 = time.time() - t0
+    md5 = time.perf_counter() - t0
     return {"pyloop_sec": round(pyloop, 3), "md5_200mb_sec": round(md5, 3)}
 
 

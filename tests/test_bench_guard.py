@@ -165,3 +165,55 @@ def test_load_gate_skips_null_loadavg_but_rejects_absent_field(tmp_path):
                  '"foreign_busy_cores": 0.1, "steal_cores": 9.9}')
     ok, _ = round_close.bench_load_gate(str(p))
     assert not ok
+
+
+def _rec(queries, pyloop=None, md5=None):
+    rec = {"metric": "m", "queries": queries}
+    if pyloop is not None:
+        rec["host_speed"] = {"pyloop_sec": pyloop, "md5_200mb_sec": md5 or pyloop}
+    return rec
+
+
+def test_drifted_probe_downgrades_fail_to_suspect():
+    """A 1.6x inflation on a run whose probe reads 1.5x over the anchor is
+    host drift, not a regression — exactly the false-FAIL both r12-close
+    verification runs produced before the guard was probe-aware."""
+    base = _rec({"q": 2.0}, pyloop=1.0)
+    cur = _rec({"q": 3.2}, pyloop=1.5)
+    lines, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert failures == [] and suspects == ["q"]
+    assert abs(drift - 1.5) < 1e-9
+    assert any("DRIFT?" in ln for ln in lines)
+
+
+def test_clean_probe_still_hard_fails():
+    base = _rec({"q": 2.0}, pyloop=1.0)
+    cur = _rec({"q": 3.2}, pyloop=1.05)  # probe clean, ratio 1.6x
+    _, failures, suspects, _ = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == []
+
+
+def test_regression_beyond_drift_still_hard_fails():
+    """Normalization is not a free pass: 2.5x raw on a 1.2x-drifted host
+    is still >1.5x after dividing out the probe."""
+    base = _rec({"q": 2.0}, pyloop=1.0)
+    cur = _rec({"q": 5.0}, pyloop=1.2)
+    _, failures, suspects, _ = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == []
+
+
+def test_missing_probe_keeps_legacy_behavior():
+    base = _rec({"q": 2.0})
+    cur = _rec({"q": 3.2}, pyloop=1.5)
+    _, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == [] and drift is None
+
+
+def test_faster_host_does_not_loosen_gate():
+    """drift < 1 (host got FASTER) must not normalize ratios upward into
+    false fails, nor downward into false passes — it is simply clean."""
+    base = _rec({"q": 2.0}, pyloop=1.0)
+    cur = _rec({"q": 3.2}, pyloop=0.7)
+    _, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == []
+    assert drift < 1.0
