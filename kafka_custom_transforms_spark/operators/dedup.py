@@ -650,6 +650,31 @@ def _and_band_layout(total_bits: int, bits_per_long: int, chunks: int) -> list:
 # ~n^2/2^w while the band-row cost is linear. 100k is the midpoint.
 AND_BAND_CROSSOVER = 100_000
 
+# Assumed bytes/row when estimating a corpus size from plan statistics
+# (sizeInBytes has no row width). Deliberately SMALL for a documents
+# table: underestimating width overestimates rows, which leans the
+# dispatch toward AND banding — the penalty for wrongly-AND is the
+# bounded 2.1x band-explode overhead, while wrongly-OR reopens the
+# n^2/2^w collision term the dispatch exists to kill.
+_EST_DOC_ROW_BYTES = 256
+
+
+def _estimate_rows(df: DataFrame, assumed_row_bytes: int = _EST_DOC_ROW_BYTES) -> int | None:
+    """Corpus-size estimate from Catalyst's optimizedPlan sizeInBytes —
+    no Spark job (same pattern as similarity._auto_cos_dim). Returns None
+    when statistics are the UNKNOWN sentinel (Long.MaxValue, e.g.
+    mapInPandas-backed plans) or unavailable."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j returns scala BigInt as a JavaObject (str() it) or, on some
+        # paths, an already-converted Python int — accept both.
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return None
+    if size >= 1 << 62:
+        return None
+    return size // max(assumed_row_bytes, 1)
+
 
 def simhash_pairs_wide(
     df: DataFrame,
@@ -699,16 +724,23 @@ def simhash_pairs_wide(
     above :data:`AND_BAND_CROSSOVER` (measured ~100k docs: loses 2.1x at
     50k to the 136-struct band explode, wins 1.4x at 150k, widening with
     n), OR banding below it.  ``n_rows`` supplies a known corpus size;
-    when absent the dispatch pays one count() job.  Pinning ``chunks``
-    pins the OR layout (chunk count is meaningless under AND banding), so
-    it also pins band_and=1 with no count job — the registry row at 5k
-    docs does exactly that.  Explicit ``band_and`` overrides everything.
+    when absent the size is ESTIMATED from plan statistics with no Spark
+    job (:func:`_estimate_rows` — safe because both layouts produce the
+    identical pair set, so a misestimate costs only the bounded AND
+    overhead), and only a stats-less plan (mapInPandas-backed input,
+    UNKNOWN sentinel) pays one count() job at plan-construction time —
+    the documented last resort.  Pinning ``chunks`` pins the OR layout
+    (chunk count is meaningless under AND banding), so it also pins
+    band_and=1 with no job of any kind — the registry row at 5k docs does
+    exactly that.  Explicit ``band_and`` overrides everything.
     """
     if band_and is None:
         if chunks is not None:
             band_and = 1  # an explicit OR-band layout is a band_and=1 pin
         else:
-            n = n_rows if n_rows is not None else df.count()
+            n = n_rows if n_rows is not None else _estimate_rows(df)
+            if n is None:
+                n = df.count()  # stats-less plan: the documented last resort
             band_and = 2 if n >= AND_BAND_CROSSOVER else 1
     if band_and not in (1, 2):
         raise ValueError("band_and must be 1 (OR banding) or 2 (chunk-pair AND banding)")

@@ -604,8 +604,24 @@ def test_simhash_wide_band_and_auto_dispatch(docs):
         docs, max_hamming=15, chunks=16, n_rows=10 * dedup.AND_BAND_CROSSOVER
     )
     assert "sv2" not in plan(pinned)
-    # auto without n_rows counts the real (40-doc) corpus -> OR banding
+    # auto without n_rows estimates the tiny corpus from plan statistics
+    # (no count job) -> OR banding
     assert "sv2" not in plan(dedup.simhash_pairs_wide(docs, max_hamming=15))
+
+
+def test_estimate_rows_uses_plan_statistics(docs, spark):
+    """_estimate_rows reads Catalyst sizeInBytes without a Spark job: a
+    stats-bearing plan yields a finite, small-corpus estimate; an
+    RDD-backed plan (LogicalRDD reports the UNKNOWN sentinel,
+    Long.MaxValue) yields None, which is the only path that falls back to
+    the documented count() job. (mapInPandas is NOT stats-less: it
+    propagates its child's sizeInBytes in Spark 4.)"""
+    est = dedup._estimate_rows(docs)
+    assert est is not None and 0 <= est < dedup.AND_BAND_CROSSOVER
+
+    small = docs.select("doc_id", "text")
+    statless = spark.createDataFrame(small.rdd, schema=small.schema)
+    assert dedup._estimate_rows(statless) is None
 
 
 def test_simhash_wide_and_banding_rejects_chunks(docs):
