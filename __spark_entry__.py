@@ -3464,9 +3464,23 @@ def _recursive_cte_doc_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing it once turns ~log2(N) parquet scans into memory reads
     — the same lineage-truncation move the pagerank row makes for its
     iterations (r12 interleaved A/B at sf0.1: 1.76 -> 1.40 s median;
-    column pruning alone was a wash — the scan already pruned)."""
+    column pruning alone was a wash — the scan already pruned).
+
+    Recursion guards sized to the corpus, not left at Spark defaults: the
+    walk accumulates exactly ONE row per document, so the default
+    spark.sql.cteRecursionRowLimit (1M) would abort the row past ~1M docs
+    (sf>=10 / large stress replicas) even though the recursion itself is
+    sound. The limit is raised to the checkpointed corpus size (known
+    exactly — the checkpoint already materialized it) with 2x headroom;
+    the level limit's default (100) already covers depth log2(N) for any
+    physically possible N."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs.localCheckpoint(eager=True).createOrReplaceTempView("kcts_docs_rec")
+    cp = docs.localCheckpoint(eager=True)
+    cp.createOrReplaceTempView("kcts_docs_rec")
+    n_docs = cp.count()  # post-checkpoint count: memory-read, no re-scan
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n_docs))
+    )
     return spark.sql(_RECURSIVE_DEPTH_SQL.format(docs="kcts_docs_rec"))
 
 

@@ -84,3 +84,33 @@ def test_percentile_cont_matches_duckdb_quantile_cont(spark, ddb):
     assert len(ref) == len(got) > 0
     for flag, *qs in ref:
         assert got[flag] == tuple(qs), (flag, got[flag], qs)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_approx_topk_boundary_is_tie_free(sf_dir):
+    """approx_topk_event_types' oracle is ORDER BY cnt DESC LIMIT 3 with
+    no tie-break, and Spark's approx_top_k sketch has its own unspecified
+    internal tie-break — parity is only deterministic because the k=3
+    boundary is gap-separated on this data. That property lived in
+    comments; pin it executably: the exact counts at rank 3 and rank 4
+    must differ at both test scales, so a future data regeneration that
+    introduces a boundary tie fails HERE with a clear message instead of
+    as a nondeterministic hash mismatch in the driver gate."""
+    con = duckdb.connect()
+    counts = con.execute(
+        f"""
+        select count(*) as cnt
+        from '{sf_dir}/events.parquet'
+        group by event_type order by cnt desc
+        """
+    ).fetchall()
+    con.close()
+    assert len(counts) > 3, "k=3 boundary needs a rank-4 row to compare"
+    rank3, rank4 = counts[2][0], counts[3][0]
+    assert rank3 > rank4, (
+        f"approx_topk_event_types k=3 boundary tie at {sf_dir}: "
+        f"rank3={rank3} rank4={rank4} — the row's top-3 is no longer "
+        "deterministic; add an explicit tie-break to both sides"
+    )
