@@ -3531,18 +3531,13 @@ def _phrase_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle each, then a local sort-merge; per-doc hit count and first
     position.  At 100 TB the postings frame is the materialization point
     (bucket by doc_id); stopword terms skew the term-filtered sides, not
-    the join key."""
+    the join key.  Since r13 this calls the generalized n-term operator
+    (operators/text.py:phrase_search) with the same two terms it always
+    pinned — the chained-adjacency plan shape is unchanged."""
+    from kafka_custom_transforms_spark.operators.text import phrase_search
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    )
-    a = words.filter(F.col("w") == "table").select("doc_id", F.col("pos").alias("p0"))
-    b = words.filter(F.col("w") == "scan").select("doc_id", F.col("pos").alias("p1"))
-    hits = a.join(b, (a.doc_id == b.doc_id) & (b.p1 == a.p0 + 1)).select(a.doc_id, "p0")
-    return hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hits"),
-        F.min("p0").cast("long").alias("first_pos"),
-    )
+    return phrase_search(docs, "table scan")
 
 
 def _percentile_cont_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -427,3 +427,52 @@ def lm_likelihood(
             .alias("lm_avg_micro"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Exact n-term phrase search over an inverted index: posexplode the
+    corpus into (id, pos, word) postings, filter one posting list per
+    phrase term, and chain adjacency EQUI joins — term i joins on
+    ``(id, p0 + i)``, so the position arithmetic is a JOIN KEY (plan-
+    pinned: no nested-loop fallback), and every join co-partitions on the
+    document id. Returns per-document ``n_hits`` (phrase occurrences) and
+    ``first_pos`` (position of the earliest occurrence's first term).
+
+    Generalization of the registry row ``phrase_index_docs`` (which calls
+    this with the same two terms it always pinned, keeping its plan
+    shape); reference parity note: the reference SMT library has no query
+    surface (SURVEY §2.4) — this is part of the mandated text-analysis
+    extension.
+
+    Scale shape: postings rows = corpus token count, so the exploded
+    frame is the materialization point at 100 TB (bucket by id); the
+    per-term filters cut each join side to that term's document frequency
+    — stopword terms skew the FILTERED sides, never the join key — and
+    the n-1 chained joins reuse one exchange per side on the same id key.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if not terms or any(not t for t in terms):
+        raise ValueError(f"phrase needs at least one non-empty term: {phrase!r}")
+    words = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "w")
+    )
+    hits = words.filter(F.col("w") == terms[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        b = words.filter(F.col("w") == term).select(
+            id_col, F.col("pos").alias(f"p{i}")
+        )
+        hits = hits.join(
+            b, (hits[id_col] == b[id_col]) & (b[f"p{i}"] == hits["p0"] + i)
+        ).select(hits[id_col], "p0")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )

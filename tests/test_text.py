@@ -204,3 +204,55 @@ def test_quality_score_without_lang_column(spark):
     df = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
     out = quality_score(df).collect()
     assert len(out) == 1 and "lang" not in out[0].asDict()
+
+
+def test_phrase_search_two_and_three_terms(spark):
+    from kafka_custom_transforms_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "full table scan is slow table scan again"),
+            (2, "table of contents"),
+            (3, "scan table scan"),
+            (4, "a full table scan here"),
+        ],
+        "doc_id long, text string",
+    )
+    two = {r.doc_id: (r.n_hits, r.first_pos) for r in phrase_search(df, "table scan").collect()}
+    # doc 1: positions 1 and 5; doc 3: position 1; doc 4: position 2
+    assert two == {1: (2, 1), 3: (1, 1), 4: (1, 2)}
+
+    three = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_search(df, "full table scan").collect()
+    }
+    assert three == {1: (1, 0), 4: (1, 1)}
+
+
+def test_phrase_search_single_term_and_validation(spark):
+    from kafka_custom_transforms_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y")], "doc_id long, text string"
+    )
+    one = {r.doc_id: (r.n_hits, r.first_pos) for r in phrase_search(df, "x").collect()}
+    assert one == {1: (2, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "")
+    with _pytest.raises(ValueError):
+        phrase_search(df, ["x", ""])
+
+
+def test_phrase_search_plan_is_equi_join_chain(spark):
+    """Every adjacency join must carry the position arithmetic in its JOIN
+    KEYS — a nested-loop fallback on any of the n-1 joins would be
+    O(df_term_i x df_term_j) at corpus scale."""
+    from kafka_custom_transforms_spark.operators.text import phrase_search
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    p = plan_str(phrase_search(df, "a b c"), "simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "(p0" in p and "+ 1)" in p and "+ 2)" in p
