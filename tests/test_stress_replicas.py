@@ -56,17 +56,25 @@ def ddb(replica):
     con.close()
 
 
+def _n_src(ddb):
+    return ddb.execute("select count(*) from src_docs").fetchone()[0]
+
+
 def test_document_counts_and_id_disjointness(ddb):
     n_src, n_rep = ddb.execute(
         "select (select count(*) from src_docs), (select count(*) from rep_docs)"
     ).fetchone()
     assert n_rep == K * n_src
-    # copy c occupies [c*DOC_OFF, c*DOC_OFF + n_src): disjoint ranges
+    # DENSE offsets (r13): copy c occupies [c*n_src, (c+1)*n_src) so the
+    # implicit binary doc tree spans the whole replica corpus — the ids
+    # are a contiguous 0..K*n_src-1 range with no gaps
     per_copy = ddb.execute(
-        f"select doc_id // {DOC_OFF} as c, count(*), count(distinct doc_id) "
+        f"select doc_id // {n_src} as c, count(*), count(distinct doc_id) "
         "from rep_docs group by 1 order by 1"
     ).fetchall()
     assert [(c, n, d) for c, n, d in per_copy] == [(c, n_src, n_src) for c in range(K)]
+    lo, hi = ddb.execute("select min(doc_id), max(doc_id) from rep_docs").fetchone()
+    assert (lo, hi) == (0, K * n_src - 1)
 
 
 def test_within_copy_jaccard_preserved_exactly(ddb):
@@ -99,7 +107,7 @@ def test_within_copy_jaccard_preserved_exactly(ddb):
         return rows
 
     j0 = jaccards("rep_docs", 0)
-    j1 = jaccards("rep_docs", DOC_OFF)
+    j1 = jaccards("rep_docs", _n_src(ddb))
     assert len(j0) == len(j1) == 40 * 39 // 2
     for (a0, b0, i0, u0), (a1, b1, i1, u1) in zip(j0, j1):
         assert (a0, b0) == (a1, b1)
@@ -112,9 +120,9 @@ def test_cross_copy_shingle_overlap_is_zero(ddb):
     n = ddb.execute(
         f"""
         with w0 as (select distinct unnest(string_split(text, ' ')) as w
-                    from rep_docs where doc_id < {DOC_OFF}),
+                    from rep_docs where doc_id < {_n_src(ddb)}),
              w1 as (select distinct unnest(string_split(text, ' ')) as w
-                    from rep_docs where doc_id >= {DOC_OFF})
+                    from rep_docs where doc_id >= {_n_src(ddb)})
         select count(*) from w0 join w1 using (w)
         """
     ).fetchone()[0]

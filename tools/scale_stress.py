@@ -19,7 +19,15 @@ bigger data instead of K near-identical shards:
   so the dup RATE stays constant and pair output grows linearly, the
   honest setting for a scaling measurement. Naive replication would
   instead give every doc K-1 near-duplicates and grow the banded join's
-  output quadratically (a skew stress, not a scale stress).
+  output quadratically (a skew stress, not a scale stress). doc_ids are
+  offset DENSELY (c * n_src_docs, not the sparse 10M offset the other
+  tables use): the implicit-binary-tree rows (recursive_cte_doc_depth,
+  pagerank_doc_tree) derive edges from id arithmetic, so dense ids make
+  the tree span the WHOLE K-fold corpus — the recursive walk's frontier
+  genuinely grows K-fold — while sparse offsets would strand every copy
+  but the first outside the tree (constant frontier, probe-side-only
+  growth). Content-based rows never read id magnitude (the existing
+  offsets already shifted every doc_id %-split per copy: 10M % 31 = 20).
 - embeddings: copy c applies a seeded coordinate permutation + sign
   flips — an orthogonal transform, so within-copy norms and cosines are
   preserved exactly and cross-copy similarity is scrambled.
@@ -68,9 +76,12 @@ STRESS_QUERIES = [
     "dedup_minhash_incremental",  # store/batch asymmetry: linear (sig join)
     "skew_join_aqe",            # K-fold hot partition: AQE must keep splitting
     "bloom_join_parts",         # bloom build side grows with part: linear
+    "recursive_cte_doc_depth",  # UnionLoop: frontier doubles per round, K-fold total
+    "phrase_index_docs",        # posexplode postings = corpus token count
 ]
 DOC_OFF = 10_000_000
 KEY_OFF = 100_000_000
+GEN_VERSION = 2  # bump on any replica-format change to invalidate /tmp caches
 
 
 def _gen_dataset(k: int, outdir: Path, src: str = SRC) -> float:
@@ -85,10 +96,13 @@ def _gen_dataset(k: int, outdir: Path, src: str = SRC) -> float:
     con = duckdb.connect()
     copies = ",".join(str(c) for c in range(k))
 
+    n_src_docs = con.execute(
+        f"select count(*) from read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
     con.execute(
         f"""
         copy (
-          select d.doc_id + cast(c.c as bigint) * {DOC_OFF} as doc_id,
+          select d.doc_id + cast(c.c as bigint) * {n_src_docs} as doc_id,
                  case when c.c = 0 then d.text
                       else array_to_string(
                              list_transform(string_split(d.text, ' '),
@@ -273,6 +287,23 @@ def _write_report(
             "offset together per copy); the dry-run plan probe is a "
             "constant",
         ),
+        (
+            "recursive_cte_doc_depth",
+            "dense replica doc_ids put ALL K copies inside the implicit "
+            "binary tree, so the walk's total output and its deepest "
+            "frontiers grow K-fold while the iteration count grows only "
+            "log2(K) (~3 extra UnionLoop rounds at x10) — each round "
+            "shuffles one frontier, never the accumulated walk",
+        ),
+        (
+            "phrase_index_docs",
+            "the posexplode postings frame = corpus TOKEN count, the "
+            "dominant cost, grows K-fold; the two term posting lists stay "
+            "copy-0-sized BY the decorrelation design (copies rewrite "
+            "words into disjoint namespaces), so this row isolates the "
+            "explode+filter scan shape — the adjacency equi-join's "
+            "linear growth is covered by the other join rows",
+        ),
     ):
         if q in queries:
             verdict = "" if ratios[q] <= kN / k0 else " — ABOVE the data step, investigate"
@@ -334,10 +365,14 @@ def main() -> int:
     for k in ks:
         outdir = Path(f"/tmp/stress_x{k}")
         # embeddings is written LAST, but an r11-era cache predates the
-        # part/events tables — require the full set before skipping gen
+        # part/events tables — require the full set before skipping gen.
+        # GEN_VERSION invalidates caches across generator-format changes
+        # (r13 switched documents to dense doc_id offsets).
         needed = ("embeddings", "part", "events", "lineitem")
-        if not all((outdir / f"{t}.parquet").exists() for t in needed):
+        ver = outdir / f"gen_v{GEN_VERSION}"
+        if not (ver.exists() and all((outdir / f"{t}.parquet").exists() for t in needed)):
             gen_secs[k] = _gen_dataset(k, outdir)
+            ver.touch()
         else:
             gen_secs[k] = 0.0
         print(f"x{k}: dataset ready ({gen_secs[k]:.1f}s gen)", file=sys.stderr)
