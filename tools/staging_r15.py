@@ -229,9 +229,9 @@ STAGED_ORACLES = {
                  cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
           FROM customer
         )
-        SELECT (lat_m // 9000) * 1000 + (lon_m // 9000) AS cell1,
+        SELECT cast((lat_m // 9000) * 1000 + (lon_m // 9000) AS BIGINT) AS cell1,
                cast(count(*) AS BIGINT) AS n_cust,
-               sum(bal_cents) AS sum_bal_cents,
+               cast(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
                cast(count(DISTINCT (lat_m // 1800) * 1000 + (lon_m // 1800))
                     AS BIGINT) AS n_child_cells
         FROM pts
