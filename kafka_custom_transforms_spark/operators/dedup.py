@@ -293,6 +293,17 @@ def minhash_lsh_pairs(
     # bytes; (2) fusing sets+sig into one (id, sh, sig) checkpoint LOSES
     # (1.972 vs 1.762) — localCheckpoint reads don't column-prune, so
     # every consumer drags the fat shingle arrays.
+    # Three r13 NEGATIVES (interleaved fresh-plan A/B at sf0.1, n=9):
+    # (3) dropping the sig checkpoint to lean on ReuseExchange across
+    # the self-join sides LOSES ~12% (1.234 vs 1.102 median) — the
+    # eager job it saves is cheaper than re-running the Arrow signature
+    # pass into the exchange; (4) broadcasting the (cand x sh_a) side
+    # into the second verify join is a wash (1.123 vs 1.102) — AQE
+    # already sizes that join well; (5) moving the candidate distinct
+    # AFTER verification (dedupe verified pairs instead of candidates)
+    # is a wash (1.303 vs 1.335) — the duplicate-candidate Jaccard
+    # evals cost what the saved exchange gains. The row's steady-state
+    # cost is the two Arrow passes + banded join, all load-bearing.
     return _verify_jaccard(sets, cand, threshold, broadcast_cand=True)
 
 
