@@ -84,6 +84,11 @@ BENCH_QUERIES = (
     "approx_topk_event_types",
     "order_stats_lineitem",
     "phrase_index_docs",
+    # round-13 engine additions
+    "percentile_cont_lineitem",
+    "ols_quantity_price",
+    "url_parse_events",
+    "str_to_map_props",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -105,8 +110,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:45]
-DECODE_QUERIES = BENCH_QUERIES[45:]
+ENGINE_QUERIES = BENCH_QUERIES[:49]
+DECODE_QUERIES = BENCH_QUERIES[49:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -116,7 +121,7 @@ DECODE_QUERIES = BENCH_QUERIES[45:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "phrase_index_docs":
+if ENGINE_QUERIES[-1] != "str_to_map_props":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")

@@ -758,3 +758,46 @@ def test_r12_row_plan_shapes(spark, sf_dir):
     ph = plan_str(qs["phrase_index_docs"](spark, sf_dir), "simple")
     assert "NestedLoop" not in ph and "CartesianProduct" not in ph
     assert "(p0" in ph and "+ 1)" in ph  # pos arithmetic is a JOIN KEY
+
+
+def test_r13_row_plan_shapes(spark, sf_dir):
+    """The four r13 rows' 100 TB-relevant plan properties — each is ONE
+    partial/final aggregate pair around a single exchange.
+
+    percentile_cont_lineitem: the interpolated-percentile aggregate runs
+    map-side partials (partial_percentile) below the group-key exchange —
+    per-group local state, not a per-group collect. ols_quantity_price:
+    the five sufficient statistics are partial_sum/partial_count partials
+    and the scan reads ONLY the three referenced columns (the closed form
+    lives in a post-aggregation Project). url_parse_events /
+    str_to_map_props: pure per-row expression pipelines (parse_url /
+    str_to_map never force a Python stage) into one aggregate exchange."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    qs = entry_mod.queries()
+
+    # shuffle_count reads the formatted plan, which prints each Exchange
+    # twice (tree + detail) — "== 2" pins exactly ONE exchange.
+    pc = qs["percentile_cont_lineitem"](spark, sf_dir)
+    p = plan_str(pc, "simple")
+    assert "partial_percentile" in p
+    assert shuffle_count(pc) == 2
+
+    ols = qs["ols_quantity_price"](spark, sf_dir)
+    p = plan_str(ols, "simple")
+    assert "partial_sum" in p and "partial_count" in p
+    assert shuffle_count(ols) == 2
+    # column pruning reached the scan: only the 3 referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>" in p
+
+    url = qs["url_parse_events"](spark, sf_dir)
+    p = plan_str(url, "simple")
+    assert "partial_min" in p and "partial_count" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffle_count(url) == 2
+
+    stm = qs["str_to_map_props"](spark, sf_dir)
+    p = plan_str(stm, "simple")
+    assert "partial_sum" in p and "str_to_map" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffle_count(stm) == 2
