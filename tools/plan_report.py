@@ -57,6 +57,10 @@ SHOWCASE = {
     "approx_topk_event_types": "partial_approx_top_k map-side partials; only O(maxItemsTracked) sketch state crosses the exchange",
     "order_stats_lineitem": "mode + percentile_disc WITHIN GROUP as mergeable ObjectHashAggregate partials below ONE group-key exchange — no per-group collect, no global sort",
     "phrase_index_docs": "postings adjacency join: (doc_id, p0+1) = (doc_id, p1) are the JOIN KEYS (position arithmetic stays equi), term filters precede the join",
+    "percentile_cont_lineitem": "interpolated percentiles as map-side partial_percentile ObjectHashAggregate partials below ONE group-key exchange — pinned in tests/test_plans.py",
+    "ols_quantity_price": "five bigint sufficient statistics as partial_sum/partial_count partials, scan pruned to 3 columns, closed form in a post-agg Project — pinned in tests/test_plans.py",
+    "url_parse_events": "parse_url/count_if as pure JVM expressions (no Python stage) into one aggregate exchange — pinned in tests/test_plans.py",
+    "str_to_map_props": "str_to_map/map_filter as codegen expressions into one partial/final aggregate exchange — pinned in tests/test_plans.py",
 }
 
 
