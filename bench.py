@@ -243,7 +243,34 @@ def _host_speed_probe() -> dict[str, float]:
     for _ in range(200):
         hashlib.md5(buf).digest()
     md5 = time.perf_counter() - t0
-    return {"pyloop_sec": round(pyloop, 3), "md5_200mb_sec": round(md5, 3)}
+
+    # MULTI-core leg (r13): 8 threads each doing the single-thread md5
+    # burn concurrently — hashlib releases the GIL for >2 KB updates, so
+    # on an idle 32-vCPU host the wall time ~equals the single-thread
+    # burn, and any inflation is multi-core host degradation. Needed
+    # because the r13 close measured every Spark row 1.2-1.7x over the
+    # anchor while BOTH single-core legs matched the anchor and steal
+    # read 0.28 — contention that only parallel work can see (vCPU
+    # co-scheduling / memory bandwidth), invisible to single-thread
+    # probes and to /proc/stat steal.
+    import threading
+
+    def _burn() -> None:
+        for _ in range(200):
+            hashlib.md5(buf).digest()
+
+    threads = [threading.Thread(target=_burn) for _ in range(8)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    md5_mt = time.perf_counter() - t0
+    return {
+        "pyloop_sec": round(pyloop, 3),
+        "md5_200mb_sec": round(md5, 3),
+        "md5_mt8_sec": round(md5_mt, 3),
+    }
 
 
 def main() -> None:

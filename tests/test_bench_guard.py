@@ -167,10 +167,12 @@ def test_load_gate_skips_null_loadavg_but_rejects_absent_field(tmp_path):
     assert not ok
 
 
-def _rec(queries, pyloop=None, md5=None):
+def _rec(queries, pyloop=None, md5=None, mt8=None):
     rec = {"metric": "m", "queries": queries}
     if pyloop is not None:
         rec["host_speed"] = {"pyloop_sec": pyloop, "md5_200mb_sec": md5 or pyloop}
+        if mt8 is not None:
+            rec["host_speed"]["md5_mt8_sec"] = mt8
     return rec
 
 
@@ -207,6 +209,37 @@ def test_missing_probe_keeps_legacy_behavior():
     cur = _rec({"q": 3.2}, pyloop=1.5)
     _, failures, suspects, drift = bench_guard.compare(base, cur)
     assert failures == ["q"] and suspects == [] and drift is None
+
+
+def test_multicore_probe_downgrades_fail_when_single_core_clean():
+    """The r13-close mode: every single-core leg matches the anchor while
+    parallel work runs ~1.5x slow (vCPU co-scheduling / memory bandwidth —
+    invisible to pyloop/md5 and to steal). With the md5_mt8 leg in both
+    records, host_drift takes the WORSE ratio, so the uniform inflation
+    lands in the drift-suspect lane instead of hard-failing untouched
+    rows."""
+    base = _rec({"q": 2.0}, pyloop=1.0, mt8=1.0)
+    cur = _rec({"q": 3.2}, pyloop=1.0, mt8=1.55)
+    _, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert failures == [] and suspects == ["q"]
+    assert abs(drift - 1.55) < 1e-9
+
+
+def test_multicore_probe_absent_in_baseline_falls_back_to_single_core():
+    """Old anchors predate the mt8 leg: drift must come from the
+    single-core geomean alone (no KeyError, no silent None)."""
+    base = _rec({"q": 2.0}, pyloop=1.0)  # no mt8 field
+    cur = _rec({"q": 3.2}, pyloop=1.0, mt8=1.55)
+    _, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == []
+    assert abs(drift - 1.0) < 1e-9
+
+
+def test_regression_beyond_multicore_drift_still_hard_fails():
+    base = _rec({"q": 2.0}, pyloop=1.0, mt8=1.0)
+    cur = _rec({"q": 5.0}, pyloop=1.0, mt8=1.2)  # 2.5x raw, 1.2x mt drift
+    _, failures, suspects, _ = bench_guard.compare(base, cur)
+    assert failures == ["q"] and suspects == []
 
 
 def test_faster_host_does_not_loosen_gate():

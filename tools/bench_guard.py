@@ -107,9 +107,17 @@ def load_current(argv: list[str]) -> dict:
 
 def host_drift(base: dict, cur: dict) -> float | None:
     """Code-independent host-speed ratio between two bench records: the
-    geometric mean of the probe ratios (pyloop is interpreter-bound, md5
-    memory/crypto-bound — neither touches repo code, so the ratio measures
-    the HOST, not the tree). None when either record predates the probe."""
+    geometric mean of the single-core probe ratios (pyloop is
+    interpreter-bound, md5 memory/crypto-bound — neither touches repo
+    code, so the ratio measures the HOST, not the tree), then the WORSE
+    of that and the multi-core ratio (md5_mt8, r13) when both records
+    carry it. Spark rows are multi-core work: the r13 close measured
+    uniform 1.2-1.7x row inflation (incl. SMT rows byte-identical since
+    r7, adjudicated by an unchanged-r12-tree control run) while every
+    single-core leg matched the anchor — only a parallel probe can see
+    that mode, so normalizing by the max keeps such episodes in the
+    drift-suspect lane instead of hard-failing untouched rows. None when
+    either record predates the probe."""
     hs_cur, hs_base = cur.get("host_speed"), base.get("host_speed")
     if not (hs_cur and hs_base):
         return None
@@ -123,7 +131,10 @@ def host_drift(base: dict, cur: dict) -> float | None:
     prod = 1.0
     for r in ratios:
         prod *= r
-    return prod ** (1.0 / len(ratios))
+    drift = prod ** (1.0 / len(ratios))
+    if hs_cur.get("md5_mt8_sec") and hs_base.get("md5_mt8_sec"):
+        drift = max(drift, hs_cur["md5_mt8_sec"] / hs_base["md5_mt8_sec"])
+    return drift
 
 
 def compare(base: dict, cur: dict) -> tuple[list[str], list[str], list[str], float | None]:
