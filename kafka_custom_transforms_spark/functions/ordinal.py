@@ -43,10 +43,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["global_ordinal"]
+__all__ = ["global_ordinal", "ORDINAL_WINDOW_MAX_BYTES"]
 
 _PID = "_go_pid"
 _OFF = "_go_offset"
+
+# Measured crossover (r13, local[32], shuffled unique bigint keys): at
+# 500k rows the plain single-partition window reads ~1.4 s vs ~7 s for
+# the distributed plan (the checkpoint materialization isn't free); by
+# 5M rows the ordering flips (~11 s vs ~6 s) and diverges from there —
+# the window's one sort task gets ALL the data whatever the cluster
+# size. Dispatch on the plan's estimated size: below this many bytes
+# one task sorts the whole input in seconds on any hardware, so the
+# window path is the cheaper plan EVEN on a cluster; above it, the
+# distributed path. Same promote-the-measured-crossover move as
+# dedup.AND_BAND_CROSSOVER / similarity.UNROLL_MIN_ROWS.
+ORDINAL_WINDOW_MAX_BYTES = 64 << 20
+
+
+def _plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst optimizedPlan sizeInBytes — no Spark job (same pattern as
+    dedup._estimate_rows). None when statistics are the UNKNOWN sentinel
+    (Long.MaxValue, e.g. mapInPandas-backed plans) or unavailable."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return None
+    if size >= 1 << 62:
+        return None
+    return size
 
 
 def global_ordinal(
@@ -56,8 +82,22 @@ def global_ordinal(
     out_col: str = "ordinal",
 ) -> DataFrame:
     """Append ``out_col`` = the 1-based global rank of ``order_col``,
-    computed without any whole-table single-partition window."""
+    computed without any whole-table single-partition window.
+
+    With ``n_parts=None`` the input's estimated plan size dispatches:
+    inputs under :data:`ORDINAL_WINDOW_MAX_BYTES` take the plain global
+    window (one bounded sort task — cheaper than the distributed plan's
+    checkpoint at that size, measured); larger or stats-less inputs take
+    the distributed plan. Pass ``n_parts`` explicitly to pin the
+    distributed plan regardless of size (what the registry row does, so
+    its plan shape is the scale path)."""
     if n_parts is None:
+        size = _plan_bytes(df)
+        if size is not None and size < ORDINAL_WINDOW_MAX_BYTES:
+            return df.withColumn(
+                out_col,
+                F.row_number().over(Window.orderBy(order_col)).cast("long"),
+            )
         n_parts = df.sparkSession.sparkContext.defaultParallelism
     part = (
         df.repartitionByRange(n_parts, F.col(order_col))

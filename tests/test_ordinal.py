@@ -47,6 +47,30 @@ def test_ordinal_preserves_other_columns_and_count(spark):
         assert r["ordinal"] == r["k"] + 1  # ids 0..56 -> ordinals 1..57
 
 
+def test_small_input_auto_dispatches_to_plain_window(spark):
+    """Below ORDINAL_WINDOW_MAX_BYTES with n_parts=None the measured
+    crossover says one bounded sort task is the cheaper plan — the
+    dispatch must produce it (no pid column machinery) with identical
+    results."""
+    from kafka_custom_transforms_spark.functions.ordinal import global_ordinal as go
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    out = go(df, "k")  # no n_parts: tiny plan -> window path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_go_pid" not in plan
+    rows = {r["k"]: r["ordinal"] for r in out.collect()}
+    assert rows == {k: k + 1 for k in range(200)}
+
+
+def test_explicit_n_parts_pins_distributed_plan_even_when_small(spark):
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    plan = (
+        global_ordinal(df, "k", n_parts=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_go_pid" in plan
+
+
 def test_ordinal_plan_has_no_global_window(spark):
     """The whole point: no empty-PARTITION-BY window over data rows.
     Every window in the plan must either partition by the pid column or
