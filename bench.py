@@ -273,6 +273,40 @@ def _host_speed_probe() -> dict[str, float]:
     }
 
 
+# A sample whose trailing micro-probe reads this much over the run's own
+# best probe ran in a degraded window — retake it (same policy as the
+# per-sample steal gate).
+BURST_PROBE_RATIO = 1.3
+
+
+def _mt8_micro() -> float:
+    """~40 ms 8-thread md5 burst — the per-SAMPLE burst detector. The r13
+    close hit a contention mode that /proc/stat steal does NOT count
+    (samples spiking 2-12x with steal ~0.05, e.g. a 0.76 s decode row
+    reading 6.0 s): hypervisor co-scheduling that only parallel work can
+    see. hashlib releases the GIL, so idle wall ~= single-thread wall and
+    any inflation is multi-core degradation. Run after every sample
+    (which is also 'before the next sample'); the sample is retaken when
+    the probe reads BURST_PROBE_RATIO over the run's own best, so the
+    baseline needs no cross-run anchor."""
+    import hashlib
+    import threading
+
+    buf = b"x" * 1_000_000
+
+    def _burn() -> None:
+        for _ in range(25):
+            hashlib.md5(buf).digest()
+
+    threads = [threading.Thread(target=_burn) for _ in range(8)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -293,6 +327,9 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     retried: dict[str, int] = {}
     discarded: dict[str, list[list[float]]] = {}
+    probe_retried: dict[str, int] = {}
+    probe_discarded: dict[str, list[list[float]]] = {}
+    probe_best = min(_mt8_micro() for _ in range(3))
     for name in BENCH_QUERIES:
         samples = []
         retries = 0
@@ -327,6 +364,20 @@ def main() -> None:
                     first_discarded = True
                 retries += 1
                 continue
+            # Per-SAMPLE burst gate for steal-INVISIBLE contention (see
+            # _mt8_micro): probe after the sample; a degraded window
+            # means the sample is suspect — retake it, bounded.
+            p = _mt8_micro()
+            probe_best = min(probe_best, p)
+            if p > BURST_PROBE_RATIO * probe_best and retries < SAMPLES:
+                probe_discarded.setdefault(name, []).append(
+                    [round(dt, 3), round(p / probe_best, 2)]
+                )
+                probe_retried[name] = probe_retried.get(name, 0) + 1
+                if not samples:
+                    first_discarded = True
+                retries += 1
+                continue
             samples.append(round(dt, 3))
         if retries:
             retried[name] = retries
@@ -348,6 +399,9 @@ def main() -> None:
     diagnostics = {"samples": SAMPLES, "cold": cold, "spread": spread,
                    "steal_retries": retried,
                    "discarded_samples": discarded,
+                   "probe_retries": probe_retried,
+                   "probe_discarded_samples": probe_discarded,
+                   "probe_best_sec": round(probe_best, 4),
                    "cold_unreliable": cold_unreliable}
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
