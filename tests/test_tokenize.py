@@ -75,20 +75,38 @@ def test_one_at_a_time_equals_batch(word):
 
 
 @settings(max_examples=150, deadline=None)
-@given(
-    st.text(alphabet="abc", max_size=16),
-    st.lists(
-        st.tuples(
-            st.text(alphabet="abc", min_size=1, max_size=2),
-            st.text(alphabet="abc", min_size=1, max_size=2),
-        ),
-        max_size=8,
-        unique=True,
-    ),
-)
-def test_equivalence_holds_for_arbitrary_merge_tables(word, merges):
+@given(st.text(alphabet="abc", max_size=16), st.data())
+def test_equivalence_holds_for_trainable_merge_tables(word, data):
+    """One-at-a-time vs batch-per-round merging coincide for TRAINABLE
+    tables only: every merge's operands must be single characters or the
+    results of strictly earlier merges (the invariant real BPE training
+    guarantees). Build tables constructively under that invariant — the
+    old fully-arbitrary strategy was a FALSE property, falsified by
+    Hypothesis (r13) with the untrainable table below."""
+    vocab = ["a", "b", "c"]
+    merges: list = []
+    for _ in range(data.draw(st.integers(0, 8), label="n_merges")):
+        a = vocab[data.draw(st.integers(0, len(vocab) - 1), label="left")]
+        b = vocab[data.draw(st.integers(0, len(vocab) - 1), label="right")]
+        if (a, b) in merges:
+            continue
+        merges.append((a, b))
+        vocab.append(a + b)
     merges = tuple(merges)
     assert bpe_encode(word, merges) == _batch_encode(word, merges)
+
+
+def test_untrainable_tables_diverge_by_design():
+    """The Hypothesis-found counterexample, pinned: with ('cc','c')
+    ranked ABOVE ('c','c') — impossible under training, since 'cc' only
+    exists once ('c','c') has merged — the two formulations legitimately
+    split. bpe_encode holds the one-lowest-rank-pair-at-a-time contract
+    (the tiktoken semantics); the batch reference merges all occurrences
+    of the round's best pair (the GPT-2 reference-code semantics). Both
+    are internally consistent; they only meet on trainable tables."""
+    merges = (("cc", "c"), ("c", "c"))
+    assert bpe_encode("cccc", merges) == ["ccc", "c"]
+    assert _batch_encode("cccc", merges) == ["cc", "cc"]
 
 
 def test_tokenize_column_matches_pure_function(spark):
