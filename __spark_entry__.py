@@ -3684,6 +3684,141 @@ def _str_to_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Diurnal query pattern for ts_pattern_similarity: quiet night, ramping
+# morning, busy afternoon, easing evening. Integer weights so every
+# similarity term is exact.
+_TS_PATTERN = [1] * 6 + [2] * 6 + [4] * 6 + [3] * 6
+_TS_P_NORM2 = sum(p * p for p in _TS_PATTERN)  # 180
+# DuckDB-oracle fragments built from the same constants (the row is
+# additionally pinned against a pure-Python model so the shared formula
+# cannot hide a bug — tests/test_independent_oracles.py).
+_TS_ORACLE_CELLS = ",\n                     ".join(
+    f"sum(CASE WHEN hour(ts) = {hh} THEN 1 ELSE 0 END) AS c{hh}"
+    for hh in range(24)
+)
+_TS_ORACLE_DOT = " + ".join(f"c{hh} * {_TS_PATTERN[hh]}" for hh in range(24))
+_TS_ORACLE_N2 = " + ".join(f"c{hh} * c{hh}" for hh in range(24))
+
+
+def _ts_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users whose hour-of-day activity profile best matches the
+    fixed diurnal pattern.  Profile = 24 conditional counts (one grouped
+    pass, no pivot); similarity = dot(profile, pattern)^2 * 1000 //
+    (|profile|^2 * |pattern|^2) — integer, exact, monotone in cosine^2,
+    so the ranking equals the cosine ranking without any float or sqrt.
+    Ties break on user_id; magnitudes stay far inside int64 (counts ~1e3
+    per cell at sf1 -> dot^2*1000 ~ 1e16).  Scale shape: one shuffle on
+    (user_id), then a driver-bounded top-k (TakeOrderedAndProject).
+    Additionally pinned against a pure-Python integer model in
+    tests/test_independent_oracles.py (the oracle shares the formula)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.hour("ts").alias("h")
+    )
+    cells = [
+        F.sum(F.when(F.col("h") == hh, 1).otherwise(0)).alias(f"c{hh}")
+        for hh in range(24)
+    ]
+    prof = ev.groupBy("user_id").agg(*cells)
+    dot_sql = " + ".join(f"c{hh} * {_TS_PATTERN[hh]}" for hh in range(24))
+    n2_sql = " + ".join(f"c{hh} * c{hh}" for hh in range(24))
+    # SQL `div`: exact int64 division (both engines floor positives the
+    # same way); the whole similarity stays integer end to end
+    sim = F.expr(
+        f"(({dot_sql}) * ({dot_sql}) * 1000) div (({n2_sql}) * {_TS_P_NORM2})"
+    )
+    return (
+        prof.select(
+            "user_id",
+            sim.cast("long").alias("sim_milli"),
+            F.expr(n2_sql).cast("long").alias("profile_norm2"),
+        )
+        .orderBy(F.col("sim_milli").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+def _variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL ``variant_explode`` over the array-shaped VARIANT payloads
+    (event_id % 3 == 2 -> {"arr": [k, k+1]}): each array element becomes a
+    (pos, value) row.  Pure per-row TVF expansion — zero extra shuffles
+    before the final aggregate.  The oracle reconstructs positions and
+    values from the base columns — ground truth, no JSON parser."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    arr = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2).select(
+        "event_type",
+        F.parse_json(
+            F.concat(F.lit('{"arr": ['), k, F.lit(", "), k + 1, F.lit("]}"))
+        ).alias("v"),
+    )
+    arr.createOrReplaceTempView("kcts_var_arr")
+    return spark.sql(
+        """
+        SELECT event_type,
+               cast(count(*) AS bigint)            AS n_elems,
+               cast(sum(e.pos) AS bigint)          AS sum_pos,
+               cast(sum(cast(e.value AS bigint)) AS bigint) AS sum_vals
+        FROM kcts_var_arr,
+             LATERAL variant_explode(variant_get(v, '$.arr')) AS e
+        GROUP BY event_type
+        """
+    )
+
+
+def _try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ANSI mode is ON repo-wide (overflow and bad
+    casts THROW), and the ``try_*`` family is the per-expression escape
+    hatch — NULL on failure instead of a job abort.  Three planted
+    failure sites: zero divisors (o_orderkey % 7 == 0), int64 overflow
+    (o_orderkey * 10^15 overflows exactly when o_orderkey > 9223), and
+    unparseable numerics (every 5th key).  Every NULL site is modeled
+    exactly in the oracle; floor(try_divide) is cross-engine-stable
+    because both engines IEEE-divide the same exact-in-double operands.
+    Pure codegen projections + one grouped aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    div = F.expr("try_divide(cents, o_orderkey % 7)")
+    mul = F.expr("try_multiply(o_orderkey, 1000000000000000)")  # 10^15
+    num = F.expr(
+        "try_to_number(CASE WHEN o_orderkey % 5 = 0 THEN 'x' "
+        "ELSE cast(o_orderkey % 1000 AS string) END, '999')"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(div.isNull(), 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.sum(F.floor(div)).cast("long").alias("sum_div_floor"),
+        F.sum(F.when(mul.isNull(), 1).otherwise(0)).cast("long").alias("n_mul_null"),
+        F.sum(F.when(num.isNull(), 1).otherwise(0)).cast("long").alias("n_num_null"),
+        F.sum(num.cast("long")).cast("long").alias("sum_num"),
+    )
+
+
+def _setops_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: supplier keys of returned ('R') lineitems
+    EXCEPT ALL / INTERSECT ALL those of accepted ('A') ones — bag
+    semantics where every duplicate counts (max(a-b,0) and min(a,b) per
+    key), which the distinct-flavor setops_users row cannot express.
+    Both operators plan as aggregate+join under the hood: one shuffle per
+    side on the value, never a sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_returnflag", "l_suppkey").createOrReplaceTempView("kcts_li_bags")
+    return spark.sql(
+        """
+        WITH r AS (SELECT l_suppkey FROM kcts_li_bags WHERE l_returnflag = 'R'),
+             a AS (SELECT l_suppkey FROM kcts_li_bags WHERE l_returnflag = 'A'),
+             ex AS (SELECT * FROM r EXCEPT ALL SELECT * FROM a),
+             ia AS (SELECT * FROM r INTERSECT ALL SELECT * FROM a)
+        SELECT (SELECT cast(count(*) AS bigint) FROM ex) AS n_except_all,
+               (SELECT cast(count(*) AS bigint) FROM ia) AS n_intersect_all,
+               (SELECT cast(count(DISTINCT l_suppkey) AS bigint) FROM ex)
+                 AS n_except_keys
+        """
+    )
+
+
 def _pagerank_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/clusters.py:pagerank_int), 3
     damped iterations over the implicit doc binary tree (i -> 2i+1, 2i+2
@@ -4836,9 +4971,9 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-13 rotation: the 4 new r13 rows (never recorded, lifted
-# from tools/staging_r13.py where they were pre-verified at sf0.001 and
-# sf0.01 during r12), then the next 33 rows last recorded in r7/r8
+# rows. Round-14 rotation: the 4 new r14 rows (never recorded, lifted
+# from tools/staging_r14.py where they were pre-verified at sf0.001 and
+# sf0.01 during r13), then the next 33 rows last recorded in r8/r9
 # (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
@@ -4848,7 +4983,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 13
+CORRECTNESS_WINDOW_ROUND = 14
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -4857,21 +4992,22 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-13 new rows (never recorded — outrank re-records)
-    "percentile_cont_lineitem", "ols_quantity_price",
-    "url_parse_events", "str_to_map_props",
-    # least-recently-recorded re-records (1 from r7, 32 from r8, registry order)
-    "topn_pagination", "similarity_topk", "similarity_topk_lsh",
-    "similarity_topk_ivf", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_semantic", "dedup_clusters", "dedup_survivors",
-    "dedup_lines_global", "q1_pricing_summary", "dedup_streaming_batch",
-    "events_asof_attrib", "events_range_counts", "events_interval_pairs",
-    "decontaminate_docs", "decontaminate_bloom", "q6_forecast_revenue",
-    "ntile_customer_quartiles", "global_shuffle_shards", "kmv_sketch_tokens",
-    "quantize_embeddings", "label_centroids", "profile_orders",
-    "zorder_events", "trailing_counts_range", "props_variant_agg",
-    "q10_returned_items", "q4_late_orders", "q7_nation_volume",
+    # round-14 new rows (never recorded — outrank re-records)
+    "ts_pattern_similarity", "variant_explode_props",
+    "try_arithmetic_orders", "setops_all_lineitems",
+    # least-recently-recorded re-records (5 from r8, 28 from r9, registry order)
+    "q8_market_share", "q12_priority_lines", "q14_promo_revenue",
+    "skew_join_salted", "scalar_funcs", "q3_shipping_priority",
+    "q13_order_distribution", "q15_top_supplier", "q16_supplier_variety",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_balances",
+    "pipeline_training_batches", "pipeline_entity_resolution",
+    "funnel_stages", "sketch_distinct_users", "pack_docs",
+    "mixture_sample_docs", "importance_score_docs", "multimodal_png_decode",
+    "multimodal_bmp_decode", "events_sessionize", "events_sessionize_stream",
+    "stream_dedup_watermark", "stream_interval_join", "stream_decontaminate",
+    "stream_static_enrich", "stream_leaderboard", "statestore_read_counts",
+    "multimodal_gif_decode", "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
 ]
 
 
@@ -5052,6 +5188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_quantity_price": _ols_quantity_price,
         "url_parse_events": _url_parse_events,
         "str_to_map_props": _str_to_map_props,
+        "ts_pattern_similarity": _ts_pattern_similarity,
+        "variant_explode_props": _variant_explode_props,
+        "try_arithmetic_orders": _try_arithmetic_orders,
+        "setops_all_lineitems": _setops_all_lineitems,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_mp4_decode": _multimodal_mp4_decode,
         "arrow_vector_norms": _arrow_vector_norms,
@@ -8215,6 +8355,63 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_even_vals
             FROM events
             GROUP BY event_type
+        """,
+        "ts_pattern_similarity": f"""
+            WITH prof AS (
+              SELECT user_id,
+                     {_TS_ORACLE_CELLS}
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   cast(({_TS_ORACLE_DOT}) * ({_TS_ORACLE_DOT}) * 1000
+                        // (({_TS_ORACLE_N2}) * {_TS_P_NORM2}) AS bigint) AS sim_milli,
+                   cast({_TS_ORACLE_N2} AS bigint) AS profile_norm2
+            FROM prof
+            ORDER BY sim_milli DESC, user_id
+            LIMIT 20
+        """,
+        # Ground truth from the base columns: each arr-shaped event
+        # contributes positions 0+1 and values k + (k+1).
+        "variant_explode_props": """
+            SELECT event_type,
+                   cast(2 * count(*) AS bigint) AS n_elems,
+                   cast(count(*) AS bigint) AS sum_pos,
+                   cast(sum(2 * cast(props->>'$.k' AS bigint) + 1) AS bigint)
+                     AS sum_vals
+            FROM events
+            WHERE event_id % 3 = 2
+            GROUP BY event_type
+        """,
+        "try_arithmetic_orders": """
+            WITH o AS (
+              SELECT o_orderstatus, o_orderkey,
+                     cast(round(o_totalprice * 100) AS bigint) AS cents
+              FROM orders
+            )
+            SELECT o_orderstatus,
+                   cast(count(*) AS bigint) AS n,
+                   cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_div_null,
+                   cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                 ELSE floor(cents / (o_orderkey % 7)) END)
+                        AS bigint) AS sum_div_floor,
+                   cast(sum(CASE WHEN o_orderkey > 9223 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_mul_null,
+                   cast(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_num_null,
+                   cast(sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                                 ELSE o_orderkey % 1000 END) AS bigint) AS sum_num
+            FROM o GROUP BY o_orderstatus
+        """,
+        "setops_all_lineitems": """
+            WITH r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+                 a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+                 ex AS (SELECT * FROM r EXCEPT ALL SELECT * FROM a),
+                 ia AS (SELECT * FROM r INTERSECT ALL SELECT * FROM a)
+            SELECT (SELECT cast(count(*) AS bigint) FROM ex) AS n_except_all,
+                   (SELECT cast(count(*) AS bigint) FROM ia) AS n_intersect_all,
+                   (SELECT cast(count(DISTINCT l_suppkey) AS bigint) FROM ex)
+                     AS n_except_keys
         """,
         "pagerank_doc_tree": """
             with ids as (select doc_id from documents),

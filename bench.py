@@ -89,6 +89,11 @@ BENCH_QUERIES = (
     "ols_quantity_price",
     "url_parse_events",
     "str_to_map_props",
+    # round-14 engine additions
+    "ts_pattern_similarity",
+    "variant_explode_props",
+    "try_arithmetic_orders",
+    "setops_all_lineitems",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -110,8 +115,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:49]
-DECODE_QUERIES = BENCH_QUERIES[49:]
+ENGINE_QUERIES = BENCH_QUERIES[:53]
+DECODE_QUERIES = BENCH_QUERIES[53:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -121,7 +126,7 @@ DECODE_QUERIES = BENCH_QUERIES[49:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "str_to_map_props":
+if ENGINE_QUERIES[-1] != "setops_all_lineitems":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")

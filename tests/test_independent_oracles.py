@@ -86,6 +86,39 @@ def test_percentile_cont_matches_duckdb_quantile_cont(spark, ddb):
         assert got[flag] == tuple(qs), (flag, got[flag], qs)
 
 
+def test_ts_pattern_similarity_matches_pure_python_model(spark):
+    """Independent-implementation check for ts_pattern_similarity: the
+    row's DuckDB oracle is GENERATED from the same _TS_PATTERN constants
+    and sum expressions, so a shared formula bug would pass parity (the
+    r12 OLS lesson). Recompute the full top-20 from the raw parquet with
+    plain Python integer arithmetic — exact equality required.
+    Lifted from tests/test_staging_r14.py at the round-14 registry lift;
+    now guards the REGISTERED row."""
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as entry_mod
+    from __spark_entry__ import _TS_PATTERN, _TS_P_NORM2
+
+    rows = duckdb.execute(
+        f"select user_id, hour(ts) as h from '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    prof = defaultdict(Counter)
+    for uid, h in rows:
+        prof[uid][h] += 1
+    model = []
+    for uid, c in prof.items():
+        dot = sum(c[h] * _TS_PATTERN[h] for h in range(24))
+        n2 = sum(c[h] * c[h] for h in range(24))
+        model.append((dot * dot * 1000 // (n2 * _TS_P_NORM2), uid, n2))
+    model.sort(key=lambda t: (-t[0], t[1]))
+    want = [(uid, sim, n2) for sim, uid, n2 in model[:20]]
+    got = [
+        (r["user_id"], r["sim_milli"], r["profile_norm2"])
+        for r in entry_mod.queries()["ts_pattern_similarity"](spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )

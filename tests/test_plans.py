@@ -801,3 +801,49 @@ def test_r13_row_plan_shapes(spark, sf_dir):
     assert "partial_sum" in p and "str_to_map" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert shuffle_count(stm) == 2
+
+
+def test_r14_row_plan_shapes(spark, sf_dir):
+    """The four r14 rows' 100 TB-relevant plan properties.
+
+    ts_pattern_similarity: the 24-bin profile is ONE partial/final
+    aggregate pair around a single user_id exchange (no pivot, no
+    collect), and the global top-20 is TakeOrderedAndProject — a
+    driver-bounded per-partition top-k merge, never a global sort.
+    variant_explode_props: the VARIANT TVF is a per-row Generate feeding
+    partial aggregates — no Python stage, one exchange, and the
+    event_id filter reaches the scan. try_arithmetic_orders: the try_*
+    family stays pure codegen (no Python stage) into one aggregate
+    exchange. setops_all_lineitems: EXCEPT ALL / INTERSECT ALL compile
+    to the union + signed-count + replicaterows shape (aggregate-based
+    bag semantics — never a sort, never a nested loop), with the
+    returnflag filters pushed to the parquet scan."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    qs = entry_mod.queries()
+
+    ts = qs["ts_pattern_similarity"](spark, sf_dir)
+    p = plan_str(ts, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_sum" in p
+    assert "Sort " not in p  # top-k must not plan a global sort
+    assert shuffle_count(ts) == 2  # formatted plan prints each Exchange twice
+
+    ve = qs["variant_explode_props"](spark, sf_dir)
+    p = plan_str(ve, "simple")
+    assert "variant_explode" in p and "Generate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffle_count(ve) == 2
+
+    ta = qs["try_arithmetic_orders"](spark, sf_dir)
+    p = plan_str(ta, "simple")
+    assert "partial_sum" in p and "try_to_number" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffle_count(ta) == 2
+
+    so = qs["setops_all_lineitems"](spark, sf_dir)
+    p = plan_str(so, "simple")
+    assert "replicaterows" in p  # the aggregate-based EXCEPT/INTERSECT ALL shape
+    assert "Union" in p
+    assert "SortMergeJoin" not in p and "Sort " not in p
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in p

@@ -35,11 +35,8 @@ def test_staged_rows_have_oracles_and_are_not_registered():
     assert set(STAGED) == set(STAGED_ORACLES)
     # staging means staging: the <=4-rows/round budget is enforced by
     # keeping these OUT of the registry until the round-15 rotation
-    # commit (and disjoint from the r14 module ahead of them in line)
+    # commit
     assert not set(STAGED) & set(entry_mod.queries())
-    from staging_r14 import STAGED as R14_STAGED
-
-    assert not set(STAGED) & set(R14_STAGED)
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))

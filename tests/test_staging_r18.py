@@ -34,8 +34,11 @@ def test_staged_rows_have_oracles_and_are_not_registered():
 
     assert set(STAGED) == set(STAGED_ORACLES)
     assert not set(STAGED) & set(entry_mod.queries())
-    for mod in ("staging_r14", "staging_r15", "staging_r16", "staging_r17"):
-        staged = __import__(mod).STAGED
+    for mod in ("staging_r15", "staging_r16", "staging_r17"):
+        try:
+            staged = __import__(mod).STAGED
+        except ImportError:
+            continue  # lifted into the registry and deleted
         assert not set(STAGED) & set(staged), mod
 
 

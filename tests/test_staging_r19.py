@@ -34,9 +34,12 @@ def test_staged_rows_have_oracles_and_are_not_registered():
 
     assert set(STAGED) == set(STAGED_ORACLES)
     assert not set(STAGED) & set(entry_mod.queries())
-    for mod in ("staging_r14", "staging_r15", "staging_r16", "staging_r17",
+    for mod in ("staging_r15", "staging_r16", "staging_r17",
                 "staging_r18"):
-        staged = __import__(mod).STAGED
+        try:
+            staged = __import__(mod).STAGED
+        except ImportError:
+            continue  # lifted into the registry and deleted
         assert not set(STAGED) & set(staged), mod
 
 
