@@ -264,13 +264,19 @@ def _host_speed_probe() -> dict[str, float]:
         for _ in range(200):
             hashlib.md5(buf).digest()
 
-    threads = [threading.Thread(target=_burn) for _ in range(8)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    md5_mt = time.perf_counter() - t0
+    # Min of 3: a single ~0.3 s reading is burst-sensitive — one transient
+    # spike during the probe would inflate host_drift and multiplicatively
+    # loosen the guard's hard-fail gate (r13 advice; same de-noising the
+    # per-sample micro-probe already applies via probe_best).
+    md5_mt = float("inf")
+    for _ in range(3):
+        threads = [threading.Thread(target=_burn) for _ in range(8)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        md5_mt = min(md5_mt, time.perf_counter() - t0)
     return {
         "pyloop_sec": round(pyloop, 3),
         "md5_200mb_sec": round(md5, 3),

@@ -250,3 +250,78 @@ def test_faster_host_does_not_loosen_gate():
     _, failures, suspects, drift = bench_guard.compare(base, cur)
     assert failures == ["q"] and suspects == []
     assert drift < 1.0
+
+
+def test_mt8_drift_contribution_is_capped():
+    """A wildly noisy parallel probe (4x) must not loosen the gate without
+    bound: the mt8 contribution caps at MT8_DRIFT_CAP. The 5.2x-raw row
+    here would read 1.3x under an uncapped 4x drift (a silent pass into
+    the suspect lane); capped at 2.0 it reads 2.6x and hard-fails."""
+    base = _rec({"q": 2.0}, pyloop=1.0, mt8=1.0)
+    cur = _rec({"q": 10.4}, pyloop=1.0, mt8=4.0)  # 5.2x raw
+    _, failures, suspects, drift = bench_guard.compare(base, cur)
+    assert abs(drift - bench_guard.MT8_DRIFT_CAP) < 1e-9
+    assert failures == ["q"] and suspects == []
+
+
+def _chain_file(tmp_path, name, queries, pyloop=None, mt8=None):
+    rec = {"metric": "m", "value": 1.0, "queries": queries}
+    if pyloop is not None:
+        rec["host_speed"] = {"pyloop_sec": pyloop, "md5_200mb_sec": pyloop}
+        if mt8 is not None:
+            rec["host_speed"]["md5_mt8_sec"] = mt8
+    import json as _json
+
+    (tmp_path / name).write_text(_json.dumps(rec))
+
+
+def test_clean_chain_skips_poisoned_newest_anchor(tmp_path, monkeypatch):
+    """The r13 loophole, as a fixture: the newest repro was measured in a
+    degraded window (every shared row ~1.4x over its predecessor, probes
+    equal), so it must NOT become the baseline — the guard walks back to
+    the newest record that was itself a clean measurement."""
+    _chain_file(tmp_path, "BENCH_r11_repro.json", {"a": 1.0, "b": 2.0, "c": 1.5}, pyloop=1.0)
+    _chain_file(tmp_path, "BENCH_r12_repro.json", {"a": 1.02, "b": 2.0, "c": 1.5}, pyloop=1.0)
+    _chain_file(tmp_path, "BENCH_r13_repro.json", {"a": 1.4, "b": 2.8, "c": 2.1}, pyloop=1.0)
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    name, base = bench_guard.load_baseline()
+    assert name == "BENCH_r12_repro.json"
+
+
+def test_clean_chain_accepts_clean_newest(tmp_path, monkeypatch):
+    _chain_file(tmp_path, "BENCH_r12_repro.json", {"a": 1.0, "b": 2.0, "c": 1.5}, pyloop=1.0)
+    _chain_file(tmp_path, "BENCH_r13_repro.json", {"a": 1.05, "b": 2.0, "c": 1.4}, pyloop=1.0)
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    name, _ = bench_guard.load_baseline()
+    assert name == "BENCH_r13_repro.json"
+
+
+def test_clean_chain_normalizes_both_directions(tmp_path, monkeypatch):
+    """A record whose rows read ~1.0x only because its host was 1.4x
+    FASTER than the predecessor's window hides a ~1.4x code regression —
+    the chain ratio divides by drift in both directions (unlike
+    compare(), which only loosens), so such a record is not a clean
+    anchor either."""
+    _chain_file(tmp_path, "BENCH_r12_repro.json", {"a": 1.0, "b": 2.0, "c": 1.5}, pyloop=1.4)
+    # same row times, but measured on a 1.4x-faster host: 1.0 / (1/1.4) = 1.4 > 1.1
+    _chain_file(tmp_path, "BENCH_r13_repro.json", {"a": 1.0, "b": 2.0, "c": 1.5}, pyloop=1.0)
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    name, _ = bench_guard.load_baseline()
+    assert name == "BENCH_r12_repro.json"
+
+
+def test_chain_bottom_is_accepted_without_predecessor(tmp_path, monkeypatch):
+    _chain_file(tmp_path, "BENCH_r09_repro.json", {"a": 1.0}, pyloop=1.0)
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    name, _ = bench_guard.load_baseline()
+    assert name == "BENCH_r09_repro.json"
+
+
+def test_live_repo_clean_chain_anchors_on_r12(tmp_path):
+    """On the real committed records, the clean-chain rule must walk past
+    the adjudicated-degraded BENCH_r13_repro (probe-normalized 1.36x vs
+    r12 — its probes were FASTER, tightening the raw 1.23x) and anchor on
+    BENCH_r12_repro — until a genuinely clean newer record lands, which
+    will then take over automatically."""
+    name, _ = bench_guard.load_baseline()
+    assert name in ("BENCH_r12_repro.json", "BENCH_r14_repro.json", "BENCH_r14.json")

@@ -33,6 +33,20 @@ ABS_FLOOR_SEC = 1.0  # ratio test only applies above this baseline time
 # produced uniform 1.15-1.48x inflation on untouched pure-Catalyst rows
 # that the probe explained (SURVEY §8 slow-host entry).
 DRIFT_THRESHOLD = 1.15
+# Cap on the multi-core probe's contribution to host_drift: the mt8 leg
+# is the noisiest probe (parallel work is exactly what host bursts hit),
+# and an uncapped reading would widen the drift-suspect lane without
+# bound — genuine regressions up to THRESHOLD*drift demote to suspects
+# (r13 advice). 2x covers every adjudicated degradation episode (the
+# r13 close measured 1.2-1.7x) while keeping the loosening bounded.
+MT8_DRIFT_CAP = 2.0
+# Clean-chain anchor rule (r13 verdict): a committed record may only
+# BECOME the guard's baseline if its own probe-normalized shared-row
+# median ratio vs the previous round's anchor was <= this — otherwise a
+# drift-poisoned repro (r13's best-of-eight was itself measured in an
+# adjudicated ~1.2x-degraded window) silently becomes the yardstick it
+# is judged against, and real regressions up to the poison read ~1.0x.
+CLEAN_CHAIN_MAX = 1.1
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,35 +71,79 @@ def _baseline_key(path: str) -> tuple[int, int]:
     return (int(m.group(1)), 1 if m.group(2) else 0)
 
 
-def load_baseline() -> tuple[str, dict]:
+def _load_records() -> list[tuple[str, dict]]:
+    """All parseable committed bench records, one per round (the repro
+    outranks the same-round official — officials can be taken under
+    driver-machine load), in ascending round order. Malformed files
+    (truncated write → invalid JSON, non-dict top level, no bench line —
+    BENCH_r03.json's tail capture truncated the line's head) are skipped
+    with a note; they must not abort the guard."""
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_baseline_key)
-    if not paths:
-        print("bench_guard: no BENCH_r*.json baseline found — nothing to compare")
-        sys.exit(0)
-    # Newest parseable file wins (same-round repro preferred, see
-    # _baseline_key): BENCH_r03.json's tail capture truncated the
-    # line's head ("parsed": null on the official record), so fall back
-    # through history (BENCH_r03_repro.json pins the round-3 verdict's
-    # independently measured medians for exactly this case).
-    for path in reversed(paths):
-        # Fall through history on ANY malformed file (truncated write →
-        # invalid JSON, or a non-dict top level), not just a dict missing
-        # its bench line — a bad newest record must not abort the guard.
+    per_round: dict[int, tuple[tuple[int, int], str, dict]] = {}
+    for path in paths:
         try:
             with open(path) as f:
                 raw = json.load(f)
         except (json.JSONDecodeError, OSError):
             raw = None
+        bench = None
         if isinstance(raw, dict):
             # Driver format wraps the bench line inside the "tail" capture;
             # a plain bench.py line is also accepted.
             bench = raw if "queries" in raw else _bench_line(raw.get("tail", ""))
-            if bench:
-                return os.path.basename(path), bench
-        print(f"bench_guard: {os.path.basename(path)} has no parseable "
-              "bench line, trying older baseline")
-    print("bench_guard: no parseable baseline found")
-    sys.exit(0)
+        if not bench:
+            print(f"bench_guard: {os.path.basename(path)} has no parseable "
+                  "bench line, skipping")
+            continue
+        key = _baseline_key(path)
+        if key[0] not in per_round or key > per_round[key[0]][0]:
+            per_round[key[0]] = (key, os.path.basename(path), bench)
+    return [(name, bench) for _, name, bench in
+            (per_round[r] for r in sorted(per_round))]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _chain_ratio(pred: dict, cand: dict) -> float | None:
+    """Probe-normalized shared-row median ratio of ``cand`` vs ``pred`` —
+    the cleanliness measure of the clean-chain anchor rule. Normalized in
+    BOTH directions (unlike compare(), which only loosens): a record
+    measured on a FASTER host than its predecessor must not read clean
+    merely because the hardware hid a code regression. None when the
+    records share no queries (chain can't be judged — accept)."""
+    shared = [q for q in cand["queries"] if pred["queries"].get(q)]
+    if not shared:
+        return None
+    med = _median([cand["queries"][q] / pred["queries"][q] for q in shared])
+    drift = host_drift(pred, cand)
+    if drift:
+        med /= drift
+    return med
+
+
+def load_baseline() -> tuple[str, dict]:
+    records = _load_records()
+    if not records:
+        print("bench_guard: no parseable BENCH_r*.json baseline found")
+        sys.exit(0)
+    # Clean-chain walk: the newest record anchors ONLY if it was itself a
+    # clean measurement relative to the round before it; otherwise walk
+    # back to the newest record that was (r13 verdict — a drift-poisoned
+    # repro must never become the baseline it is judged against).
+    i = len(records) - 1
+    while i > 0:
+        ratio = _chain_ratio(records[i - 1][1], records[i][1])
+        if ratio is None or ratio <= CLEAN_CHAIN_MAX:
+            break
+        print(f"bench_guard: {records[i][0]} is not a clean anchor "
+              f"(probe-normalized median {ratio:.2f}x vs {records[i - 1][0]} "
+              f"> {CLEAN_CHAIN_MAX}x) — walking back")
+        i -= 1
+    return records[i]
 
 
 def load_current(argv: list[str]) -> dict:
@@ -133,7 +191,10 @@ def host_drift(base: dict, cur: dict) -> float | None:
         prod *= r
     drift = prod ** (1.0 / len(ratios))
     if hs_cur.get("md5_mt8_sec") and hs_base.get("md5_mt8_sec"):
-        drift = max(drift, hs_cur["md5_mt8_sec"] / hs_base["md5_mt8_sec"])
+        # Capped: the parallel leg is the burst-noisiest probe, and an
+        # uncapped reading would loosen the hard-fail gate without bound.
+        mt8 = min(hs_cur["md5_mt8_sec"] / hs_base["md5_mt8_sec"], MT8_DRIFT_CAP)
+        drift = max(drift, mt8)
     return drift
 
 
