@@ -83,7 +83,16 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "tot",
     )
-    num = (F.col("tot") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    # Numerator as a difference of DOUBLE products: tot*n in int64
+    # overflows (ANSI: throws) once total events x largest cell crosses
+    # ~9.2e18 (roughly 1e9+ rows — exactly the 100 TB regime). Each
+    # factor is exact in double far beyond that, and both engines
+    # compute the identical IEEE products/difference (r13 advice — the
+    # same reasoning that already moved the denominator to double).
+    num = (
+        F.col("tot").cast("double") * F.col("n").cast("double")
+        - F.col("r").cast("double") * F.col("c").cast("double")
+    )
     # Denominator as a product of DOUBLES, not bigints: N*r*c in int64
     # overflows (ANSI: throws) around sf10 (1e7 * 3e6 * 1.4e6 > 2^63),
     # while each factor is exact in double far beyond that and the
@@ -208,7 +217,10 @@ STAGED_ORACLES = {
           LEFT JOIN cells ON cells.event_type = g.event_type AND cells.wd = g.wd
         )
         SELECT event_type, wd, n,
-               (cast(tot*n - r*c AS DOUBLE) * cast(tot*n - r*c AS DOUBLE))
+               ((cast(tot AS DOUBLE) * cast(n AS DOUBLE)
+                 - cast(r AS DOUBLE) * cast(c AS DOUBLE))
+                * (cast(tot AS DOUBLE) * cast(n AS DOUBLE)
+                   - cast(r AS DOUBLE) * cast(c AS DOUBLE)))
                  / (cast(tot AS DOUBLE) * cast(r AS DOUBLE) * cast(c AS DOUBLE))
                  AS chi2_contrib
         FROM full_grid

@@ -119,8 +119,38 @@ def order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile4_from_rank(rn, n: int):
+    """Exact SQL ntile(4) bucket from a 1-based rank over n rows: the
+    first n%4 buckets hold ceil(n/4) rows, the rest floor(n/4) — pure
+    integer expressions, no window."""
+    base, rem = n // 4, n % 4
+    big = rem * (base + 1)
+    if base == 0:  # n < 4: every row lands in bucket rn
+        return rn.cast("long")
+    # floor() of a positive double ratio is the exact integer quotient
+    # while counts stay under 2^53 — far beyond any customer cardinality
+    return (
+        F.when(rn <= big, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - big - 1) / base) + 1)
+        .cast("long")
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quartile segments over the per-customer aggregate frame."""
+    """RFM quartile segments over the per-customer aggregate frame.
+
+    ntile(4) with an empty PARTITION BY is the one-task anti-scale window
+    shape (customer cardinality is 15M rows at sf100 — one sort task each,
+    x3 orderings), so the quartiles are derived distributively instead
+    (r13 advice): rank each ordering with functions/ordinal.global_ordinal
+    (measured-crossover auto-dispatch — bounded window below ~64 MB plan
+    size, range-partitioned distributed ordinal above), then map rank ->
+    bucket with the exact ntile fill formula in pure expressions. Each
+    ordering is made total by the o_custkey tie-break, so the segments are
+    bit-identical to the oracle's ntile. One scalar count() sizes the
+    formula (bounded output, same pattern as rank.py:58)."""
+    from kafka_custom_transforms_spark.functions.ordinal import global_ordinal
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr(
@@ -133,18 +163,23 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents_total"),
     )
-    r = F.ntile(4).over(
-        Window.orderBy(F.col("last_day").desc(), F.col("o_custkey"))
+    n = cust.count()
+    # Ascending struct keys encode each DESC-value / ASC-custkey ordering.
+    keyed = (
+        cust.withColumn("_rk", F.struct((-F.col("last_day")).alias("v"), F.col("o_custkey").alias("k")))
+        .withColumn("_fk", F.struct((-F.col("n_orders")).alias("v"), F.col("o_custkey").alias("k")))
+        .withColumn("_mk", F.struct((-F.col("cents_total")).alias("v"), F.col("o_custkey").alias("k")))
     )
-    fq = F.ntile(4).over(
-        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
-    )
-    m = F.ntile(4).over(
-        Window.orderBy(F.col("cents_total").desc(), F.col("o_custkey"))
-    )
-    seg = (r * 100 + fq * 10 + m).cast("long").alias("segment")
+    ranked = global_ordinal(keyed, "_rk", out_col="_rrn")
+    ranked = global_ordinal(ranked, "_fk", out_col="_frn")
+    ranked = global_ordinal(ranked, "_mk", out_col="_mrn")
+    seg = (
+        _ntile4_from_rank(F.col("_rrn"), n) * 100
+        + _ntile4_from_rank(F.col("_frn"), n) * 10
+        + _ntile4_from_rank(F.col("_mrn"), n)
+    ).cast("long").alias("segment")
     return (
-        cust.select(seg, "cents_total")
+        ranked.select(seg, "cents_total")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cust"),

@@ -168,16 +168,23 @@ def nation_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         F.sum("nation_cents").over(Window.partitionBy(F.lit(1))).cast("long"),
     )
+    # Widen to decimal(38,0) BEFORE the *1e6: region/total cents reach
+    # ~2.3e13 at sf1, so cents*1e6 crosses 2^63 around sf2 and non-ANSI
+    # int64 would silently wrap (r13 advice). decimal(38,0) holds the
+    # ~20-digit intermediate exactly; the ppm quotient is < 1e6 so the
+    # final cast back to long is always safe. The oracle mirrors with
+    # hugeint (DuckDB's exact 128-bit integer) — same floor division on
+    # positive operands.
     return joined.select(
         "r_name",
         "n_name",
         "nation_cents",
-        F.expr("nation_cents * 1000000 div region_cents")
-        .cast("long")
-        .alias("nation_share_ppm"),
-        F.expr("region_cents * 1000000 div total_cents")
-        .cast("long")
-        .alias("region_share_ppm"),
+        F.expr(
+            "cast(cast(nation_cents AS decimal(38,0)) * 1000000 div region_cents AS long)"
+        ).alias("nation_share_ppm"),
+        F.expr(
+            "cast(cast(region_cents AS decimal(38,0)) * 1000000 div total_cents AS long)"
+        ).alias("region_share_ppm"),
     )
 
 
@@ -286,10 +293,10 @@ STAGED_ORACLES = {
         total AS (SELECT cast(sum(region_cents) AS BIGINT) AS total_cents
                   FROM per_region)
         SELECT pn.r_name, pn.n_name, pn.nation_cents,
-               cast(pn.nation_cents * 1000000 // pr.region_cents AS BIGINT)
-                 AS nation_share_ppm,
-               cast(pr.region_cents * 1000000 // t.total_cents AS BIGINT)
-                 AS region_share_ppm
+               cast(cast(pn.nation_cents AS HUGEINT) * 1000000
+                    // pr.region_cents AS BIGINT) AS nation_share_ppm,
+               cast(cast(pr.region_cents AS HUGEINT) * 1000000
+                    // t.total_cents AS BIGINT) AS region_share_ppm
         FROM per_nation pn
         JOIN per_region pr ON pr.r_name = pn.r_name
         CROSS JOIN total t
