@@ -138,3 +138,37 @@ def test_rotate_window_tool_agrees_with_committed_window():
     assert ns["CORRECTNESS_WINDOW_ROUND"] == entry_mod.CORRECTNESS_WINDOW_ROUND
     assert set(ns["CORRECTNESS_WINDOW"]) == set(entry_mod.CORRECTNESS_WINDOW)
     assert ns["CORRECTNESS_WINDOW"][:13] == SMT_CORE
+
+
+def _round_close_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "round_close", os.path.join(REPO, "tools", "round_close.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_staleness_gate_on_synthetic_records():
+    """The round_close staleness gate (r13 verdict): a row whose newest
+    record is older than STALENESS_MAX_ROUNDS fails unless it sits in the
+    current window; never-recorded rows fail the same way."""
+    rc = _round_close_mod()
+    registry = ["fresh", "aging", "stale", "rescued", "never", "new_in_window"]
+    last = {"fresh": 13, "aging": 9, "stale": 8, "rescued": 8}
+    window = ["rescued", "new_in_window"]
+    out = rc.stale_rows(last, registry, window, window_round=14, max_age=5)
+    # aging: 14-9=5 <= 5 ok; stale: 14-8=6 > 5 fails; rescued: in window;
+    # never: no record and not in window; new_in_window: in window
+    assert out == ["stale", "never"]
+
+
+def test_staleness_gate_green_on_live_registry():
+    """The invariant must HOLD right now — every registry row recorded
+    within the ceiling or scheduled in the current window. If this fails
+    the rotation fell behind; widen the window fills before round close."""
+    rc = _round_close_mod()
+    ok, detail = rc.registry_staleness_gate()
+    assert ok, detail

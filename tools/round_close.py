@@ -4,8 +4,11 @@
 Runs the fast process gates in one command and prints PASS/FAIL per step:
 
   1. guard tests   — registry window + contract + bench-guard unit tests
-  2. TWS probe     — is google.protobuf still absent? (informational)
-  3. bench guard   — compare a bench result against the committed baseline
+  2. staleness     — every queries() row has a CORRECTNESS record within
+                     STALENESS_MAX_ROUNDS rounds or sits in the current
+                     window (r13 verdict: encode the rotation invariant)
+  3. TWS probe     — is google.protobuf still absent? (informational)
+  4. bench guard   — compare a bench result against the committed baseline
                      (pass a file produced by `bench.py | tail -1`, or
                      --run-bench to measure now; skipped if neither given)
 
@@ -40,6 +43,58 @@ MAX_BENCH_FOREIGN_CORES = 1.0
 # blessable. Quiet-period baseline on this host is 0.0-0.5; the poisoned
 # records coincide with sustained bursts well above 1.
 MAX_BENCH_STEAL_CORES = 1.0
+
+# Maximum rounds a registry row may go without an official CORRECTNESS
+# record (r13 verdict). The rotation math makes ~6 rounds the worst case
+# (194 rotating rows / 37 re-record slots per round); this gate encodes
+# the invariant instead of trusting the rotation script forever. Rows in
+# the CURRENT window are exempt — the driver records them this round.
+STALENESS_MAX_ROUNDS = 5
+
+
+def stale_rows(
+    last: dict[str, int],
+    registry: list[str],
+    window: list[str],
+    window_round: int,
+    max_age: int = STALENESS_MAX_ROUNDS,
+) -> list[str]:
+    """Registry rows whose newest CORRECTNESS record is more than
+    ``max_age`` rounds old (never-recorded counts as infinitely old),
+    excluding rows scheduled in the current window."""
+    w = set(window)
+    out = []
+    for name in registry:
+        if name in w:
+            continue
+        newest = last.get(name)
+        if newest is None or window_round - newest > max_age:
+            out.append(name)
+    return out
+
+
+def registry_staleness_gate() -> tuple[bool, str]:
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import __spark_entry__ as entry_mod
+    from rotate_window import last_recorded
+
+    window_round = entry_mod.CORRECTNESS_WINDOW_ROUND
+    last = last_recorded(excluded_round=window_round)
+    stale = stale_rows(
+        last, list(entry_mod.queries()), entry_mod.CORRECTNESS_WINDOW, window_round
+    )
+    if stale:
+        return False, (
+            f"{len(stale)} registry row(s) have no CORRECTNESS record in the "
+            f"last {STALENESS_MAX_ROUNDS} rounds and are not in the current "
+            f"window: {', '.join(stale[:10])}"
+            + (" …" if len(stale) > 10 else "")
+        )
+    return True, (
+        f"every registry row recorded within {STALENESS_MAX_ROUNDS} rounds "
+        "or scheduled in the current window"
+    )
 
 
 def current_loadavg() -> float | None:
@@ -119,6 +174,12 @@ def main() -> None:
     tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else r.stderr[-200:]
     ok &= step("guard tests (registry window / contract / bench-guard)",
                r.returncode == 0, tail)
+
+    try:
+        gate_ok, detail = registry_staleness_gate()
+    except Exception as exc:  # a broken registry import must FAIL, not skip
+        gate_ok, detail = False, f"staleness gate errored: {exc}"
+    ok &= step("registry staleness", gate_ok, detail)
 
     try:
         # find_spec raises ModuleNotFoundError when the parent 'google'
