@@ -440,10 +440,14 @@ def _knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast query set, base table never shuffles — the exactness baseline for both ANN variants."""
+    """Brute-force cosine top-k: broadcast query set, base table never
+    shuffles — the exactness baseline for both ANN variants. Pinned on
+    method='exact' so the row's plan and oracle stay byte-identical while
+    topk_neighbors' user-facing default (method='auto') dispatches to IVF
+    above the measured pair-count crossover."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+    out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64, method="exact")
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -2123,7 +2127,11 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to DuckDB's list_reduce), so the oracle recomputes the entire ANN —
     hyperplane weights, signatures, bucket joins, exact-cosine ranking —
     and must match the Spark output row-for-row. Recall vs brute force is
-    additionally pinned in tests/test_similarity.py."""
+    additionally pinned in tests/test_similarity.py. tables=12/bits=4 are
+    PINNED for oracle byte-identity and make this row ~quadratic in
+    candidates by construction (SHUFFLE.md documents the law); the
+    operator's default now derives occupancy-constant bits from corpus
+    size, which is the shape a 100 TB caller gets."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     out = similarity.lsh_topk_neighbors(emb, queries_df, dim=64, k=5, tables=12, bits_per_table=4)

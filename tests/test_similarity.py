@@ -495,3 +495,64 @@ def test_probe_cells_arrow_matches_window_form(emb):
         .collect()
     )
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_ivf_wins_dispatch_model_directions():
+    """The method='auto' pair-count model (r14): a constant small query
+    set keeps the LINEAR brute scan at any corpus size (the index build
+    is O(n^1.5)); a query set growing with the corpus crosses to IVF."""
+    # q fixed at 10: brute n*q grows linearly, index build n^1.5 faster —
+    # exact stays the choice even at a billion rows
+    assert not similarity._ivf_wins(n=1_000_000_000, q=10)
+    # the registry workload shape (q = n/50) at bench scale and above
+    assert similarity._ivf_wins(n=10_000, q=200)
+    assert similarity._ivf_wins(n=1_000_000, q=20_000)
+    # tiny corpus: brute wins regardless of ratio
+    assert not similarity._ivf_wins(n=500, q=10)
+
+
+def test_topk_auto_small_corpus_equals_exact(emb, queries_df):
+    """Below the crossover the auto path must be byte-identical to the
+    pinned-exact plan (same rows, same ranks)."""
+    auto = similarity.topk_neighbors(emb, queries_df, k=5, dim=64, method="auto")
+    exact = similarity.topk_neighbors(emb, queries_df, k=5, dim=64, method="exact")
+    assert _rows(auto) == _rows(exact)
+
+
+def test_topk_auto_dispatches_to_ivf_above_crossover(emb):
+    """Forcing the corpus-size hint above the crossover must reproduce the
+    IVF plan's rows exactly (the same derived (n_centroids, n_probe)) —
+    the dispatch boundary test the r13 verdict asked for. The full table
+    as the query set gives the q-grows-with-n workload shape."""
+    q = emb
+    n_hint = 200_000
+    assert similarity._ivf_wins(n_hint, q=500)  # the hint crosses the model
+    auto = similarity.topk_neighbors(emb, q, k=3, dim=64, method="auto", n_rows=n_hint)
+    nc, np_ = similarity.ivf_params(n_hint)
+    ivf = similarity.ivf_topk_neighbors(
+        emb, q, k=3, dim=64, n_centroids=nc, n_probe=np_
+    )
+    assert _rows(auto) == _rows(ivf)
+
+
+def test_topk_method_validation():
+    with pytest.raises(ValueError):
+        similarity.topk_neighbors(None, None, method="fast")
+
+
+def test_lsh_default_bits_derive_from_corpus(emb, queries_df):
+    """bits_per_table=None derives occupancy-constant bits (the
+    anti-quadratic default, r14): the call must equal an explicit call
+    with dedup._occupancy_bits(n)."""
+    from kafka_custom_transforms_spark.operators.dedup import _occupancy_bits
+
+    n = 5_000
+    derived = similarity.lsh_topk_neighbors(
+        emb, queries_df, dim=64, k=5, n_rows=n
+    )
+    explicit = similarity.lsh_topk_neighbors(
+        emb, queries_df, dim=64, k=5, bits_per_table=_occupancy_bits(n), n_rows=n
+    )
+    assert _rows(derived) == _rows(explicit)
+    # and the derivation is corpus-sized: bigger corpus, more bits
+    assert _occupancy_bits(100_000_000) > _occupancy_bits(10_000) >= 4

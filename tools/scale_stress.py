@@ -73,6 +73,8 @@ STRESS_QUERIES = [
     "dedup_simhash",            # pigeonhole banding: linear at constant dup rate
     "similarity_topk",          # brute force: quadratic BY DESIGN (yardstick)
     "similarity_topk_ivf",      # IVF ANN: queries x cell-size growth
+    "similarity_topk_auto",     # method='auto' default: must TRACK the ivf row
+                                # at x10 (stress-only, not a registry row)
     "dedup_minhash_incremental",  # store/batch asymmetry: linear (sig join)
     "skew_join_aqe",            # K-fold hot partition: AQE must keep splitting
     "bloom_join_parts",         # bloom build side grows with part: linear
@@ -358,7 +360,25 @@ def main() -> int:
     wall0 = time.time()
 
     spark = get_spark()
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+
+    def _similarity_topk_auto(s, sf_dir):
+        """Stress-only: the topk_neighbors method='auto' user default on
+        the registry workload shape (q = n/50). Acceptance (r13 verdict):
+        its x10 growth must track similarity_topk_ivf, not the quadratic
+        similarity_topk yardstick — the measured-crossover dispatch
+        working end to end on real plan statistics."""
+        from pyspark.sql import functions as F
+
+        from kafka_custom_transforms_spark.operators import similarity
+        from kafka_custom_transforms_spark.sources.tables import load_table
+
+        emb = load_table(s, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        out = similarity.topk_neighbors(emb, queries_df, k=5, dim=64)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    queries["similarity_topk_auto"] = _similarity_topk_auto
     gen_secs: dict[int, float] = {}
     medians: dict[int, dict[str, float]] = {}
 

@@ -221,6 +221,19 @@ def main() -> None:
         "join); growth slightly above 10x there is in-bucket candidate "
         "growth — collision pairs scale with bucket occupancy, bounded by "
         "the band/row trade-off, not a hidden quadratic.",
+        "- `similarity_topk_lsh`'s growth law (r14, decomposed): the row "
+        "pins `tables=12, bits_per_table=4` so its full-pipeline oracle "
+        "stays byte-identical, and FIXED 4-bit buckets (16/table) make "
+        "chance candidates per query ~`tables * n / 2^bits` = 0.75n — "
+        "with the workload's q ∝ n, candidate/shuffle rows are "
+        "~quadratic in the corpus BY PIN, which is exactly the "
+        "above-band reading. The operator's DEFAULT is no longer this "
+        "shape: `bits_per_table=None` derives occupancy-constant bits "
+        "from plan statistics (dedup._occupancy_bits — the same "
+        "anti-quadratic planner minhash/simhash use), making default "
+        "candidates ~`tables * occupancy * q` — linear. The pinned "
+        "registry row stays the small-SF oracle anchor, like "
+        "similarity_topk stays the pinned-exact yardstick.",
     ]
     spill_total = sum(
         rows[n][sf]["spill"] for n in names for sf in sfs
