@@ -201,10 +201,13 @@ def _estimate_vec_rows(df: DataFrame, dim: int | None) -> int | None:
 # measured value is the conservative-toward-exact choice.
 IVF_DISPATCH_MARGIN = 0.3
 # Below this corpus size the dispatch stays exact regardless of the
-# model: 10k rows is the smallest decisively A/B-measured IVF win above;
-# under it both plans finish in single-digit seconds on any hardware and
-# the exact answer is effectively free.
-IVF_DISPATCH_MIN_ROWS = 10_000
+# model: the smallest decisively A/B-measured IVF win above is 10k REAL
+# rows, and _estimate_vec_rows undercounts by up to ~2x on float32
+# parquet (it assumes 8 B/element against ~4 B stored), so 5k in
+# estimate space is that same boundary. Under it both plans finish in
+# single-digit seconds on any hardware and the exact answer is
+# effectively free.
+IVF_DISPATCH_MIN_ROWS = 5_000
 
 
 def _ivf_wins(n: int, q: int, n_probe: int = 8) -> bool:

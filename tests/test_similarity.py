@@ -507,6 +507,12 @@ def test_ivf_wins_dispatch_model_directions():
     # the registry workload shape (q = n/50) at bench scale and above
     assert similarity._ivf_wins(n=10_000, q=200)
     assert similarity._ivf_wins(n=1_000_000, q=20_000)
+    # the x10 stress replica's ACTUAL plan-stats estimate (the parquet
+    # compresses to ~200 B/row, so 20k real rows estimate as ~7.9k):
+    # must fire, or STRESS.md's auto row silently tracks the quadratic
+    # yardstick instead of IVF — the exact miss the first r14 stress run
+    # caught when the floor sat above this estimate
+    assert similarity._ivf_wins(n=7_870, q=157)
     # tiny corpus: brute wins regardless of ratio
     assert not similarity._ivf_wins(n=500, q=10)
 

@@ -61,6 +61,10 @@ SHOWCASE = {
     "ols_quantity_price": "five bigint sufficient statistics as partial_sum/partial_count partials, scan pruned to 3 columns, closed form in a post-agg Project — pinned in tests/test_plans.py",
     "url_parse_events": "parse_url/count_if as pure JVM expressions (no Python stage) into one aggregate exchange — pinned in tests/test_plans.py",
     "str_to_map_props": "str_to_map/map_filter as codegen expressions into one partial/final aggregate exchange — pinned in tests/test_plans.py",
+    "ts_pattern_similarity": "24-bin profile as ONE partial/final aggregate pair around a single user_id exchange (no pivot); global top-20 is TakeOrderedAndProject, never a global sort — pinned in tests/test_plans.py",
+    "variant_explode_props": "LATERAL variant_explode as a per-row Generate feeding partial aggregates — no Python stage, one exchange, event_id filter at the scan — pinned in tests/test_plans.py",
+    "try_arithmetic_orders": "try_divide/try_multiply/try_to_number as pure codegen projections into one aggregate exchange — pinned in tests/test_plans.py",
+    "setops_all_lineitems": "EXCEPT ALL / INTERSECT ALL as union + signed-count aggregate + replicaterows (bag semantics without a sort or nested loop); returnflag filters pushed to the scans — pinned in tests/test_plans.py",
 }
 
 

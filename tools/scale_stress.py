@@ -261,6 +261,16 @@ def _write_report(
             "exact baseline scores all of it, and the query set grows with "
             "the corpus (vec_id % 50)."
         )
+    if "similarity_topk_auto" in queries and "similarity_topk_ivf" in queries:
+        autN = medians[kN]["similarity_topk_auto"]
+        lines.append(
+            f"- The method='auto' DEFAULT tracks the IVF row at x{kN} "
+            f"({autN:.1f}s vs IVF {ivfN:.1f}s, vs the exact yardstick "
+            f"{bfN:.1f}s): the plan-statistics crossover dispatch "
+            "(similarity._ivf_wins, margin measured r14) fires above the "
+            "estimated-size boundary and stays exact below it — a user who "
+            "calls topk_neighbors with no method gets the scale-safe plan."
+        )
     if "dedup_exact" in queries:
         lines.append(
             f"- dedup_exact is flat ({ratios['dedup_exact']}x): the min_by "
