@@ -428,3 +428,102 @@ def test_stream_full_outer_interval_matches_batch_full_join(spark, sf_dir):
     assert got_rows == ref_rows
     assert any(a is None for a, _ in got_rows)  # unmatched clicks present
     assert any(b is None for _, b in got_rows)  # unmatched purchases present
+
+
+def _staged_session_stream(spark, d, batches):
+    import time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+            "user_id", "cast(ts as timestamp) as ts"
+        ).coalesce(1).write.parquet(f"{d}/in/f{i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    return (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/in/*")
+    )
+
+
+def test_sessionize_late_bridge_event_merges_formed_sessions(spark):
+    """The defining sessionize_late scenario, minimal: batch 1 forms two
+    gap-split sessions (00:00 and 00:50, gap 30m); batch 2 delivers a
+    LATE bridge event at 00:25 — within gap of BOTH. The late-tolerant
+    operator must collapse them into ONE 3-event session; the
+    immediate-emission sessionize would already have emitted the first
+    session and fragment (the append-mode-retraction impossibility this
+    operator exists for)."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize_late
+
+    d = tempfile.mkdtemp(prefix="kcts-latebridge-")
+    stream = _staged_session_stream(
+        spark, d,
+        [
+            [(7, "2024-01-01 00:00:00"), (7, "2024-01-01 00:50:00")],
+            [(7, "2024-01-01 00:25:00")],  # late bridge
+            [(99, "2024-01-01 09:00:00")],  # sentinel: watermark past all
+        ],
+    )
+    out = sessionize_late(stream, gap="30 minutes", watermark_delay="3 hours")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(out, name)
+    rows = [r for r in spark.sql(f"select * from {name}").collect() if r["user_id"] == 7]
+    assert len(rows) == 1, rows
+    assert rows[0]["n_events"] == 3
+    assert str(rows[0]["first_ts"]) == "2024-01-01 00:00:00"
+    assert str(rows[0]["last_ts"]) == "2024-01-01 00:50:00"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_late_partial_emission_rearms_timeout(spark):
+    """The held-sessions branch: a mid-stream watermark advance finalizes
+    only the OLDER of two held sessions (last+gap <= watermark), and the
+    re-armed timeout must emit the younger one when the watermark finally
+    passes it. Exercises the _rearm path the all-at-once sentinel
+    scenarios never hit."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize_late
+
+    d = tempfile.mkdtemp(prefix="kcts-latepartial-")
+    # gap 30m, delay 10m. Watermark during batch N = (max ts through
+    # batch N-1) - delay; a timeout fires when that watermark passes its
+    # armed timestamp. Timeline:
+    #   B1: sessions S1 (last 00:00, due 00:30) and S2 (last 03:00, due
+    #       03:30) enter state; wm after B1 = 02:50; timeout re-clamped
+    #       to wm+1 (Spark rejects timeouts behind the watermark).
+    #   B2 (8 @ 03:20): wm during B2 = 02:50 — not past 02:50+1ms, no
+    #       fire; wm after B2 = 03:10.
+    #   B3 (8 @ 03:45): wm during B3 = 03:10 > the armed 02:50+1ms — key
+    #       7 times out: S1 due (00:30 <= 03:10), S2 HELD (03:30 >
+    #       03:10) -> the _rearm branch runs, timeout re-armed at 03:30;
+    #       wm after B3 = 03:35.
+    #   B4 (sentinel): wm 03:35 > 03:30 -> S2 emits.
+    stream = _staged_session_stream(
+        spark, d,
+        [
+            [(7, "2024-01-01 00:00:00"), (7, "2024-01-01 03:00:00")],
+            [(8, "2024-01-01 03:20:00")],
+            [(8, "2024-01-01 03:45:00")],
+            [(99, "2024-01-01 12:00:00")],
+        ],
+    )
+    out = sessionize_late(stream, gap="30 minutes", watermark_delay="10 minutes")
+    name = "s" + uuid.uuid4().hex[:8]
+    _run_stream(out, name)
+    rows = sorted(
+        (r for r in spark.sql(f"select * from {name}").collect() if r["user_id"] == 7),
+        key=lambda r: str(r["first_ts"]),
+    )
+    assert [r["n_events"] for r in rows] == [1, 1]
+    assert str(rows[0]["first_ts"]) == "2024-01-01 00:00:00"
+    assert str(rows[1]["first_ts"]) == "2024-01-01 03:00:00"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_late_batch_fallback_matches_sessionize(spark, sf_dir):
+    """On a batch frame sessionize_late must equal sessionize exactly."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize, sessionize_late
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    a = {tuple(r) for r in sessionize(ev).collect()}
+    b = {tuple(r) for r in sessionize_late(ev).collect()}
+    assert a == b and len(a) > 0
