@@ -171,6 +171,33 @@ def sessionize(
     )
 
 
+def _merge_session_event(
+    sessions: list[list[int]], t: int, gap_us: int
+) -> list[list[int]]:
+    """Fold one event (microsecond ts) into a disjoint session-interval
+    set — the algebra under :func:`sessionize_late`'s state. An event
+    connects to a session iff first-gap <= t <= last+gap (inside the
+    span, consecutive members are <= gap apart, so t is within gap of a
+    member; outside, the boundary IS the nearest member); a bridging
+    event merges every connected session (counts additive, bounds
+    min/max). Processing ANY permutation of an event set through this
+    fold yields exactly the batch gap-split partition of the final set —
+    the order-independence property tests/test_streaming.py pins with
+    Hypothesis."""
+    hits = [
+        i for i, s in enumerate(sessions)
+        if s[1] - gap_us <= t <= s[2] + gap_us
+    ]
+    if not hits:
+        return sessions + [[1, t, t]]
+    merged = [
+        sum(sessions[i][0] for i in hits) + 1,
+        min(min(sessions[i][1] for i in hits), t),
+        max(max(sessions[i][2] for i in hits), t),
+    ]
+    return [s for i, s in enumerate(sessions) if i not in set(hits)] + [merged]
+
+
 def sessionize_late(
     df: DataFrame,
     key_col: str = "user_id",
@@ -275,23 +302,7 @@ def sessionize_late(
         else:
             sessions = []
         for t in ts:
-            t = int(t)
-            hits = [
-                i for i, s in enumerate(sessions)
-                if s[1] - gap_us <= t <= s[2] + gap_us
-            ]
-            if not hits:
-                sessions.append([1, t, t])
-                continue
-            # merge every connected session plus the event (counts add,
-            # bounds are min/max) — a late bridge event collapses them
-            merged = [
-                sum(sessions[i][0] for i in hits) + 1,
-                min(min(sessions[i][1] for i in hits), t),
-                max(max(sessions[i][2] for i in hits), t),
-            ]
-            sessions = [s for i, s in enumerate(sessions) if i not in set(hits)]
-            sessions.append(merged)
+            sessions = _merge_session_event(sessions, int(t), gap_us)
         _rearm(state, sessions)
         return
 

@@ -527,3 +527,43 @@ def test_sessionize_late_batch_fallback_matches_sessionize(spark, sf_dir):
     a = {tuple(r) for r in sessionize(ev).collect()}
     b = {tuple(r) for r in sessionize_late(ev).collect()}
     assert a == b and len(a) > 0
+
+
+def test_merge_session_event_is_order_independent_and_matches_gap_split():
+    """Hypothesis pin of sessionize_late's state algebra: folding ANY
+    permutation of an event set through _merge_session_event yields
+    exactly the batch gap-split partition (counts, bounds) — the
+    invariant that makes late/out-of-order arrival safe. Pure Python, so
+    hundreds of examples cost nothing (the streaming scenarios above pin
+    the plumbing; this pins the math)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kafka_custom_transforms_spark.streaming.dedup import _merge_session_event
+
+    GAP = 30
+
+    def gap_split(ts_sorted):
+        out = []
+        for t in ts_sorted:
+            if out and t - out[-1][2] <= GAP:
+                out[-1][0] += 1
+                out[-1][2] = t
+            else:
+                out.append([1, t, t])
+        return sorted((tuple(s) for s in out), key=lambda s: s[1])
+
+    @settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        ts=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=40),
+        seed=st.randoms(use_true_random=False),
+    )
+    def prop(ts, seed):
+        order = list(ts)
+        seed.shuffle(order)
+        sessions = []
+        for t in order:
+            sessions = _merge_session_event(sessions, t, GAP)
+        got = sorted((tuple(s) for s in sessions), key=lambda s: s[1])
+        assert got == gap_split(sorted(ts))
+
+    prop()
