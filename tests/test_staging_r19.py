@@ -165,3 +165,74 @@ def test_rfm_segments_conserve_customers(spark, ddb):
         s = r["segment"]
         assert 111 <= s <= 444
         assert all(1 <= int(d) <= 4 for d in str(s))
+
+
+def test_ntile4_formula_matches_sql_ntile_exactly():
+    """The distributive quartile formula (_ntile4_from_rank) must equal
+    SQL ntile(4) for EVERY (n, rank) — the bit-for-bit contract that lets
+    rfm_segments replace the one-task windows with global_ordinal ranks.
+    Pure-Python sweep of every n in 1..500 against the standard fill rule
+    (first n%4 buckets take ceil(n/4) rows) plus a Hypothesis pass at
+    larger n."""
+    from hypothesis import given, settings, strategies as st
+
+    def sql_ntile4(rn, n):
+        base, rem = divmod(n, 4)
+        big = rem * (base + 1)
+        if base == 0:
+            return rn
+        if rn <= big:
+            return (rn - 1) // (base + 1) + 1
+        return rem + (rn - big - 1) // base + 1
+
+    def model(n):
+        # definitional: deal n rows into 4 buckets, first n%4 get the
+        # extra row; bucket of rank rn = index of the bucket holding it
+        base, rem = divmod(n, 4)
+        sizes = [base + 1 if b < rem else base for b in range(4)]
+        out = []
+        for b, sz in enumerate(sizes, start=1):
+            out.extend([b] * sz)
+        return out
+
+    for n in range(1, 501):
+        want = model(n)
+        got = [sql_ntile4(rn, n) for rn in range(1, n + 1)]
+        assert got == want, n
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=10**9),
+           rn_frac=st.floats(min_value=0.0, max_value=1.0))
+    def prop(n, rn_frac):
+        rn = max(1, min(n, int(rn_frac * n) + 1))
+        base, rem = divmod(n, 4)
+        b = sql_ntile4(rn, n)
+        assert 1 <= b <= 4
+        # bucket boundaries: ranks strictly inside a bucket map to it
+        sizes = [base + 1 if x < rem else base for x in range(4)]
+        start = 1 + sum(sizes[: b - 1])
+        assert start <= rn <= start + sizes[b - 1] - 1
+
+    prop()
+
+
+def test_ntile4_python_mirror_matches_spark_expression(spark):
+    """The Python reference above and the staged Spark expression
+    (_ntile4_from_rank) must agree on a boundary-heavy frame: every rank
+    for several n spanning remainder classes 0..3."""
+    from pyspark.sql import functions as F
+
+    from staging_r19 import _ntile4_from_rank
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 97, 100):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        got = [
+            r["b"]
+            for r in df.select(_ntile4_from_rank(F.col("rn"), n).alias("b"))
+            .orderBy("rn")
+            .collect()
+        ]
+        base, rem = divmod(n, 4)
+        sizes = [base + 1 if x < rem else base for x in range(4)]
+        want = [b for b, sz in enumerate(sizes, start=1) for _ in range(sz)]
+        assert got == want, n
