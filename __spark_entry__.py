@@ -4973,15 +4973,168 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, context_len=256, n_buckets=8, bucket_hash="md5")
 
 
+def _bitmap_gsets_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per (event_type, week), per (event_type), and
+    overall — three grouping-set levels from ONE bitmap-partial pass
+    (functions/bitmap.py). The finest bitmaps shuffle once on
+    (event_type, week, bucket) with constant 4 KB cell state; the coarser
+    levels OR-merge those partials (bit-set union is lossless), never
+    re-reading base data — unlike count(distinct) under GROUPING SETS,
+    which EXPANDs the scan once per level. NULL level markers follow the
+    SQL grouping-sets convention so the oracle's GROUPING SETS output
+    matches shape exactly. The lossless-merge property itself is pinned
+    independently in tests/test_independent_oracles.py (each level
+    rebuilt from base data with its own bitmap pass).
+
+    The finest partials are localCheckpoint-materialized so the three
+    levels are ONE scan + bounded merges — without it the Union
+    recomputes the whole bitmap build per branch (3x the base scan at
+    100 TB; Spark cannot reuse non-identical exchanges across Union
+    branches). Cell count is bounded by (event_types x weeks x occupied
+    buckets), so the materialized frame is KB-scale regardless of row
+    count."""
+    from kafka_custom_transforms_spark.functions.bitmap import (
+        bucket_bitmaps,
+        distinct_counts,
+        merge_bitmaps,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+        ).alias("day_i"),
+    ).select(
+        "event_type", "user_id", F.expr("day_i div 7").alias("week")
+    )
+    bm = bucket_bitmaps(ev, "user_id", ["event_type", "week"]).localCheckpoint(
+        eager=False
+    )
+    lvl2 = distinct_counts(bm, ["event_type", "week"])
+    lvl1 = distinct_counts(merge_bitmaps(bm, ["event_type"]), ["event_type"]).select(
+        "event_type", F.lit(None).cast("long").alias("week"), "n_distinct"
+    )
+    lvl0 = distinct_counts(merge_bitmaps(bm, []), []).select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("week"),
+        "n_distinct",
+    )
+    return lvl2.select("event_type", "week", "n_distinct").unionByName(lvl1).unionByName(lvl0)
+
+
+def _lateral_alias_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases chained three deep inside an aggregate
+    SELECT — each derived column references aliases defined earlier in
+    the same list (Spark 4 LCA resolution), so the query reads as a
+    spreadsheet instead of three nested subqueries. Integer divisions
+    keep every value exact cross-engine. One shuffle (the GROUP BY);
+    the chain is pure post-aggregation projection. The oracle recomputes
+    every level as explicitly nested expressions — ground truth without
+    LCA."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("kcts_li_lca")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               cast(sum(l_quantity) AS bigint) AS sum_qty,
+               sum_qty * 1000 div cnt AS qty_milli_per_line,
+               qty_milli_per_line div 5000 AS qty_bucket,
+               qty_bucket * 5 + 1 AS qty_code
+        FROM kcts_li_lca
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# Grid constants: steps in milli-degrees; res-1 cells split into 5x5
+# res-2 children (9000 = 5 * 1800), the H3-style parent/child relation
+# expressed on a square grid (the container has no H3 lib — the surface
+# under test is the hierarchical re-aggregation, not the hex math).
+_GEO_STEP1 = 9000
+_GEO_STEP2 = 1800
+
+
+def _geo_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical geo rollup: synthesize (lat, lon) per customer from
+    c_custkey (deterministic modular spread, non-negative so integer
+    division is floor in both engines), aggregate balances into fine
+    res-2 cells, then MERGE the res-2 partials up to res-1 parents —
+    n_child_cells counts occupied children, the partial-merge evidence.
+    At 100 TB this is the standard two-level pattern: the fine level
+    shuffles once on the cell key; the parent level re-aggregates
+    cell-count-bounded partials, never base rows. The oracle recomputes
+    res-1 DIRECTLY from base rows (no res-2 intermediate), so the merge
+    path is checked against a no-merge derivation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 180000).alias("lat_m"),
+        ((F.col("c_custkey") * 104729) % 360000).alias("lon_m"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    res2 = (
+        cust.select(
+            (
+                F.expr(f"lat_m div {_GEO_STEP2}") * 1000
+                + F.expr(f"lon_m div {_GEO_STEP2}")
+            ).alias("cell2"),
+            (
+                F.expr(f"lat_m div {_GEO_STEP1}") * 1000
+                + F.expr(f"lon_m div {_GEO_STEP1}")
+            ).alias("cell1"),
+            "bal_cents",
+        )
+        .groupBy("cell1", "cell2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+    )
+    return res2.groupBy("cell1").agg(
+        F.sum("n_cust").cast("long").alias("n_cust"),
+        F.sum("sum_bal_cents").alias("sum_bal_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_child_cells"),
+    )
+
+
+def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps and
+    islands): distinct active days -> island key day_i - row_number ->
+    per-island lengths -> per-user max. All integers; windows partition
+    by user so every step is one co-partitioned exchange. The classic
+    retention metric a training-data/events pipeline reports at scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_i"),
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day_i")
+    islands = days.withColumn(
+        "isl", F.col("day_i") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
 # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys of
 # queries() in dict order. The window rotates each round so every
 # registry entry periodically lands in an official CORRECTNESS record:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-14 rotation: the 4 new r14 rows (never recorded, lifted
-# from tools/staging_r14.py where they were pre-verified at sf0.001 and
-# sf0.01 during r13), then the next 33 rows last recorded in r8/r9
+# rows. Round-15 rotation: the 4 new r15 rows (never recorded, lifted
+# from tools/staging_r15.py where they were pre-verified at sf0.001 and
+# sf0.01 during r14), then the next 33 rows last recorded in r9/r10
 # (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
@@ -4991,7 +5144,7 @@ def _pack_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 14
+CORRECTNESS_WINDOW_ROUND = 15
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -5000,22 +5153,25 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-14 new rows (never recorded — outrank re-records)
-    "ts_pattern_similarity", "variant_explode_props",
-    "try_arithmetic_orders", "setops_all_lineitems",
-    # least-recently-recorded re-records (5 from r8, 28 from r9, registry order)
-    "q8_market_share", "q12_priority_lines", "q14_promo_revenue",
-    "skew_join_salted", "scalar_funcs", "q3_shipping_priority",
-    "q13_order_distribution", "q15_top_supplier", "q16_supplier_variety",
-    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_balances",
-    "pipeline_training_batches", "pipeline_entity_resolution",
-    "funnel_stages", "sketch_distinct_users", "pack_docs",
-    "mixture_sample_docs", "importance_score_docs", "multimodal_png_decode",
-    "multimodal_bmp_decode", "events_sessionize", "events_sessionize_stream",
-    "stream_dedup_watermark", "stream_interval_join", "stream_decontaminate",
-    "stream_static_enrich", "stream_leaderboard", "statestore_read_counts",
-    "multimodal_gif_decode", "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode", "multimodal_jpeg_420_decode",
+    # round-15 new rows (never recorded — outrank re-records)
+    "bitmap_gsets_distinct", "lateral_alias_chain",
+    "geo_grid_rollup", "activity_streaks",
+    # least-recently-recorded re-records (9 from r9, 24 from r10, registry order)
+    "stream_multimodal_decode", "multimodal_jpeg_progressive_decode",
+    "multimodal_jpeg_sa_decode", "dedup_substring_spans",
+    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
+    "audio_frame_features", "skew_join_aqe", "bloom_join_parts",
+    "multimodal_mp4_tracks", "lm_quality_score", "tokenize_bpe_docs",
+    "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
+    "variant_events", "xml_events", "sql_pipe_syntax",
+    "stream_tokenize_bpe", "dedup_minhash_incremental",
+    "graph_triangles_cosupplier", "q9_product_profit",
+    "q11_top_part_value", "q17_small_quantity_revenue",
+    "q20_part_shipment_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_parts", "stream_full_outer_interval",
+    "dedup_incremental", "linear_score_embeddings",
+    "fuzzy_match_customers", "pseudonymize_events",
+    "knn_label_vote",
 ]
 
 
@@ -5228,6 +5384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_users": _setops_users,
         "scalar_funcs": _scalar_funcs,
         "topn_pagination": _topn_pagination,
+        "bitmap_gsets_distinct": _bitmap_gsets_distinct,
+        "lateral_alias_chain": _lateral_alias_chain,
+        "geo_grid_rollup": _geo_grid_rollup,
+        "activity_streaks": _activity_streaks,
     }
     window = set(CORRECTNESS_WINDOW)
     return {
@@ -8691,5 +8851,76 @@ def oracle_sql() -> dict[str, str]:
                         order by o_totalprice desc, o_orderkey asc) as bigint) as rn
             from orders
             qualify rn <= 3
+        """,
+        # Ground truth: count(distinct) per GROUPING SETS level, each
+        # level computed independently by DuckDB — no bitmaps on the
+        # oracle side.
+        "bitmap_gsets_distinct": """
+            WITH base AS (
+              SELECT event_type, user_id,
+                     date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) // 7
+                       AS week
+              FROM events
+            )
+            SELECT event_type, cast(week AS BIGINT) AS week,
+                   cast(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM base
+            GROUP BY GROUPING SETS ((event_type, week), (event_type), ())
+        """,
+        # Every LCA level recomputed as explicitly nested expressions.
+        "lateral_alias_chain": """
+            WITH g AS (
+              SELECT l_returnflag, l_linestatus,
+                     cast(count(*) AS BIGINT) AS cnt,
+                     cast(sum(l_quantity) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, cnt, sum_qty,
+                   sum_qty * 1000 // cnt AS qty_milli_per_line,
+                   (sum_qty * 1000 // cnt) // 5000 AS qty_bucket,
+                   ((sum_qty * 1000 // cnt) // 5000) * 5 + 1 AS qty_code
+            FROM g
+        """,
+        # Res-1 recomputed DIRECTLY from base rows (no res-2
+        # intermediate), so the Spark side's partial-merge path is
+        # checked against a no-merge derivation.
+        "geo_grid_rollup": """
+            WITH pts AS (
+              SELECT (c_custkey * 7919) % 180000 AS lat_m,
+                     (c_custkey * 104729) % 360000 AS lon_m,
+                     cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer
+            )
+            SELECT cast((lat_m // 9000) * 1000 + (lon_m // 9000) AS BIGINT) AS cell1,
+                   cast(count(*) AS BIGINT) AS n_cust,
+                   cast(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+                   cast(count(DISTINCT (lat_m // 1800) * 1000 + (lon_m // 1800))
+                        AS BIGINT) AS n_child_cells
+            FROM pts
+            GROUP BY 1
+        """,
+        "activity_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     date_diff('day', DATE '2024-01-01', cast(ts AS DATE))
+                       AS day_i
+              FROM events
+            ),
+            islands AS (
+              SELECT user_id,
+                     day_i - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day_i) AS isl
+              FROM days
+            ),
+            streaks AS (
+              SELECT user_id, isl, cast(count(*) AS BIGINT) AS len
+              FROM islands GROUP BY user_id, isl
+            )
+            SELECT user_id,
+                   max(len) AS max_streak,
+                   cast(sum(len) AS BIGINT) AS n_active_days,
+                   cast(count(*) AS BIGINT) AS n_streaks
+            FROM streaks
+            GROUP BY user_id
         """,
     }

@@ -94,6 +94,11 @@ BENCH_QUERIES = (
     "variant_explode_props",
     "try_arithmetic_orders",
     "setops_all_lineitems",
+    # round-15 engine additions
+    "bitmap_gsets_distinct",
+    "lateral_alias_chain",
+    "geo_grid_rollup",
+    "activity_streaks",
     # round-4 codec decoders (intentional pure-Python decode cost; kept
     # OUT of the headline total so engine totals stay comparable across
     # rounds — bench_guard still checks them per-query)
@@ -115,8 +120,8 @@ R3_COMPARABLE = BENCH_QUERIES[:27]
 # their cost is deliberate interpreter-bound Python decode, and folding
 # ~18 s of it into the headline made round-4's total read as a 2.1x
 # engine regression when the engine subset had moved 1.17x.
-ENGINE_QUERIES = BENCH_QUERIES[:53]
-DECODE_QUERIES = BENCH_QUERIES[53:]
+ENGINE_QUERIES = BENCH_QUERIES[:57]
+DECODE_QUERIES = BENCH_QUERIES[57:]
 
 # The three sets above are positional slices — a query inserted in the
 # wrong spot would silently misclassify rows between the engine headline
@@ -126,7 +131,7 @@ DECODE_QUERIES = BENCH_QUERIES[53:]
 # guard (advisor finding, round 6).
 if R3_COMPARABLE[-1] != "importance_score_docs":
     raise RuntimeError("R3_COMPARABLE slice boundary moved")
-if ENGINE_QUERIES[-1] != "setops_all_lineitems":
+if ENGINE_QUERIES[-1] != "activity_streaks":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")

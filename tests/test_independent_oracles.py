@@ -119,6 +119,88 @@ def test_ts_pattern_similarity_matches_pure_python_model(spark):
     assert got == want
 
 
+def test_bitmap_gsets_merge_matches_per_level_rebuild(spark):
+    """Independent-implementation check for bitmap_gsets_distinct: the
+    registered row's coarser levels OR-MERGE the finest bitmaps; rebuild
+    each level from base data with its own bucket_bitmaps pass and
+    require identical counts — pins the lossless-merge property itself,
+    not just the final parity (the r12 OLS lesson: don't let both sides
+    share one path). Lifted from tests/test_staging_r15.py at the
+    round-15 registry lift; now guards the REGISTERED row."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from kafka_custom_transforms_spark.functions.bitmap import (
+        bucket_bitmaps,
+        distinct_counts,
+    )
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    got = {
+        (r["event_type"], r["week"]): r["n_distinct"]
+        for r in entry_mod.queries()["bitmap_gsets_distinct"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "cast(datediff(to_date(ts), date'2024-01-01') as long) div 7"
+        ).alias("week"),
+    )
+    lvl1 = {
+        (r["event_type"], None): r["n_distinct"]
+        for r in distinct_counts(
+            bucket_bitmaps(ev, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    lvl0_n = distinct_counts(bucket_bitmaps(ev, "user_id", []), []).collect()[0][
+        "n_distinct"
+    ]
+    for key, val in lvl1.items():
+        assert got[key] == val, key
+    assert got[(None, None)] == lvl0_n
+
+
+def test_activity_streaks_matches_pure_python_model(spark):
+    """Independent-implementation check for activity_streaks: recompute
+    the gaps-and-islands result with plain Python from the raw parquet —
+    no windows, no SQL — and require exact equality. Lifted from
+    tests/test_staging_r15.py at the round-15 registry lift; now guards
+    the REGISTERED row."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entry_mod
+
+    rows = duckdb.execute(
+        "select distinct user_id, "
+        "date_diff('day', DATE '2024-01-01', cast(ts as date)) as d "
+        f"from '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    days = defaultdict(list)
+    for uid, d in rows:
+        days[uid].append(d)
+    want = {}
+    for uid, ds in days.items():
+        ds.sort()
+        runs, cur = [], 1
+        for prev, nxt in zip(ds, ds[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[uid] = (max(runs), len(ds), len(runs))
+    got = {
+        r["user_id"]: (r["max_streak"], r["n_active_days"], r["n_streaks"])
+        for r in entry_mod.queries()["activity_streaks"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )

@@ -847,3 +847,57 @@ def test_r14_row_plan_shapes(spark, sf_dir):
     assert "Union" in p
     assert "SortMergeJoin" not in p and "Sort " not in p
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in p
+
+
+def test_r15_row_plan_shapes(spark, sf_dir):
+    """The four r15 rows' 100 TB-relevant plan properties.
+
+    bitmap_gsets_distinct: the finest bitmap partials are materialized
+    ONCE (localCheckpoint) and every grouping-set level reads them —
+    zero FileScans survive in the merge plan (the base table is scanned
+    exactly once, inside the checkpoint), no EXPAND (the stock GROUPING
+    SETS shape would replicate the scan per level), and the merge
+    branches carry bitmap_or_agg partials. lateral_alias_chain: the
+    three-deep alias chain is pure post-aggregation projection around
+    ONE partial/final aggregate exchange. geo_grid_rollup: two
+    exchanges — the fine (cell1, cell2) pass over base rows, then a
+    cell-count-bounded re-aggregation keyed on cell1 alone over the
+    res-2 partials (partial_sum present at both levels). activity_streaks:
+    the distinct-days exchange is map-side-combined BEFORE the shuffle
+    (partial distinct collapses same-(user, day) events), the window
+    runs on the user_id exchange, and BOTH downstream aggregations
+    reuse that partitioning (hash(user_id) satisfies the clustered
+    distribution of (user_id, isl) and (user_id)) — exactly two
+    exchanges, no more."""
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    qs = entry_mod.queries()
+
+    bg = qs["bitmap_gsets_distinct"](spark, sf_dir)
+    p = plan_str(bg, "simple")
+    assert "bitmap_or_agg" in p          # coarse levels merge partials
+    assert "bitmapCount" in p
+    assert "FileScan" not in p           # base scanned once, inside the checkpoint
+    assert "Expand" not in p             # not the GROUPING SETS expand shape
+    assert "Union" in p
+
+    lc = qs["lateral_alias_chain"](spark, sf_dir)
+    p = plan_str(lc, "simple")
+    assert "partial_count" in p and "partial_sum" in p
+    assert shuffle_count(lc) == 2  # formatted plan prints each Exchange twice
+
+    gg = qs["geo_grid_rollup"](spark, sf_dir)
+    p = plan_str(gg, "simple")
+    assert shuffle_count(gg) == 4  # two physical exchanges
+    assert "hashpartitioning(cell1" in p  # parent level keyed on cell1 alone
+    assert p.count("partial_sum") >= 2   # map-side combine at both levels
+
+    st = qs["activity_streaks"](spark, sf_dir)
+    p = plan_str(st, "simple")
+    assert shuffle_count(st) == 4  # two physical exchanges
+    assert "Window" in p
+    # the (user_id, isl) and (user_id) aggregations must NOT add
+    # exchanges: everything after the user_id exchange is co-partitioned
+    tail_after_window = p.split("Window", 1)[1]
+    assert "Exchange" in tail_after_window        # the two input exchanges…
+    assert "Exchange" not in p.split("Window", 1)[0]  # …none above the window
