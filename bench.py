@@ -16,6 +16,7 @@ codegen), since that is what a run-once user pays.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -23,6 +24,19 @@ import sys
 import time
 
 SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+
+# The driver records only the last ~2000 characters of stdout; the r14
+# official record proved a longer summary line gets its HEAD clipped and
+# the whole round's record reads "parsed": null (r14 verdict #1). The
+# stdout line therefore carries per-query timings as a POSITIONAL
+# 2-decimal list ("q", in BENCH_QUERIES order, pinned by the "qo" order
+# hash and the tools/bench_orders.json registry); the named-dict record
+# still exists — bench.py writes it to bench_full.json, and that file is
+# what gets blessed as BENCH_r{N}_repro.json. Budget below the observed
+# 2000-char capture with margin; bench.py REFUSES to print an
+# over-budget line so the failure is loud at measurement time, not
+# silent at judge time.
+STDOUT_BUDGET = 1900
 
 from pyspark.sql import SparkSession
 
@@ -135,6 +149,34 @@ if ENGINE_QUERIES[-1] != "activity_streaks":
     raise RuntimeError("ENGINE_QUERIES slice boundary moved")
 if DECODE_QUERIES[0] != "multimodal_png_decode":
     raise RuntimeError("DECODE_QUERIES slice boundary moved")
+
+# Short content hash of the bench order — emitted in the stdout line so a
+# compact positional record is only ever expanded against the exact list
+# it was measured with (tools/bench_orders.json maps hash -> names; the
+# registry is self-maintaining, see _record_bench_order).
+ORDER_HASH = hashlib.md5("\n".join(BENCH_QUERIES).encode()).hexdigest()[:8]
+ORDERS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_orders.json"
+)
+
+
+def _record_bench_order() -> None:
+    """Idempotently register the current BENCH_QUERIES order under its
+    hash so historical compact records stay expandable forever, even
+    after later rounds insert queries mid-list (the engine/decode slice
+    boundaries make the order non-append-only)."""
+    try:
+        with open(ORDERS_PATH) as f:
+            orders = json.load(f)
+    except (OSError, ValueError):
+        orders = {}
+    if orders.get(ORDER_HASH) != list(BENCH_QUERIES):
+        orders[ORDER_HASH] = list(BENCH_QUERIES)
+        try:
+            with open(ORDERS_PATH, "w") as f:
+                json.dump(orders, f, indent=1)
+        except OSError:
+            pass
 
 
 def _loadavg() -> list[float] | None:
@@ -428,23 +470,45 @@ def main() -> None:
             json.dump(diagnostics, f)
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "engine_queries_wall_total",
-                "value": engine_total,
-                "unit": "sec",
-                "queries": timings,
-                "decode_value": decode_total,
-                "value_r3_subset": r3_subset,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_start": loadavg_start,
-                "foreign_busy_cores": foreign_cores,
-                "steal_cores": steal_cores,
-                "host_speed": host_speed,
-            }
+    common = {
+        "metric": "engine_queries_wall_total",
+        "value": engine_total,
+        "unit": "sec",
+        "decode_value": decode_total,
+        "value_r3_subset": r3_subset,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": loadavg_start,
+        "foreign_busy_cores": foreign_cores,
+        "steal_cores": steal_cores,
+        "host_speed": host_speed,
+    }
+    # Full named-dict record (the pre-r15 stdout format) -> sidecar. This
+    # is the file to bless as BENCH_r{N}_repro.json.
+    full = dict(common)
+    full["queries"] = timings
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            "w",
+        ) as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    _record_bench_order()
+    # Compact positional stdout line — the only stdout output, sized for
+    # the driver's ~2000-char tail capture (see STDOUT_BUDGET).
+    compact = dict(common)
+    compact["nq"] = len(BENCH_QUERIES)
+    compact["qo"] = ORDER_HASH
+    compact["q"] = [round(timings[n], 2) for n in BENCH_QUERIES]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > STDOUT_BUDGET:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} chars > {STDOUT_BUDGET} "
+            "budget — the driver's tail capture would clip it; shrink the "
+            "format before the official run"
         )
-    )
+    print(line)
     spark.stop()
 
 

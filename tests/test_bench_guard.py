@@ -325,3 +325,106 @@ def test_live_repo_clean_chain_anchors_on_r12(tmp_path):
     will then take over automatically."""
     name, _ = bench_guard.load_baseline()
     assert name in ("BENCH_r12_repro.json", "BENCH_r14_repro.json", "BENCH_r14.json")
+
+
+def _orders_registry():
+    import json
+
+    with open(os.path.join(REPO, "tools", "bench_orders.json")) as f:
+        return json.load(f)
+
+
+def test_compact_record_expands_through_order_registry():
+    """r15 stdout format: positional "q" + "qo" order hash expands into
+    named "queries" via tools/bench_orders.json."""
+    import json
+
+    orders = _orders_registry()
+    qo, names = next(iter(orders.items()))
+    rec = {"metric": "engine_queries_wall_total", "qo": qo,
+           "q": [float(i) for i in range(len(names))]}
+    got = bench_guard._expand_compact(rec)
+    assert got is not None
+    assert got["queries"][names[0]] == 0.0
+    assert got["queries"][names[-1]] == float(len(names) - 1)
+    # and through the line parser too
+    line = json.dumps(rec, separators=(",", ":"))
+    parsed = bench_guard._bench_line("noise\n" + line + "\n")
+    assert parsed and parsed["queries"][names[3]] == 3.0
+
+
+def test_compact_record_with_unknown_hash_is_unexpandable():
+    rec = {"metric": "x", "qo": "ffffffff", "q": [1.0, 2.0]}
+    assert bench_guard._expand_compact(rec) is None
+    # length mismatch against a KNOWN hash is also rejected
+    qo = next(iter(_orders_registry()))
+    assert bench_guard._expand_compact({"metric": "x", "qo": qo, "q": [1.0]}) is None
+
+
+def test_named_record_passes_expansion_unchanged():
+    rec = {"metric": "x", "queries": {"a": 1.0}}
+    assert bench_guard._expand_compact(rec) is rec
+
+
+def test_current_bench_order_is_registered():
+    """bench.py must have registered its CURRENT order under its hash —
+    otherwise the next official record would be unexpandable."""
+    import bench
+
+    orders = _orders_registry()
+    assert orders.get(bench.ORDER_HASH) == list(bench.BENCH_QUERIES)
+
+
+def test_current_compact_line_fits_stdout_budget():
+    """Worst-case line with every current query at a 4-digit timing must
+    fit the driver's tail capture with margin."""
+    import json
+
+    import bench
+
+    compact = {
+        "metric": "engine_queries_wall_total", "value": 9999.99,
+        "unit": "sec", "decode_value": 9999.99, "value_r3_subset": 9999.99,
+        "sf": 0.1, "loadavg_start": [32.11, 32.11, 32.11],
+        "foreign_busy_cores": 32.99, "steal_cores": 32.99,
+        "host_speed": {"pyloop_sec": 99.977, "md5_200mb_sec": 99.312,
+                       "md5_mt8_sec": 99.328},
+        "nq": len(bench.BENCH_QUERIES), "qo": bench.ORDER_HASH,
+        "q": [99.99] * len(bench.BENCH_QUERIES),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_BUDGET, len(line)
+
+
+def test_round_close_line_budget_gate(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_close
+
+    import bench
+
+    # a compact in-budget line passes
+    rec = {"metric": "engine_queries_wall_total", "qo": bench.ORDER_HASH,
+           "q": [1.0] * len(bench.BENCH_QUERIES)}
+    p = tmp_path / "ok.json"
+    p.write_text(json.dumps(rec, separators=(",", ":")) + "\n")
+    ok, detail = round_close.bench_line_budget_gate(str(p))
+    assert ok, detail
+
+    # an over-budget line fails
+    rec2 = dict(rec)
+    rec2["pad"] = "x" * bench.STDOUT_BUDGET
+    p2 = tmp_path / "big.json"
+    p2.write_text(json.dumps(rec2) + "\n")
+    ok, detail = round_close.bench_line_budget_gate(str(p2))
+    assert not ok and "budget" in detail
+
+    # an unexpandable order hash fails even in budget
+    rec3 = {"metric": "engine_queries_wall_total", "qo": "ffffffff",
+            "q": [1.0, 2.0]}
+    p3 = tmp_path / "orphan.json"
+    p3.write_text(json.dumps(rec3) + "\n")
+    ok, detail = round_close.bench_line_budget_gate(str(p3))
+    assert not ok and "expand" in detail

@@ -51,11 +51,42 @@ CLEAN_CHAIN_MAX = 1.1
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _expand_compact(rec: dict) -> dict | None:
+    """Normalize a compact positional bench record (r15+ stdout format:
+    "q" list + "qo" order hash, sized for the driver's ~2000-char tail
+    capture) into the named-"queries" form every consumer here uses.
+    The order hash is resolved through tools/bench_orders.json — the
+    self-maintaining hash->names registry bench.py appends to whenever
+    BENCH_QUERIES changes — so a record measured under an OLD order
+    expands against exactly the list it was measured with. Returns the
+    record unchanged if it already carries "queries"; None when the
+    order hash is unknown or the list length mismatches (unexpandable —
+    caller skips it with a note, same as an unparseable file)."""
+    if "queries" in rec:
+        return rec
+    q = rec.get("q")
+    if not isinstance(q, list):
+        return None
+    try:
+        with open(os.path.join(REPO, "tools", "bench_orders.json")) as f:
+            orders = json.load(f)
+    except (OSError, ValueError):
+        return None
+    names = orders.get(rec.get("qo"))
+    if not names or len(names) != len(q):
+        return None
+    rec = dict(rec)
+    rec["queries"] = dict(zip(names, q))
+    return rec
+
+
 def _bench_line(text: str) -> dict | None:
-    """Extract the last bench JSON line from arbitrary surrounding output."""
+    """Extract the last bench JSON line from arbitrary surrounding output
+    (named-dict or compact positional format — both normalize to a
+    record carrying "queries")."""
     for line in reversed(text.strip().splitlines()):
         if line.startswith('{"metric"'):
-            return json.loads(line)
+            return _expand_compact(json.loads(line))
     return None
 
 
@@ -89,8 +120,11 @@ def _load_records() -> list[tuple[str, dict]]:
         bench = None
         if isinstance(raw, dict):
             # Driver format wraps the bench line inside the "tail" capture;
-            # a plain bench.py line is also accepted.
-            bench = raw if "queries" in raw else _bench_line(raw.get("tail", ""))
+            # a plain bench.py record (named or compact) is also accepted.
+            if "queries" in raw or "q" in raw:
+                bench = _expand_compact(raw)
+            else:
+                bench = _bench_line(raw.get("tail", ""))
         if not bench:
             print(f"bench_guard: {os.path.basename(path)} has no parseable "
                   "bench line, skipping")

@@ -150,6 +150,41 @@ def bench_load_gate(bench_path: str | None) -> tuple[bool, str]:
         detail += f", steal cores {st:.2f}"
     return True, detail + " — idle record"
 
+def bench_line_budget_gate(bench_path: str) -> tuple[bool, str]:
+    """The official driver record is the stdout TAIL (~2000 chars): the
+    r14 record was lost because the summary line outgrew it and its head
+    was clipped ("parsed": null). Gate the measured line against
+    bench.STDOUT_BUDGET so an over-budget format fails HERE, before the
+    driver's capture silently discards the round's record. The line must
+    also round-trip through the bench_guard expansion (compact records
+    need a registered order hash in tools/bench_orders.json)."""
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench import STDOUT_BUDGET  # noqa: E402 — constant-only import is cheap
+    from bench_guard import _bench_line
+
+    try:
+        with open(bench_path) as f:
+            raw = f.read()
+    except OSError:
+        return False, f"unreadable bench file {bench_path}"
+    lines = [ln for ln in raw.strip().splitlines() if ln.startswith('{"metric"')]
+    if not lines:
+        return False, "no bench JSON line in file"
+    n = len(lines[-1])
+    if n > STDOUT_BUDGET:
+        return False, (
+            f"bench line is {n} chars > {STDOUT_BUDGET} budget — the "
+            "driver tail capture would clip it"
+        )
+    if _bench_line(raw) is None:
+        return False, (
+            "bench line does not expand to named per-query timings — "
+            "order hash missing from tools/bench_orders.json?"
+        )
+    return True, f"line {n} chars <= {STDOUT_BUDGET} budget, expandable"
+
+
 GUARD_TESTS = [
     "tests/test_registry_order.py",
     "tests/test_contract.py",
@@ -194,6 +229,9 @@ def main() -> None:
          if has_protobuf else "google.protobuf still absent — guard stands")
 
     if args or run_bench:
+        if args:
+            gate_ok, detail = bench_line_budget_gate(args[0])
+            ok &= step("bench line budget", gate_ok, detail)
         gate_ok, detail = bench_load_gate(args[0] if args else None)
         ok &= step("bench load gate", gate_ok, detail)
         cmd = [sys.executable, os.path.join(REPO, "tools", "bench_guard.py"), *args[:1]]
