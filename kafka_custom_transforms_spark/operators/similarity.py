@@ -846,8 +846,12 @@ def _ivf_candidates(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     if lloyd_iters and train_fraction < 1.0:
+        # Sample from the ALREADY-RESTRICTED frame: with train_on= this
+        # must stay inside the caller's training sub-corpus — sampling
+        # from vecs here would silently retrain the "frozen" quantizer on
+        # the full base (r14 advice, medium).
         buckets = max(int(round(1.0 / train_fraction)), 1)
-        train = vecs.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(buckets)) == 0)
+        train = train.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(buckets)) == 0)
     centroids = _seed_centroids(train, n_centroids)
     for _ in range(lloyd_iters):
         step = _assign_cells(train, centroids, cos_dim).groupBy("cid").agg(

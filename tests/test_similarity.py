@@ -562,3 +562,32 @@ def test_lsh_default_bits_derive_from_corpus(emb, queries_df):
     assert _rows(derived) == _rows(explicit)
     # and the derivation is corpus-sized: bigger corpus, more bits
     assert _occupancy_bits(100_000_000) > _occupancy_bits(10_000) >= 4
+
+
+def test_train_on_with_lloyd_sampling_stays_inside_train_on(emb, queries_df):
+    """Frozen-quantizer contract (r14 advice, medium): train_on= with
+    lloyd_iters>0 and train_fraction<1.0 must sample seeds/refinement
+    from the TRAIN_ON subset, never the full base. Pinned by equivalence:
+    passing train_on=T with train_fraction=0.5 must produce exactly the
+    result of passing the pre-sampled T' (the same pmod(xxhash64) bucket
+    filter applied by the operator) with train_fraction=1.0 — identical
+    training frames imply identical centroids, cells, and neighbors. The
+    pre-fix code sampled from the full base here, which yields different
+    centroids and fails this equality."""
+    train = emb.filter(F.col("vec_id") % 3 == 0)
+    got = _rows(
+        similarity.ivf_topk_neighbors(
+            emb, queries_df, k=5, n_centroids=24, n_probe=6, dim=64,
+            lloyd_iters=1, train_fraction=0.5, train_on=train,
+        )
+    )
+    presampled = train.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0
+    )
+    want = _rows(
+        similarity.ivf_topk_neighbors(
+            emb, queries_df, k=5, n_centroids=24, n_probe=6, dim=64,
+            lloyd_iters=1, train_fraction=1.0, train_on=presampled,
+        )
+    )
+    assert got == want
