@@ -28,6 +28,7 @@ score ties break reproducibly; cosine itself is a sequential fold
 from __future__ import annotations
 
 import functools
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -104,6 +105,19 @@ def topk_neighbors(
             and q is not None
             and _ivf_wins(n, q)
         ):
+            # Surface the plan switch: above the crossover the caller
+            # gets the IVF APPROXIMATION (recall < 1) with no other
+            # runtime signal — and the n/q numbers driving the dispatch
+            # are plan-statistics estimates, which can misread derived/
+            # filtered frames (r14 advice). warnings dedups per call
+            # site, so a loop over topk_neighbors warns once.
+            warnings.warn(
+                f"topk_neighbors(method='auto'): estimated n={n}, q={q} "
+                "is past the exact/IVF crossover — dispatching to the "
+                "approximate IVF plan (recall < 1). Pin method='exact' "
+                "for exhaustive results or method='ivf' to silence.",
+                stacklevel=2,
+            )
             method = "ivf"
     if method == "ivf":
         n = n_rows if n_rows is not None else _estimate_vec_rows(base, dim)
@@ -375,13 +389,31 @@ def lsh_topk_neighbors(
     constant: candidates ~``tables * occupancy`` per query — LINEAR
     total shuffle even with q ∝ n. More bits lower per-table recall;
     raise ``tables`` to compensate (recall for a pair with per-bit
-    agreement p is 1-(1-p^bits)^tables). An unsized, stats-less input
-    falls back to 6 bits (the historical default)."""
+    agreement p is 1-(1-p^bits)^tables).
+
+    REPRODUCIBILITY: with ``bits_per_table=None`` the derived width
+    depends on the input's plan-statistics row estimate — the same
+    logical corpus can get DIFFERENT bucket widths (hence different
+    candidate sets and recall) across environments or after a cache/
+    filter changes the estimate; an unsized, stats-less input falls back
+    to 6 bits (the historical default) with a warning. Callers comparing
+    runs across environments should pass ``n_rows`` (deterministic
+    derivation from the stated size) or pin ``bits_per_table``
+    explicitly — the registry row pins ``bits_per_table=4`` for oracle
+    byte-identity for exactly this reason."""
     if bits_per_table is None:
         # function-local import: dedup imports similarity at module level
         from kafka_custom_transforms_spark.operators.dedup import _occupancy_bits
 
         n = n_rows if n_rows is not None else _estimate_vec_rows(base, dim)
+        if n is None:
+            warnings.warn(
+                "lsh_topk_neighbors: input has no usable plan-statistics "
+                "row estimate — falling back to bits_per_table=6. Pass "
+                "n_rows or bits_per_table for a deterministic, "
+                "environment-independent bucket width.",
+                stacklevel=2,
+            )
         bits_per_table = _occupancy_bits(n) if n is not None else 6
     cos_dim = _auto_cos_dim(base, dim, n_rows)
     bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)

@@ -198,6 +198,23 @@ def _merge_session_event(
     return [s for i, s in enumerate(sessions) if i not in set(hits)] + [merged]
 
 
+def _partition_finalizable(
+    sessions: list, wm_us: int, gap_us: int
+) -> tuple[list, list]:
+    """(due, held) split of a session set against the watermark — the
+    emission half of :func:`sessionize_late`'s algebra. STRICT
+    inequality: a session finalizes only when its inclusive merge
+    horizon (last+gap, see :func:`_merge_session_event`) is strictly
+    behind the watermark, so the emission horizon and the merge window
+    are mutually exclusive BY CONSTRUCTION (r14 advice): an event that
+    could still merge (t <= last+gap) into a due session would satisfy
+    t < wm — already watermark-dropped. Module-level so the invariant is
+    unit-testable without a streaming harness."""
+    due = [s for s in sessions if s[2] + gap_us < wm_us]
+    held = [s for s in sessions if s[2] + gap_us >= wm_us]
+    return due, held
+
+
 def sessionize_late(
     df: DataFrame,
     key_col: str = "user_id",
@@ -227,8 +244,11 @@ def sessionize_late(
       are additive, bounds are min/max, so the interval algebra
       reproduces the batch gap-split over the final event set exactly.
     - One event-time timeout per key at min(last)+gap: when it fires,
-      sessions with last+gap <= watermark emit (no in-gap event can
-      still arrive — they are final), the rest re-arm the timeout.
+      sessions with last+gap STRICTLY behind the watermark emit (every
+      mergeable event t <= last+gap < wm is already watermark-dropped —
+      they are final); the rest, including a session whose inclusive
+      merge boundary t == last+gap == wm could still admit an event,
+      re-arm the timeout.
 
     State is bounded by watermark_delay + gap per key (a session older
     than that must have emitted), which is the price of late tolerance —
@@ -281,8 +301,7 @@ def sessionize_late(
             ns, firsts, lasts = state.get
             sessions = sorted(zip(ns, firsts, lasts), key=lambda s: s[1])
             wm_us = state.getCurrentWatermarkMs() * 1000
-            due = [s for s in sessions if s[2] + gap_us <= wm_us]
-            held = [s for s in sessions if s[2] + gap_us > wm_us]
+            due, held = _partition_finalizable(sessions, wm_us, gap_us)
             if held:
                 _rearm(state, held)
             else:

@@ -591,3 +591,42 @@ def test_train_on_with_lloyd_sampling_stays_inside_train_on(emb, queries_df):
         )
     )
     assert got == want
+
+
+def test_auto_dispatch_to_ivf_warns(emb):
+    """The silent plan switch r14 advice flagged: when method='auto'
+    crosses to the approximate IVF plan the caller gets a UserWarning
+    naming the estimates and the escape hatches; below the crossover
+    (and on explicit method=) no warning fires."""
+    import warnings as w
+
+    big_q = emb  # q == n is far past the crossover at any n
+    with pytest.warns(UserWarning, match="crossover.*IVF|IVF.*crossover"):
+        similarity.topk_neighbors(big_q, big_q, k=3, dim=64, n_rows=60_000)
+
+    small_q = emb.limit(5)
+    with w.catch_warnings():
+        w.simplefilter("error")  # any warning -> test failure
+        similarity.topk_neighbors(emb, small_q, k=3, dim=64, n_rows=500)
+        similarity.topk_neighbors(emb, big_q, k=3, dim=64, n_rows=60_000,
+                                  method="ivf")
+
+
+def test_lsh_statsless_fallback_warns(spark):
+    """bits_per_table=None on a stats-less input falls back to 6 bits —
+    r14 advice: that fallback must be LOUD (reproducibility hazard),
+    and passing n_rows must silence it."""
+    import warnings as w
+
+    rows = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # an RDD-backed frame has no usable row estimate
+    statsless = spark.createDataFrame(df.rdd, df.schema)
+    q = statsless.limit(3)
+    with pytest.warns(UserWarning, match="no usable plan-statistics"):
+        similarity.lsh_topk_neighbors(statsless, q, dim=8, k=2, tables=2)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        similarity.lsh_topk_neighbors(statsless, q, dim=8, k=2, tables=2,
+                                      n_rows=40)

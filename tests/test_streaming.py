@@ -567,3 +567,91 @@ def test_merge_session_event_is_order_independent_and_matches_gap_split():
         assert got == gap_split(sorted(ts))
 
     prop()
+
+
+def test_sessionize_late_boundary_event_semantics_are_drop_not_fragment(spark):
+    """The r14-advice boundary (an event at exactly t = last+gap landing
+    as the watermark crosses that horizon) pinned END TO END, both ways
+    the one-batch filter lag can fall:
+
+    - 5-batch timeline: the watermark reaches the horizon (00:30) one
+      batch BEFORE the boundary event arrives, so Spark's own late-row
+      filter (which lags the emission watermark by one batch) drops the
+      event — standard too-late semantics. The session must stay WHOLE
+      (one 1-event session, no fragment row for the dropped event).
+    - 4-batch timeline: the boundary event arrives in the same batch the
+      watermark first reads 00:30, so the lagged filter (still 23:50)
+      ADMITS it; with strict finalization the held session absorbs it —
+      ONE 2-event session.
+
+    Either way the output equals the batch gap-split of the ADMITTED
+    event set; what the strict `last+gap < wm` finalization
+    (_partition_finalizable) guarantees is that no admitted event can
+    ever find its session already emitted."""
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize_late
+
+    for batches, want in [
+        (
+            [
+                [(7, "2024-01-01 00:00:00")],
+                [(8, "2024-01-01 00:40:00")],   # wm -> 00:30 == horizon
+                [(8, "2024-01-01 00:40:00")],   # lagged filter now 00:30
+                [(7, "2024-01-01 00:30:00")],   # boundary event: DROPPED
+                [(99, "2024-01-01 09:00:00")],
+            ],
+            [(1, "2024-01-01 00:00:00", "2024-01-01 00:00:00")],
+        ),
+        (
+            [
+                [(7, "2024-01-01 00:00:00")],
+                [(8, "2024-01-01 00:40:00")],
+                [(7, "2024-01-01 00:30:00")],   # lagged filter 23:50: ADMITTED
+                [(99, "2024-01-01 09:00:00")],
+            ],
+            [(2, "2024-01-01 00:00:00", "2024-01-01 00:30:00")],
+        ),
+    ]:
+        d = tempfile.mkdtemp(prefix="kcts-lateboundary-")
+        stream = _staged_session_stream(spark, d, batches)
+        out = sessionize_late(stream, gap="30 minutes", watermark_delay="10 minutes")
+        name = "s" + uuid.uuid4().hex[:8]
+        _run_stream(out, name)
+        rows = sorted(
+            (r for r in spark.sql(f"select * from {name}").collect()
+             if r["user_id"] == 7),
+            key=lambda r: str(r["first_ts"]),
+        )
+        got = [(r["n_events"], str(r["first_ts"]), str(r["last_ts"])) for r in rows]
+        assert got == want, (got, want)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_finalization_horizon_excludes_merge_window():
+    """Unit pin of the r14-advice fix: _partition_finalizable and
+    _merge_session_event must be mutually exclusive — a session the
+    watermark finalizes can admit NO event that the (inclusive) merge
+    window would still connect and the watermark would still accept.
+    Exhaustive over a grid of watermarks around the horizon."""
+    from kafka_custom_transforms_spark.streaming.dedup import (
+        _merge_session_event,
+        _partition_finalizable,
+    )
+
+    GAP = 30
+    s = [1, 100, 120]  # horizon = 150
+    for wm in range(100, 200):
+        due, held = _partition_finalizable([s], wm, GAP)
+        assert [s] == due + held
+        if due:
+            # every event the merge window still connects (t <= 150) is
+            # strictly behind this watermark -> watermark-dropped before
+            # it could ever look for the emitted session
+            assert s[2] + GAP < wm
+            merged = _merge_session_event([list(s)], s[2] + GAP, GAP)
+            assert len(merged) == 1  # the merge window is inclusive...
+            assert s[2] + GAP < wm   # ...and lies fully behind wm
+        else:
+            assert s[2] + GAP >= wm
+    # boundary case the pre-fix code got wrong: wm exactly at horizon
+    due, held = _partition_finalizable([s], s[2] + GAP, GAP)
+    assert due == [] and held == [s]

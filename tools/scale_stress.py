@@ -75,6 +75,10 @@ STRESS_QUERIES = [
     "similarity_topk_ivf",      # IVF ANN: queries x cell-size growth
     "similarity_topk_auto",     # method='auto' default: must TRACK the ivf row
                                 # at x10 (stress-only, not a registry row)
+    "similarity_topk_lsh_default",  # lsh bits_per_table=None (occupancy-derived):
+                                # the registry row PINS bits=4 (quadratic by pin,
+                                # oracle anchor); this measures the DEFAULT path's
+                                # linear claim at x10 (r14 verdict #6; stress-only)
     "dedup_minhash_incremental",  # store/batch asymmetry: linear (sig join)
     "skew_join_aqe",            # K-fold hot partition: AQE must keep splitting
     "bloom_join_parts",         # bloom build side grows with part: linear
@@ -271,6 +275,20 @@ def _write_report(
             "estimated-size boundary and stays exact below it — a user who "
             "calls topk_neighbors with no method gets the scale-safe plan."
         )
+    if "similarity_topk_lsh_default" in queries:
+        lshN = medians[kN]["similarity_topk_lsh_default"]
+        lsh0 = medians[k0]["similarity_topk_lsh_default"]
+        lines.append(
+            f"- The LSH DEFAULT (bits_per_table=None, occupancy-derived) "
+            f"measures {ratios['similarity_topk_lsh_default']}x over the "
+            f"{kN / k0:g}x step ({lsh0:.1f}s -> {lshN:.1f}s): the derived "
+            "bucket width keeps per-table occupancy constant, so chance "
+            "candidates per query stay flat and total shuffle grows with q "
+            "alone — the linear claim for the default path, MEASURED (r14 "
+            "verdict #6). The registry row's pinned bits=4 stays the "
+            "quadratic-by-pin oracle anchor; the default no longer shares "
+            "its shape."
+        )
     if "dedup_exact" in queries:
         lines.append(
             f"- dedup_exact is flat ({ratios['dedup_exact']}x): the min_by "
@@ -389,6 +407,28 @@ def main() -> int:
         return out.select("query_id", "neighbor_id", "rank")
 
     queries["similarity_topk_auto"] = _similarity_topk_auto
+
+    def _similarity_topk_lsh_default(s, sf_dir):
+        """Stress-only: lsh_topk_neighbors with bits_per_table=None (the
+        occupancy-derived default) on the registry workload shape
+        (q = n/50). Acceptance (r14 verdict #6): its x10 growth must be
+        ~linear (<= ~3x over the 10x step) — the occupancy-constant
+        bucket width keeps chance candidates per query flat, unlike the
+        registry row's pinned bits=4 (12.3x shuffle growth, quadratic BY
+        PIN as the small-SF oracle anchor)."""
+        from pyspark.sql import functions as F
+
+        from kafka_custom_transforms_spark.operators import similarity
+        from kafka_custom_transforms_spark.sources.tables import load_table
+
+        emb = load_table(s, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        out = similarity.lsh_topk_neighbors(
+            emb, queries_df, dim=64, k=5, tables=12, bits_per_table=None
+        )
+        return out.select("query_id", "neighbor_id", "rank")
+
+    queries["similarity_topk_lsh_default"] = _similarity_topk_lsh_default
     gen_secs: dict[int, float] = {}
     medians: dict[int, dict[str, float]] = {}
 
