@@ -86,23 +86,6 @@ def test_grouping_id_bitmask_is_consistent(spark):
     )
 
 
-def test_late_batch_is_actually_late():
-    """Precondition that makes sessionize_late_merge a LATE-data test at
-    all: the second file batch (event_id % 5 == 0) must contain rows
-    OLDER than the first batch's maximum timestamp — if a data
-    regeneration ever breaks this, the row silently degenerates into the
-    ordinary two-batch case and must fail HERE with a clear message."""
-    lo2, hi1 = duckdb.execute(
-        f"""
-        select (select min(ts) from '{SF_DIR}/events.parquet' where event_id % 5 = 0),
-               (select max(ts) from '{SF_DIR}/events.parquet' where event_id % 5 != 0)
-        """
-    ).fetchone()
-    assert lo2 < hi1, (
-        "no late rows: the %5==0 batch starts after the on-time batch ends"
-    )
-
-
 def test_eviction_counts_reconcile(spark, ddb):
     """matched + evicted == one row per purchase-match plus one per
     unmatched purchase, and n_purchases equals the raw purchase count."""
@@ -130,33 +113,30 @@ def test_eviction_counts_reconcile(spark, ddb):
     ).fetchone()[0]
 
 
-def test_ivf_upsert_recall_and_frozen_sizing(spark):
-    """The frozen quantizer must not crater recall on this data (the
-    retrain signal the operator documents), and the sizing must derive
-    from the INDEXED subset: passing the indexed count explicitly as
-    n_indexed reproduces the row bit-for-bit (no hidden union-sized
-    count)."""
-    from pyspark.sql import functions as F
+def test_bitmap_retention_matches_pure_python_model(spark):
+    """Independent-implementation check for bitmap_retention: recompute
+    adjacent-week retention with plain Python sets from the raw parquet
+    — no bitmaps, no SQL joins — and require exact equality (pins the
+    inclusion-exclusion identity itself, not just oracle parity)."""
+    from collections import defaultdict
 
-    from kafka_custom_transforms_spark.operators import similarity
-    from kafka_custom_transforms_spark.sources.tables import load_table
+    from staging_r21 import bitmap_retention
 
-    emb = load_table(spark, SF_DIR, "embeddings")
-    indexed = emb.filter(F.col("vec_id") % 10 != 3)
-    arriving = emb.filter(F.col("vec_id") % 10 == 3)
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    up = similarity.ivf_upsert_topk_neighbors(
-        indexed, arriving, queries_df, k=5, n_probe=8, dim=64
-    )
-    got = {(r["query_id"], r["neighbor_id"]) for r in up.collect()}
-    pinned = similarity.ivf_upsert_topk_neighbors(
-        indexed, arriving, queries_df, k=5, n_probe=8, dim=64,
-        n_indexed=indexed.count(),
-    )
-    assert got == {(r["query_id"], r["neighbor_id"]) for r in pinned.collect()}
-    brute = similarity.topk_neighbors(
-        emb, queries_df, k=5, dim=64, method="exact"
-    )
-    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
-    recall = len(got & want) / len(want)
-    assert recall >= 0.5, f"frozen-quantizer recall collapsed: {recall:.2f}"
+    rows = duckdb.execute(
+        "select user_id, "
+        "date_diff('day', DATE '2024-01-01', cast(ts as date)) // 7 as w "
+        f"from '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    weeks = defaultdict(set)
+    for uid, w in rows:
+        weeks[w].add(uid)
+    want = {
+        w: (len(weeks[w]), len(weeks[w] & weeks[w + 1]))
+        for w in sorted(weeks)
+        if w + 1 in weeks
+    }
+    got = {
+        r["week_idx"]: (r["active_users"], r["retained_users"])
+        for r in bitmap_retention(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -1,36 +1,39 @@
-"""Pre-staged registry candidates for round 21 — implemented and
-oracle-tested now, NOT yet registered (<=4 new rows per round, SURVEY
-§10.5; same staging pipeline as r14-r20).
+"""Implemented spares beyond the lift horizon (round 21 would lift this
+module, but the run ends at round 20 — see the r15 queue reorder note in
+tools/staging_r16.py). Everything here is implemented and oracle-tested
+at sf0.001 like every staged module; the rows are available should a
+registry slot free up, and their operators keep coverage elsewhere
+regardless (grouping-sets provenance: the registered rollup/cube/
+grouping-sets rows; outer-join state accounting: the registered
+stream_full_outer_interval row plus tests/test_streaming.py; bitmap
+merges: the registered bitmap_gsets_distinct and bitmap_distinct_users
+rows; functions/ordinal.global_ordinal: the r19-staged rfm_segments row
+and tests/test_ordinal.py).
 
-Staged rows (surfaces absent from the current 207):
+Rows:
   - grouping_id_provenance — GROUPING SETS with BITMASK provenance:
     grouping_id() + per-column grouping() flags distinguish a real NULL
     group key from a rolled-up one (the provenance the existing
     rollup/cube/grouping-sets rows never exposed). Oracle reconstructs
     every grouping set as a plain GROUP BY UNION ALL with literal masks
     — ground truth, no grouping-sets machinery trusted.
-  - sessionize_late_merge — LATE-DATA semantics of sessionization: a
-    second micro-batch delivers events with EARLIER timestamps than the
-    first batch's maximum (late by up to the full corpus span, admitted
-    by the watermark delay), and they must MERGE into held per-user
-    sessions — the final output is bit-identical to the batch gap-split
-    over all events. Exercises streaming.dedup.sessionize_late (r14):
-    the immediate-emission sessionizer provably CANNOT satisfy this
-    (append mode cannot retract; staging measured 774 fragmented
-    sessions vs the oracle's 946), so the late-tolerant variant holds
-    sessions in state until the watermark finalizes them.
   - stream_outer_eviction — state-EVICTION accounting for the
     stream-stream left-outer interval join: rows the watermark evicted
     unmatched emit exactly one NULL row each, so (n_purchases,
     n_matched_pairs, n_evicted) reconciles against the batch left join.
     The existing outer rows pin the joined ROWS; this row pins the state
     lifecycle arithmetic (matched + evicted = universe).
-  - similarity_ivf_upsert — IVF index MAINTENANCE: quantizer frozen on
-    the indexed 90% of the corpus (seeds + sizing), the arriving 10%
-    batch only ASSIGNED to existing cells, queries probe the union.
-    Full-pipeline DuckDB oracle (the similarity_topk_ivf construction
-    with seeds/params restricted to the indexed subset) — the ANN
-    mirror of dedup_minhash_incremental's store-vs-batch shape.
+  - bitmap_retention — week-over-week retained users EXACTLY, from
+    mergeable bitmap partials via inclusion-exclusion: |A∩B| = |A| +
+    |B| - |A∪B|, where the union count OR-merges the same per-(week,
+    bucket) bitmaps the per-week counts read — Spark has no bitmap AND,
+    and this shape never needs one.  Oracle: plain distinct-user
+    self-join between adjacent weeks.
+  - ordinal_assign_docs — contiguous global 1..n numbering of documents
+    by doc_id via functions/ordinal.global_ordinal: range-partition,
+    pin, per-partition counts -> broadcast offsets, partition-local
+    row_number.  The oracle is the single-partition window — exactly
+    the plan the operator exists to avoid.
 """
 
 from __future__ import annotations
@@ -64,64 +67,6 @@ def grouping_id_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
         """
-    )
-
-
-def sessionize_late_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming.dedup.sessionize_late under LATE data: batch 1 carries
-    event_id % 5 != 0, batch 2 the % 5 == 0 remainder (late — older than
-    batch 1's max ts), batch 3 the far-future sentinel whose watermark
-    advance fires every event-time timeout. The watermark delay exceeds
-    the corpus span, so every late row is admitted and merges into HELD
-    session state (bridging splits, extending bounds); the emitted
-    sessions equal the batch gap-split over ALL events."""
-    import glob as _glob
-    import os as _os
-    import tempfile
-    import time as _time
-
-    from kafka_custom_transforms_spark.streaming.dedup import sessionize_late
-    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
-
-    d = tempfile.mkdtemp(prefix="kcts-sess-late-")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    span_s = int((hi - lo).total_seconds()) + 3600
-    schema = "event_id long, ts timestamp, user_id long"
-
-    def _stage(df, mtime):
-        before = set(_glob.glob(d + "/staged/*.parquet"))
-        df.coalesce(1).write.mode("append").parquet(d + "/staged")
-        # FileStreamSource orders files by modification time — force the
-        # intended batch order regardless of fs timestamp granularity.
-        for f in set(_glob.glob(d + "/staged/*.parquet")) - before:
-            _os.utime(f, (mtime, mtime))
-
-    now = _time.time()
-    _stage(ev.filter(F.col("event_id") % 5 != 0), now + 60)
-    _stage(ev.filter(F.col("event_id") % 5 == 0), now + 120)  # the LATE batch
-    sentinel = spark.createDataFrame([(-1, hi, -1)], schema).withColumn(
-        "ts", F.col("ts") + F.expr(f"INTERVAL {2 * span_s} SECONDS")
-    )
-    _stage(sentinel, now + 180)
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d + "/staged")
-    )
-    sessions = sessionize_late(
-        stream, key_col="user_id", ts_col="ts", gap="30 minutes",
-        watermark_delay=f"{span_s} seconds",
-    )
-    q = write_parquet_stream(sessions, d + "/sink", d + "/ckpt")
-    q.awaitTermination()
-    out = spark.read.parquet(d + "/sink").filter(F.col("user_id") >= 0)
-    return out.select(
-        "user_id",
-        "n_events",
-        F.unix_micros(F.col("first_ts")).alias("first_epoch_us"),
-        F.unix_micros(F.col("last_ts")).alias("last_epoch_us"),
     )
 
 
@@ -192,122 +137,66 @@ def stream_outer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frozen-quantizer IVF upsert: the index derives from the 90%
-    'indexed' subset (vec_id % 10 != 3); the arriving 10% batch is only
-    assigned; queries (vec_id % 50 == 0, over the union) probe as usual.
-    Fully oracle-checked — the DuckDB replay recomputes seeds and sizing
-    from the indexed subset and the assignment over the union."""
-    from kafka_custom_transforms_spark.operators import similarity
+def bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact adjacent-week retention from one bitmap-partial pass.
+    Week w's bitmaps contribute to pair w (as the left week) and pair
+    w-1 (as the right week); OR-merging a pair's bitmaps gives
+    |A_w ∪ A_w+1| losslessly, and inclusion-exclusion closes the
+    intersection without a bitmap AND.  The per-week counts frame is
+    weeks-sized — broadcast both joins."""
+    from kafka_custom_transforms_spark.functions.bitmap import (
+        bucket_bitmaps,
+        distinct_counts,
+        merge_bitmaps,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    indexed = emb.filter(F.col("vec_id") % 10 != 3)
-    arriving = emb.filter(F.col("vec_id") % 10 == 3)
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    out = similarity.ivf_upsert_topk_neighbors(
-        indexed, arriving, queries_df, k=5, n_probe=8, dim=64
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(datediff(to_date(ts), date'2024-01-01') as long) div 7").alias(
+            "week"
+        ),
     )
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    bm = bucket_bitmaps(ev, "user_id", ["week"])
+    wk = distinct_counts(bm, ["week"], alias="active")
+    pairs = bm.withColumn(
+        "pair", F.explode(F.array(F.col("week") - 1, F.col("week")))
     )
+    union_cnt = distinct_counts(merge_bitmaps(pairs, ["pair"]), ["pair"], alias="u")
+    left = wk.select(F.col("week").alias("week_idx"), F.col("active").alias("active_users"))
+    right = wk.select((F.col("week") - 1).alias("week_idx"), F.col("active").alias("next_active"))
+    return (
+        union_cnt.withColumnRenamed("pair", "week_idx")
+        .join(F.broadcast(left), "week_idx")
+        .join(F.broadcast(right), "week_idx")
+        .select(
+            "week_idx",
+            "active_users",
+            (F.col("active_users") + F.col("next_active") - F.col("u"))
+            .cast("long")
+            .alias("retained_users"),
+        )
+    )
+
+
+
+def ordinal_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 1..n ordinals over documents by doc_id with no
+    whole-table single-partition window — functions/ordinal.py has the
+    full plan narrative; tests/test_ordinal.py pins that every window in
+    the executed plan is either pid-partitioned or over the bounded
+    counts frame."""
+    from kafka_custom_transforms_spark.functions.ordinal import global_ordinal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_ordinal(docs, "doc_id", n_parts=8)
 
 
 STAGED = {
+    "bitmap_retention": bitmap_retention,
+    "ordinal_assign_docs": ordinal_assign_docs,
     "grouping_id_provenance": grouping_id_provenance,
-    "sessionize_late_merge": sessionize_late_merge,
     "stream_outer_eviction": stream_outer_eviction,
-    "similarity_ivf_upsert": similarity_ivf_upsert,
 }
-
-
-def _ivf_upsert_oracle() -> str:
-    """The similarity_topk_ivf full-pipeline oracle with quantizer
-    derivation (params/seeds) restricted to the INDEXED subset while
-    coarse/fine assignment covers the union — the frozen-quantizer
-    contract, replayed bit-exactly."""
-    import __spark_entry__ as entry_mod
-
-    cos = entry_mod._COSINE_EXPR
-    return """
-with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-eo as (select * from e where vec_id % 10 != 3),
-params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from eo),
-params2 as (
-  select nc,
-         case when nc < 256 then 1
-              else greatest(8, cast(round(sqrt(nc)) as int)) end as ng
-  from params
-),
-seeds as (
-  select cid, cv from (
-    select vec_id as cid, v as cv,
-           row_number() over (order by md5(cast(vec_id as varchar)), vec_id) as rn
-    from eo)
-  where rn <= (select nc from params)
-),
-gseeds as (
-  select gid, gv from (
-    select cid as gid, cv as gv,
-           row_number() over (order by md5(cast(cid as varchar)), cid) as rn
-    from seeds)
-  where rn <= (select ng from params2)
-),
-reg as (
-  select gid, cid, cv from (
-    select g.gid, s.cid, s.cv,
-           row_number() over (partition by s.cid
-                              order by {cos_sg} desc, g.gid) as rn
-    from seeds s, gseeds g)
-  where rn <= (select least(greatest(4, (3 * ng) // 4), 16, ng) from params2)
-),
-gactive as (select gid, gv from gseeds where gid in (select gid from reg)),
-vcoarse as (
-  select id, gid from (
-    select e.vec_id as id, g.gid,
-           row_number() over (partition by e.vec_id
-                              order by {cos_eg} desc, g.gid) as rn
-    from e, gactive g)
-  where rn = 1
-),
-assign as (
-  select id, cid from (
-    select v.id, r.cid,
-           row_number() over (partition by v.id
-                              order by {cos_er} desc, r.cid) as rn
-    from vcoarse v
-    join reg r using (gid)
-    join e on e.vec_id = v.id)
-  where rn = 1
-),
-q as (select vec_id as query_id, v as qv from e where vec_id % 50 = 0),
-probes as (
-  select query_id, cid from (
-    select q.query_id, s.cid,
-           row_number() over (partition by q.query_id
-                              order by {cos_qs} desc, s.cid) as rn
-    from q, seeds s)
-  where rn <= (select least(8, nc // 2) from params)
-),
-scored as (
-  select p.query_id, a.id as neighbor_id, {cos_qb} as c
-  from probes p
-  join assign a using (cid)
-  join e b on b.vec_id = a.id
-  join q on q.query_id = p.query_id
-  where a.id != p.query_id
-)
-select query_id, neighbor_id,
-       cast(row_number() over (partition by query_id
-            order by c desc, neighbor_id) as bigint) as rank
-from scored
-qualify rank <= 5
-""".format(
-        cos_sg=cos.format(a="s.cv", b="g.gv"),
-        cos_eg=cos.format(a="e.v", b="g.gv"),
-        cos_er=cos.format(a="e.v", b="r.cv"),
-        cos_qs=cos.format(a="q.qv", b="s.cv"),
-        cos_qb=cos.format(a="q.qv", b="b.v"),
-    )
 
 
 STAGED_ORACLES = {
@@ -335,30 +224,6 @@ STAGED_ORACLES = {
                cast(count(*) AS BIGINT), cast(sum(cents) AS BIGINT)
         FROM o
     """,
-    # The stream's late batch must merge, so the final state equals the
-    # batch gap-split over ALL events — the same oracle as events_sessionize.
-    "sessionize_late_merge": """
-        with g as (
-          select user_id, ts,
-                 case when epoch_us(ts) - coalesce(
-                       lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
-                       > 1800000000
-                      then 1 else 0 end as new_session
-          from events
-        ),
-        s as (
-          select user_id, ts,
-                 sum(new_session) over (partition by user_id order by ts
-                                        rows between unbounded preceding and current row) as sid
-          from g
-        )
-        select user_id,
-               cast(count(*) as bigint) as n_events,
-               cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
-               cast(epoch_us(max(ts)) as bigint) as last_epoch_us
-        from s
-        group by user_id, sid
-    """,
     # matched + evicted reconcile against the batch left join.
     "stream_outer_eviction": """
         with p as (select event_id, ts from events where event_type = 'purchase'),
@@ -375,5 +240,33 @@ STAGED_ORACLES = {
                  as n_evicted
         from j
     """,
+    # Ground truth: distinct-user self-join between adjacent weeks — no
+    # bitmaps, no inclusion-exclusion on the oracle side.
+    "bitmap_retention": """
+        WITH wk AS (
+          SELECT DISTINCT
+                 date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) // 7 AS w,
+                 user_id
+          FROM events
+        ),
+        cnt AS (SELECT w, cast(count(*) AS BIGINT) AS c FROM wk GROUP BY w),
+        ret AS (
+          SELECT a.w, cast(count(*) AS BIGINT) AS r
+          FROM wk a JOIN wk b ON b.user_id = a.user_id AND b.w = a.w + 1
+          GROUP BY a.w
+        )
+        SELECT cast(c0.w AS BIGINT) AS week_idx,
+               c0.c AS active_users,
+               cast(coalesce(r.r, 0) AS BIGINT) AS retained_users
+        FROM cnt c0
+        JOIN cnt c1 ON c1.w = c0.w + 1
+        LEFT JOIN ret r ON r.w = c0.w
+    """,
+    # The oracle IS the anti-scale plan the operator replaces: a global
+    # single-partition window — fine at sf0.01, fatal at 100 TB.
+    "ordinal_assign_docs": """
+        SELECT doc_id, n_chars,
+               cast(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS ordinal
+        FROM documents
+    """,
 }
-STAGED_ORACLES["similarity_ivf_upsert"] = _ivf_upsert_oracle()
