@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"q": [sec, ...], "qo": <order hash>, "sf": ...} — per-query timings are
+POSITIONAL (BENCH_QUERIES order, resolvable via tools/bench_orders.json)
+so the line fits the driver's ~2000-char stdout tail capture (see
+STDOUT_BUDGET). The full named-dict record {"queries": {name: sec}, ...}
+is written to bench_full.json alongside; bless THAT file as
+BENCH_r{N}_repro.json.
 
 Each query is fully materialized (count) to force execution end-to-end and
 run ``SAMPLES`` times; the reported per-query time is the MEDIAN. Round-2
