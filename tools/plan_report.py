@@ -65,6 +65,10 @@ SHOWCASE = {
     "variant_explode_props": "LATERAL variant_explode as a per-row Generate feeding partial aggregates — no Python stage, one exchange, event_id filter at the scan — pinned in tests/test_plans.py",
     "try_arithmetic_orders": "try_divide/try_multiply/try_to_number as pure codegen projections into one aggregate exchange — pinned in tests/test_plans.py",
     "setops_all_lineitems": "EXCEPT ALL / INTERSECT ALL as union + signed-count aggregate + replicaterows (bag semantics without a sort or nested loop); returnflag filters pushed to the scans — pinned in tests/test_plans.py",
+    "bitmap_gsets_distinct": "three grouping-set levels of EXACT distinct from ONE scan: finest bitmap partials localCheckpoint-materialized (zero FileScans in the merge plan), coarser levels OR-merge KB-scale partials; no GROUPING SETS Expand — pinned in tests/test_plans.py",
+    "lateral_alias_chain": "three-deep lateral column aliases resolve to pure post-aggregation Projects around ONE partial/final aggregate exchange — pinned in tests/test_plans.py",
+    "geo_grid_rollup": "hierarchical rollup: fine (cell1, cell2) aggregation over base rows, then a cell-count-bounded re-aggregation keyed on cell1 alone over res-2 partials (map-side combine at both levels) — pinned in tests/test_plans.py",
+    "activity_streaks": "gaps-and-islands with exactly two exchanges: map-side partial distinct BEFORE the (user_id, day) shuffle, window on the user_id exchange, and both downstream aggregations reuse hash(user_id) (clustered-distribution satisfaction, no extra exchange) — pinned in tests/test_plans.py",
 }
 
 

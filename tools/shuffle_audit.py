@@ -265,7 +265,11 @@ def main() -> None:
         if not (outdir / "embeddings.parquet").exists():
             gen = _gen_dataset(10, outdir)
             print(f"  x10 replica generated in {gen:.1f}s", file=sys.stderr)
-        srows = _audit(spark, app_id, queries, list(STRESS_QUERIES),
+        # stress-only rows (similarity_topk_auto, ..._lsh_default) are
+        # injected by scale_stress's main(), not registry entries — audit
+        # only the registered subset here
+        stress_names = [n for n in STRESS_QUERIES if n in queries]
+        srows = _audit(spark, app_id, queries, stress_names,
                        [("x1", "/root/testdata/sf0.1"), ("x10", str(outdir))])
         lines += [
             "",
@@ -296,7 +300,7 @@ def main() -> None:
             "| query | input Mrows @x10 | shuffle MB @x10 | growth x1->x10 |",
             "|---|---|---|---|",
         ]
-        for name in STRESS_QUERIES:
+        for name in stress_names:
             big, small = srows[name]["x10"], srows[name]["x1"]
             growth = (
                 f"{big['shuffle_write'] / small['shuffle_write']:.1f}x"
@@ -310,7 +314,7 @@ def main() -> None:
         x10_summary = {
             n: round(srows[n]["x10"]["shuffle_write"]
                      / max(srows[n]["x1"]["shuffle_write"], 1), 2)
-            for n in STRESS_QUERIES
+            for n in stress_names
         }
 
     lines += [
