@@ -428,3 +428,20 @@ def test_round_close_line_budget_gate(tmp_path):
     p3.write_text(json.dumps(rec3) + "\n")
     ok, detail = round_close.bench_line_budget_gate(str(p3))
     assert not ok and "expand" in detail
+
+
+def test_round_close_line_budget_gate_accepts_named_sidecar(tmp_path):
+    """A full named-dict record (the bench_full.json sidecar / blessed
+    repro format, ~2.2k chars) is never printed to stdout, so the
+    tail-capture budget must not apply — round_close on
+    BENCH_r{N}_repro.json previously false-FAILED (r15 self-review)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_close
+
+    ok, detail = round_close.bench_line_budget_gate(
+        os.path.join(REPO, "BENCH_r15_repro.json")
+    )
+    assert ok, detail
+    assert "n/a" in detail
