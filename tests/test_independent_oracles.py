@@ -229,3 +229,28 @@ def test_approx_topk_boundary_is_tie_free(sf_dir):
         f"rank3={rank3} rank4={rank4} — the row's top-3 is no longer "
         "deterministic; add an explicit tie-break to both sides"
     )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_event_day_index_is_non_negative(sf_dir):
+    """Precondition for bitmap_gsets_distinct and activity_streaks
+    parity: their day/week indexes come from datediff(ts, 2024-01-01),
+    and Spark's `div` TRUNCATES toward zero while DuckDB's `//` FLOORS
+    — identical on non-negative values only (-1 div 7 = 0 vs
+    -1 // 7 = -1). If a data regeneration ever produces events before
+    2024-01-01 the oracle mismatch would surface as an opaque hash
+    failure in the driver gate; fail HERE with the real cause instead."""
+    con = duckdb.connect()
+    lo = con.execute(
+        f"select min(cast(ts as date)) from '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    con.close()
+    import datetime
+
+    assert lo >= datetime.date(2024, 1, 1), (
+        f"events at {sf_dir} start {lo} — before the 2024-01-01 epoch; "
+        "the div-vs-// floor divergence now applies: switch both rows "
+        "to an explicit floor_div or move the epoch before min(ts)"
+    )
