@@ -445,3 +445,33 @@ def test_round_close_line_budget_gate_accepts_named_sidecar(tmp_path):
     )
     assert ok, detail
     assert "n/a" in detail
+
+
+def test_era_probe_classify_and_baseline_selection():
+    """Pure helpers of tools/era_probe.py: classification thresholds and
+    newest-repro baseline selection (the measurement half needs a live
+    Spark run and a quiet host, so only the logic is unit-pinned)."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "era_probe", os.path.join(REPO, "tools", "era_probe.py")
+    )
+    ep = iu.module_from_spec(spec)
+    spec.loader.exec_module(ep)
+    assert ep.classify(1.0) == ("CLEAN", 0)
+    assert ep.classify(1.15) == ("CLEAN", 0)
+    assert ep.classify(1.3) == ("DRIFT", 2)
+    assert ep.classify(1.5) == ("DRIFT", 2)
+    assert ep.classify(2.0) == ("BURST", 3)
+    base = ep.newest_repro()
+    assert os.path.basename(base).startswith("BENCH_r")
+    # newest round must win
+    import glob as g
+    import re
+
+    rounds = [
+        int(re.search(r"_r(\d+)_", p).group(1))
+        for p in g.glob(os.path.join(REPO, "BENCH_r*_repro.json"))
+    ]
+    assert f"r{max(rounds):02d}" in os.path.basename(base) or \
+        f"r{max(rounds)}" in os.path.basename(base)
