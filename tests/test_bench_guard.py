@@ -475,3 +475,33 @@ def test_era_probe_classify_and_baseline_selection():
     ]
     assert f"r{max(rounds):02d}" in os.path.basename(base) or \
         f"r{max(rounds)}" in os.path.basename(base)
+
+
+def test_compact_line_survives_driver_tail_capture():
+    """End-to-end simulation of the failure that lost BENCH_r14: the
+    driver keeps only the LAST ~2000 chars of stdout. A compact line at
+    the budget survives whole (junk ahead of it gets clipped, the line
+    itself parses); the old ~2900-char named-dict line would have been
+    beheaded mid-JSON."""
+    import json
+
+    import bench
+
+    rec = {"metric": "engine_queries_wall_total", "value": 34.26,
+           "unit": "sec", "qo": bench.ORDER_HASH,
+           "q": [1.23] * len(bench.BENCH_QUERIES)}
+    line = json.dumps(rec, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_BUDGET
+    stdout = "x" * 5000 + "\n" + line + "\n"
+    tail = stdout[-2000:]  # the driver's capture
+    parsed = bench_guard._bench_line(tail)
+    assert parsed is not None
+    assert len(parsed["queries"]) == len(bench.BENCH_QUERIES)
+
+    # the pre-r15 format at its real size does NOT survive: its head
+    # (and opening brace) fall outside the capture
+    fat = json.dumps({"metric": "engine_queries_wall_total",
+                      "queries": {f"longer_query_name_padded_{i:03d}": 1.234
+                                  for i in range(65)}})
+    assert len(fat) > 2000
+    assert bench_guard._bench_line(("y" * 100 + "\n" + fat + "\n")[-2000:]) is None
