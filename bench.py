@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"q": [sec, ...], "qo": <order hash>, "sf": ...} — per-query timings are
-POSITIONAL (BENCH_QUERIES order, resolvable via tools/bench_orders.json)
-so the line fits the driver's ~2000-char stdout tail capture (see
-STDOUT_BUDGET). The full named-dict record {"queries": {name: sec}, ...}
-is written to bench_full.json alongside; bless THAT file as
-BENCH_r{N}_repro.json.
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} — the NAMED per-query dict the
+driver contract specifies, 2-decimal rounded and stripped of host_speed/
+foreign-core telemetry so the line fits the driver's tail capture
+(measured: exactly the LAST 2000 chars of stdout — BENCH_r12-r14 all
+carry len(tail)==2000; r14's 2.9k-char 3-decimal line was beheaded). The
+full-precision record with all telemetry is written to bench_full.json
+alongside; bless THAT file as BENCH_r{N}_repro.json.
 
 Each query is fully materialized (count) to force execution end-to-end and
 run ``SAMPLES`` times; the reported per-query time is the MEDIAN. Round-2
@@ -30,18 +31,23 @@ import time
 
 SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
 
-# The driver records only the last ~2000 characters of stdout; the r14
-# official record proved a longer summary line gets its HEAD clipped and
-# the whole round's record reads "parsed": null (r14 verdict #1). The
-# stdout line therefore carries per-query timings as a POSITIONAL
-# 2-decimal list ("q", in BENCH_QUERIES order, pinned by the "qo" order
-# hash and the tools/bench_orders.json registry); the named-dict record
-# still exists — bench.py writes it to bench_full.json, and that file is
-# what gets blessed as BENCH_r{N}_repro.json. Budget below the observed
-# 2000-char capture with margin; bench.py REFUSES to print an
+# The driver records only the last 2000 characters of stdout (every
+# official BENCH_r* record carries len(tail)==2000); the r14 official
+# record proved a longer summary line gets its HEAD clipped and the
+# whole round's record reads "parsed": null (r14 verdict #1). The r15
+# interim answer was a positional "q" list + "qo" order hash — compact,
+# but it dropped the NAMED "queries" dict the driver contract specifies,
+# so a driver that does not know tools/bench_orders.json would lose the
+# round's per-query record. The stdout line therefore carries the named
+# dict again, slimmed to fit: 2-decimal query values, and the host_speed
+# / foreign_busy_cores telemetry moved to bench_full.json + stderr
+# (loadavg_start and steal_cores stay on stdout — the two fields the
+# contention adjudication of rounds 9-14 actually gated official records
+# on). Measured sizes: 1915 chars at the r15 repro's 65 rows vs the
+# 1960 budget vs the 2000-char capture. bench.py REFUSES to print an
 # over-budget line so the failure is loud at measurement time, not
 # silent at judge time.
-STDOUT_BUDGET = 1900
+STDOUT_BUDGET = 1960
 
 from pyspark.sql import SparkSession
 
@@ -500,13 +506,15 @@ def main() -> None:
     except OSError:
         pass
     _record_bench_order()
-    # Compact positional stdout line — the only stdout output, sized for
-    # the driver's ~2000-char tail capture (see STDOUT_BUDGET).
-    compact = dict(common)
-    compact["nq"] = len(BENCH_QUERIES)
-    compact["qo"] = ORDER_HASH
-    compact["q"] = [round(timings[n], 2) for n in BENCH_QUERIES]
-    line = json.dumps(compact, separators=(",", ":"))
+    # Named-dict stdout line — the only stdout output, sized for the
+    # driver's 2000-char tail capture (see STDOUT_BUDGET): the contract's
+    # "queries" dict at 2 decimals, minus the heavyweight telemetry
+    # (host_speed, foreign_busy_cores) that lives on in bench_full.json.
+    slim = dict(common)
+    del slim["host_speed"]
+    del slim["foreign_busy_cores"]
+    slim["queries"] = {n: round(timings[n], 2) for n in BENCH_QUERIES}
+    line = json.dumps(slim, separators=(",", ":"))
     if len(line) > STDOUT_BUDGET:
         raise RuntimeError(
             f"bench stdout line is {len(line)} chars > {STDOUT_BUDGET} "

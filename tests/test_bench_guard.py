@@ -375,25 +375,28 @@ def test_current_bench_order_is_registered():
     assert orders.get(bench.ORDER_HASH) == list(bench.BENCH_QUERIES)
 
 
-def test_current_compact_line_fits_stdout_budget():
-    """Worst-case line with every current query at a 4-digit timing must
-    fit the driver's tail capture with margin."""
+def test_current_stdout_line_fits_budget():
+    """Worst-plausible line in the r15-optimization stdout format (the
+    contract's named "queries" dict, 2-decimal values, no host_speed /
+    foreign_busy_cores) must fit the driver's measured 2000-char tail
+    capture with margin. "Worst plausible" = every query under 10 s and
+    totals under 1000 s — a run past that is a melted host whose record
+    is garbage regardless (and bench.py raises on an over-budget line at
+    measurement time)."""
     import json
 
     import bench
 
-    compact = {
-        "metric": "engine_queries_wall_total", "value": 9999.99,
-        "unit": "sec", "decode_value": 9999.99, "value_r3_subset": 9999.99,
+    slim = {
+        "metric": "engine_queries_wall_total", "value": 999.99,
+        "unit": "sec", "decode_value": 999.99, "value_r3_subset": 999.99,
         "sf": 0.1, "loadavg_start": [32.11, 32.11, 32.11],
-        "foreign_busy_cores": 32.99, "steal_cores": 32.99,
-        "host_speed": {"pyloop_sec": 99.977, "md5_200mb_sec": 99.312,
-                       "md5_mt8_sec": 99.328},
-        "nq": len(bench.BENCH_QUERIES), "qo": bench.ORDER_HASH,
-        "q": [99.99] * len(bench.BENCH_QUERIES),
+        "steal_cores": 32.999,
+        "queries": {n: 9.99 for n in bench.BENCH_QUERIES},
     }
-    line = json.dumps(compact, separators=(",", ":"))
+    line = json.dumps(slim, separators=(",", ":"))
     assert len(line) <= bench.STDOUT_BUDGET, len(line)
+    assert bench.STDOUT_BUDGET <= 2000 - 2  # line + newline inside capture
 
 
 def test_round_close_line_budget_gate(tmp_path):
@@ -477,19 +480,22 @@ def test_era_probe_classify_and_baseline_selection():
         f"r{max(rounds)}" in os.path.basename(base)
 
 
-def test_compact_line_survives_driver_tail_capture():
+def test_stdout_line_survives_driver_tail_capture():
     """End-to-end simulation of the failure that lost BENCH_r14: the
-    driver keeps only the LAST ~2000 chars of stdout. A compact line at
-    the budget survives whole (junk ahead of it gets clipped, the line
-    itself parses); the old ~2900-char named-dict line would have been
-    beheaded mid-JSON."""
+    driver keeps only the LAST 2000 chars of stdout. The r15-optimization
+    slim NAMED line survives whole (junk ahead of it gets clipped, the
+    line itself parses with its full "queries" dict); the r14-era fat
+    3-decimal line with host_speed telemetry would still be beheaded
+    mid-JSON."""
     import json
 
     import bench
 
     rec = {"metric": "engine_queries_wall_total", "value": 34.26,
-           "unit": "sec", "qo": bench.ORDER_HASH,
-           "q": [1.23] * len(bench.BENCH_QUERIES)}
+           "unit": "sec", "decode_value": 6.09, "value_r3_subset": 15.52,
+           "sf": 0.1, "loadavg_start": [0.04, 0.1, 0.2],
+           "steal_cores": 0.224,
+           "queries": {n: 9.99 for n in bench.BENCH_QUERIES}}
     line = json.dumps(rec, separators=(",", ":"))
     assert len(line) <= bench.STDOUT_BUDGET
     stdout = "x" * 5000 + "\n" + line + "\n"
@@ -497,11 +503,22 @@ def test_compact_line_survives_driver_tail_capture():
     parsed = bench_guard._bench_line(tail)
     assert parsed is not None
     assert len(parsed["queries"]) == len(bench.BENCH_QUERIES)
+    assert parsed["queries"]["smt_drop_struct"] == 9.99
 
-    # the pre-r15 format at its real size does NOT survive: its head
+    # the r14-era format at its real size does NOT survive: its head
     # (and opening brace) fall outside the capture
     fat = json.dumps({"metric": "engine_queries_wall_total",
+                      "host_speed": {"pyloop_sec": 1.0},
                       "queries": {f"longer_query_name_padded_{i:03d}": 1.234
                                   for i in range(65)}})
     assert len(fat) > 2000
     assert bench_guard._bench_line(("y" * 100 + "\n" + fat + "\n")[-2000:]) is None
+
+    # a historical compact positional record still expands (r15 official
+    # stdout never shipped the format, but the expansion path guards any
+    # stray record and the orders registry keeps it resolvable)
+    compact = {"metric": "engine_queries_wall_total", "qo": bench.ORDER_HASH,
+               "q": [1.23] * len(bench.BENCH_QUERIES)}
+    cl = json.dumps(compact, separators=(",", ":"))
+    parsed2 = bench_guard._bench_line("z" * 3000 + "\n" + cl + "\n")
+    assert parsed2 is not None and len(parsed2["queries"]) == len(bench.BENCH_QUERIES)

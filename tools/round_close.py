@@ -175,11 +175,14 @@ def bench_line_budget_gate(bench_path: str) -> tuple[bool, str]:
         rec = json.loads(lines[-1])
     except ValueError:
         return False, "bench line is not valid JSON"
-    if "queries" in rec:
-        # A full named-dict record (the bench_full.json sidecar /
-        # blessed BENCH_r{N}_repro format) is never printed to stdout,
-        # so the tail-capture budget does not apply to it.
-        return True, "named sidecar record — stdout budget n/a"
+    if "host_speed" in rec:
+        # A full-telemetry record (the bench_full.json sidecar / blessed
+        # BENCH_r{N}_repro format) is never printed to stdout, so the
+        # tail-capture budget does not apply to it. Since the r15
+        # contract restore, STDOUT records carry the named "queries"
+        # dict too — host_speed is the field only the sidecar keeps, so
+        # it, not "queries", is the discriminator.
+        return True, "full-telemetry sidecar record — stdout budget n/a"
     n = len(lines[-1])
     if n > STDOUT_BUDGET:
         return False, (
