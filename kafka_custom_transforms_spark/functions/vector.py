@@ -116,4 +116,13 @@ def cosine_arrow(a: Column, b: Column) -> Column:
             out[valid] = dots / (np.sqrt(na) * np.sqrt(nb))
         return pd.Series(out)
 
-    return _cos(a, b)
+    # asNondeterministic stops the optimizer DUPLICATING the evaluation
+    # (guide §4.4): every ranking site filters on the score column
+    # (isNotNull & ~isnan), and Catalyst pushes that filter below the
+    # projection by copying the UDF — the r15 plan audit showed TWO
+    # ArrowEvalPython nodes per scoring site (similarity_topk, LSH and
+    # IVF verify stages), i.e. every candidate pair crossed the Python
+    # boundary and was scored twice. The function is pure (same inputs →
+    # same outputs); the marker only forbids re-ordering/duplication, so
+    # results are unchanged — measured plans drop to ONE ArrowEvalPython.
+    return _cos.asNondeterministic()(a, b)

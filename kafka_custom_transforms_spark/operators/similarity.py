@@ -132,6 +132,17 @@ def topk_neighbors(
         )
     cos_dim = _auto_cos_dim(base, dim, n_rows)
     b = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
+    # Degenerate scan parallelism guard (r15 optimization, guide §2): a
+    # small parquet corpus is one file with one row group — ONE scan
+    # task, which serializes the broadcast-NLJ pair generation AND the
+    # Arrow scoring stage on a single core/Python worker no matter how
+    # many the session has. ensure_min_partitions fans the base side out
+    # locally (trivial shuffle of the raw vectors, exactly when the
+    # corpus is small) and is a guaranteed no-op at cluster scale, so
+    # "the base table never shuffles" still holds where it matters.
+    from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+
+    b = ensure_min_partitions(b)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if not include_self else F.lit(True))
     scored = scored.select(
@@ -282,10 +293,18 @@ def hyperplane_buckets(
     tables: int = 4,
     bits_per_table: int = 8,
     method: str = "numpy",
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, table, bucket) assignments: ``tables`` independent SRP tables of
     ``bits_per_table`` bits each. Vectors land in one bucket per table;
     similar vectors collide in >= 1 table with high probability.
+
+    ``fan_out`` (default True) repartitions a degenerately-partitioned
+    input (one-file/one-row-group parquet scans read as a single task)
+    before the Arrow assignment pass so it parallelizes locally; a
+    guaranteed no-op at cluster scale (guard in ensure_min_partitions).
+    Pass False for frames that are about to be broadcast anyway (the
+    LSH query side) — the extra exchange would only add latency there.
 
     ``method="numpy"`` (default): Arrow-batched sign(V @ W^T) — the
     (bits x dim) projection as one matmul per batch. The expression variant
@@ -356,6 +375,10 @@ def hyperplane_buckets(
             yield pd.concat(frames, ignore_index=True)
 
     vecs = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    if fan_out:
+        from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+
+        vecs = ensure_min_partitions(vecs)
     id_type = df.schema[id_col].dataType.simpleString()
     return vecs.mapInPandas(_assign, schema=f"id {id_type}, table int, bucket long")
 
@@ -416,8 +439,23 @@ def lsh_topk_neighbors(
             )
         bits_per_table = _occupancy_bits(n) if n is not None else 6
     cos_dim = _auto_cos_dim(base, dim, n_rows)
-    bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table)
-    qb = hyperplane_buckets(queries, dim, id_col, vec_col, tables, bits_per_table)
+    # fan_out=False on the base side too: measured (r15 interleaved 4-variant
+    # A/B, n=5, sf0.1) the fan-out exchange LOSES here — 1.78 s median
+    # without vs 1.89 s with (nondeterministic cosine in both arms). The
+    # SRP assignment is one numpy matmul per batch (cheap enough that 32
+    # small batches cost more overhead than one big batch saves), and the
+    # bucket join that follows broadcasts qb, so bb's partitioning never
+    # constrains parallelism of a shuffle. The embedding-dedup caller keeps
+    # the default fan_out=True (0.50 vs 0.78 s median there — its verify
+    # join consumes the buckets via a shuffle, where scan parallelism DOES
+    # carry through).
+    bb = hyperplane_buckets(base, dim, id_col, vec_col, tables, bits_per_table, fan_out=False)
+    # fan_out=False: qb is broadcast two lines down — repartitioning the
+    # (small-by-contract) query side first would only add an exchange in
+    # front of the broadcast build.
+    qb = hyperplane_buckets(
+        queries, dim, id_col, vec_col, tables, bits_per_table, fan_out=False
+    )
     # Broadcast the query-side buckets: queries are the small side by
     # contract (same principle as topk_neighbors), so the base bucket
     # frame NEVER shuffles — at cluster scale the bucket join moves only

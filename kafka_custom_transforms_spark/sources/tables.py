@@ -45,6 +45,38 @@ TABLES = (
 )
 
 
+# Schema cache for repeated reads of the same parquet path (r15
+# optimization, guide §6 driver-side metadata): ``spark.read.parquet``
+# re-reads the footer for schema inference on EVERY call — measured
+# ~0.1 s of driver time per call at sf0.1, paid once per table per query
+# build (a 4-table join pays ~0.4 s before any task runs). Caching the
+# inferred StructType and passing it back via ``.schema(...)`` cuts the
+# repeat cost to ~0.02 s. METADATA only — no rows, no results, and the
+# key carries the file set's (mtime_ns, size) fingerprint so a rewritten
+# path (tests regenerate temp tables) never serves a stale schema. At
+# cluster scale this is the same move as catalog-managed schemas: never
+# infer twice what is already known.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_fingerprint(path: str) -> tuple | None:
+    """(mtime_ns, size) over the file or directory listing; None when
+    unreadable (caller then skips the cache)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        parts = []
+        for entry in sorted(os.listdir(path)):
+            est = os.stat(os.path.join(path, entry))
+            parts.append((entry, est.st_mtime_ns, est.st_size))
+        return tuple(parts)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with nanos-timestamp repair.
 
@@ -57,7 +89,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    fp = _path_fingerprint(path)
+    key = (path, fp)
+    if fp is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if fp is not None:
+            _SCHEMA_CACHE[key] = df.schema
     for c in _TS_COLS.get(name, ()):
         if c not in df.columns:
             continue

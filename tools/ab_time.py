@@ -48,8 +48,12 @@ def main() -> None:
     for i in range(args.n):
         for name in args.names:
             spark.sparkContext.setJobDescription(f"ab:{name}#{i}")
-            df = qs[name](spark, args.sf)
+            # bench.py parity: the DataFrame BUILD (plan construction,
+            # parquet footer reads, eager checkpoint preludes) is inside
+            # the timed region — queries[name](...).count() is one timed
+            # expression there.
             t0 = time.time()
+            df = qs[name](spark, args.sf)
             if args.noop:
                 df.write.format("noop").mode("overwrite").save()
             else:
