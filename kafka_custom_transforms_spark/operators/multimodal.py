@@ -198,17 +198,36 @@ def _bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
     return header + bytes(rows)
 
 
+# Fan-out target cap for the synth-demo spread (r15 optimization, guide
+# §2.6/§4 measured-dispatch): each extra task of a Python stage pays ~6 ms
+# of SERIALIZED runner dispatch plus an AQE stage round, while the synth+
+# decode work is only ~1-4 ms of Python per image — so past the knee the
+# dispatch costs more than the parallelism buys. Measured at sf0.1
+# (5000 images, idle 7-sample medians): png pipeline 0.46 s at 8 parts,
+# 0.49 s at 16, 0.72 s at 32; jpeg-420 1.20 / 0.77 / 0.87. 16 is the knee
+# for the heavier decoders and within noise of 8 for the light ones.
+# Module-level so a cluster deployment can override without code edits
+# (same precedent as SHINGLE_FANOUT_CAP / BROADCAST_SCORE_PARTITION_CAP in
+# dedup.py). The cap governs ONLY this synthesis scaffolding: at 100 TB
+# real payloads arrive already partitioned by the scan and the decode
+# family consumes them directly — _spread_ids is not in that path.
+MULTIMODAL_SPREAD_CAP = 16
+
+
 def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
-    """Round-robin the id projection across the session's full default
-    parallelism before payload synthesis. The synth+decode stages are
-    CPU-bound Python per row, but the upstream documents table is tiny
+    """Round-robin the id projection across min(MULTIMODAL_SPREAD_CAP,
+    default parallelism) before payload synthesis. The synth+decode stages
+    are CPU-bound Python per row, but the upstream documents table is tiny
     (one parquet file -> 1-2 input partitions), so without this the whole
     decode family runs on 1-2 cores of a 32-core session. Shuffling ONLY
     the id column (a long per row) costs ~nothing at any scale; at 100 TB
     a real binary column would already arrive in many partitions and the
-    caller would decode it directly rather than synthesize."""
+    caller would decode it directly rather than synthesize (see
+    MULTIMODAL_SPREAD_CAP for why the target is capped)."""
     sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism)
+    return df.select(id_col).repartition(
+        min(MULTIMODAL_SPREAD_CAP, sc.defaultParallelism)
+    )
 
 
 def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
