@@ -146,6 +146,7 @@ def minhash_signature_map(
     id_col: str = "id",
     shingle_col: str = "sh",
     base_hashes=shingle_hashes,
+    input_nonempty: bool = False,
 ):
     """(id, sig) as a pure per-doc MAP — no explode, no shuffle.
 
@@ -166,7 +167,17 @@ def minhash_signature_map(
 
     Rows with empty shingle sets are dropped, matching the agg form
     (explode of an empty array emits no rows, so groupBy never sees the
-    id)."""
+    id).
+
+    ``input_nonempty=True`` declares every input row already has a
+    non-empty shingle set (true by construction for ``shingle_sets``
+    output: only docs with >= k tokens survive, and those always shingle
+    to >= 1 window) and skips the empty-set filter. Plan rationale (r15
+    optimization, guide §4.4): on an UN-checkpointed Arrow-shingler
+    input, Catalyst pushes ``size(sh) > 0`` below the projection by
+    duplicating the shingle UDF, shingling every document twice — see
+    ``dedup.simhash_signatures_wide_map`` for the measured effect.
+    Results are identical on inputs honoring the declaration."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -194,7 +205,7 @@ def minhash_signature_map(
         return pd.Series(out)
 
     hashed = (
-        sets.filter(F.size(F.col(shingle_col)) > 0)
+        (sets if input_nonempty else sets.filter(F.size(F.col(shingle_col)) > 0))
         .select(F.col(id_col).alias("id"), base_hashes(F.col(shingle_col)).alias("hs"))
     )
     return hashed.select("id", _sig(F.col("hs")).alias("sig"))

@@ -268,8 +268,15 @@ def minhash_lsh_pairs(
     # aggregate whose generated method runs at bytecode-interpreter speed
     # (too large to JIT — measured in texthash.minhash_signature_agg);
     # 'jvm' keeps Python workers fully out of the pipeline.
-    signature = minhash_signature_map if shingler == "arrow" else minhash_signature_agg
-    sig = _materialize(signature(sets, perms), checkpoint)
+    # input_nonempty=True: shingle_sets output rows are non-empty by its
+    # >= k-token filter (here the sets checkpoint also already blocks UDF
+    # duplication; the skipped filter is just a vacuous pass over the
+    # checkpoint read).
+    if shingler == "arrow":
+        raw_sig = minhash_signature_map(sets, perms, input_nonempty=True)
+    else:
+        raw_sig = minhash_signature_agg(sets, perms)
+    sig = _materialize(raw_sig, checkpoint)
     buckets = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -491,7 +498,8 @@ def simhash_pairs(
 
 
 def simhash_signatures_wide_map(
-    sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2
+    sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2,
+    input_nonempty: bool = False,
 ) -> DataFrame:
     """(id, sig0, sig1) as a pure per-doc MAP — no explode, no shuffle.
 
@@ -504,7 +512,20 @@ def simhash_signatures_wide_map(
     empty shingle sets are dropped, matching the agg form. Docs with
     >= 32768 shingles raise the agg form's ValueError too — numpy has no
     lane-counter limit, but the two forms must fail identically so a
-    pipeline validated on one can switch to the other."""
+    pipeline validated on one can switch to the other.
+
+    ``input_nonempty=True`` declares that every input row already has a
+    non-empty shingle set — true by construction for :func:`shingle_sets`
+    output (it keeps only docs with >= k tokens, which always shingle to
+    >= 1 window) — and skips the empty-set filter. This is a PLAN fix,
+    not just a micro-skip (r15 optimization, guide §4.4): when ``sets``
+    is the un-checkpointed Arrow shingler output, Catalyst pushes the
+    ``size(sh) > 0`` filter below the projection by DUPLICATING the
+    shingle UDF, so every document was being shingled twice (two
+    ArrowEvalPython nodes; measured at sf0.1: dedup_simhash 1.43 ->
+    0.95 s median once the duplicate eval is gone). Identical results
+    on any input that honors the declaration; the default keeps the
+    drop-empty contract for arbitrary frames."""
     if n_longs != 2 or bits_per_long != 56:
         raise ValueError("wide signatures are fixed at 2 x 56 bits (one md5)")
     import numpy as np
@@ -517,7 +538,7 @@ def simhash_signatures_wide_map(
         # over the default.
         return lambda s: md5_hash56(s, part)
 
-    hashed = sets.filter(F.size(F.col("sh")) > 0).select(
+    hashed = (sets if input_nonempty else sets.filter(F.size(F.col("sh")) > 0)).select(
         "id",
         *[F.transform(F.col("sh"), _half(i)).alias(f"h{i}") for i in range(n_longs)],
     )
@@ -766,8 +787,18 @@ def simhash_pairs_wide(
     # Signature form follows the shingler trade-off flag (same rule as the
     # MinHash pipeline): 'arrow' uses the shuffle-free per-doc map form,
     # 'jvm' the explode + packed-lane aggregate. Bit-identical, test-pinned.
-    wide_sig = simhash_signatures_wide_map if shingler == "arrow" else simhash_signatures_wide
-    sigs = _materialize(wide_sig(sets, bits_per_long, n_longs), checkpoint)
+    # input_nonempty=True: sets comes from shingle_sets, whose >= k-token
+    # filter guarantees a non-empty shingle array per row — skipping the
+    # map form's redundant empty-set filter stops Catalyst duplicating
+    # the Arrow shingle UDF below it (sets is NOT checkpointed here; see
+    # simhash_signatures_wide_map's docstring for the measured effect).
+    if shingler == "arrow":
+        raw_sigs = simhash_signatures_wide_map(
+            sets, bits_per_long, n_longs, input_nonempty=True
+        )
+    else:
+        raw_sigs = simhash_signatures_wide(sets, bits_per_long, n_longs)
+    sigs = _materialize(raw_sigs, checkpoint)
     sig_names = [f"sig{i}" for i in range(n_longs)]
     ham = functools.reduce(
         lambda acc, name: acc
@@ -1372,7 +1403,13 @@ def minhash_store(
         # Map form: md5 base hashes stay JVM-side (DuckDB bit-parity),
         # numpy does the mod-min — no explode, no shuffle (see
         # texthash.minhash_signature_map).
-        return minhash_signature_map(sets, perms, base_hashes=_md5_base)
+        # input_nonempty=True: sets is shingle_sets output (non-empty by
+        # its >= k-token filter) and is NOT checkpointed here, so the map
+        # form's empty-set filter would otherwise be pushed below the
+        # projection by duplicating the Arrow shingle UDF (guide §4.4).
+        return minhash_signature_map(
+            sets, perms, base_hashes=_md5_base, input_nonempty=True
+        )
     exploded = sets.select(F.col("id"), F.explode(_md5_base(F.col("sh"))).alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"m{j}")

@@ -524,6 +524,60 @@ def test_simhash_wide_map_variant_matches_agg(spark, sf_dir):
     assert map_sigs == agg_sigs
 
 
+def test_input_nonempty_signatures_identical_and_single_shingle_eval(
+    spark, sf_dir
+):
+    """input_nonempty=True (r15 optimization) must return exactly the
+    filtered default's rows on shingle_sets output — the declaration is
+    vacuous there by the >= k-token filter — AND must leave a single
+    Arrow shingle evaluation in the plan: the default's size(sh) > 0
+    filter is pushed below the projection by DUPLICATING the shingle UDF
+    (guide §4.4), which the declaration exists to remove."""
+    from kafka_custom_transforms_spark.functions import texthash
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    perms = texthash.minhash_perms(32)
+
+    default_mh = {
+        r.id: list(r.sig)
+        for r in texthash.minhash_signature_map(sets, perms).collect()
+    }
+    nonempty_mh = {
+        r.id: list(r.sig)
+        for r in texthash.minhash_signature_map(
+            sets, perms, input_nonempty=True
+        ).collect()
+    }
+    assert nonempty_mh == default_mh and len(default_mh) > 0
+
+    default_sh = {
+        r.id: (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide_map(sets).collect()
+    }
+    nonempty_sh = {
+        r.id: (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide_map(
+            sets, input_nonempty=True
+        ).collect()
+    }
+    assert nonempty_sh == default_sh
+
+    # Plan pin: one ArrowEvalPython (the shingler) with the declaration,
+    # two without (the duplicated eval the flag removes).
+    def n_arrow(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython"
+        )
+
+    fresh = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    dup = dedup.simhash_signatures_wide_map(fresh)
+    single = dedup.simhash_signatures_wide_map(fresh, input_nonempty=True)
+    # The vote UDF is one ArrowEvalPython of its own in both plans.
+    assert n_arrow(single) == n_arrow(dup) - 1
+
+
 def test_simhash_wide_banding_is_exhaustive(docs):
     """Wide (2x56-bit) pigeonhole banding must equal brute force over the
     collected wide signatures (the exactness guarantee; agreement with the
