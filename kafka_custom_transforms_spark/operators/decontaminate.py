@@ -73,12 +73,20 @@ def bloom_contamination_flags(
     uniformly-hashed ids. The corpus text is never shuffled.
     """
     bench_text = bench_text_col or text_col
+    # nondet=True on both shingle passes (guide §4.4, r15): the explode
+    # below makes Catalyst infer a size(sh) > 0 filter and push it below
+    # the fan-out exchange by DUPLICATING the Arrow shingle UDF — the r15
+    # plan audit showed FOUR ArrowEvalPython nodes for these two logical
+    # shingle uses, with each duplicate running on the pre-fan-out
+    # (single-task at bench SF; full-corpus extra text pass at scale)
+    # scan side. The marker yields one eval per side; results unchanged.
     bench_grams = (
         shingle_sets(
             benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text).alias("_btext")),
             "_bid",
             "_btext",
             ngram,
+            nondet=True,
         )
         .select(F.explode("sh").alias("g"))
         .distinct()
@@ -90,7 +98,7 @@ def bloom_contamination_flags(
         .distinct()
     )
     doc_probes = (
-        shingle_sets(docs, id_col, text_col, ngram)
+        shingle_sets(docs, id_col, text_col, ngram, nondet=True)
         .select("id", F.explode("sh").alias("g"))
         .select(
             "id",
@@ -146,17 +154,21 @@ def contamination_flags(
     bench_text = bench_text_col or text_col
     # `_bid` is only a placeholder id for shingle_sets's contract; the
     # benchmark side is reduced to its distinct gram set immediately.
+    # nondet=True: same explode-inferred-filter UDF duplication as the
+    # Bloom variant (see bloom_contamination_flags) — one shingle eval
+    # per side instead of two.
     bench_grams = (
         shingle_sets(
             benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text).alias("_btext")),
             "_bid",
             "_btext",
             ngram,
+            nondet=True,
         )
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
-    doc_grams = shingle_sets(docs, id_col, text_col, ngram).select(
+    doc_grams = shingle_sets(docs, id_col, text_col, ngram, nondet=True).select(
         "id", F.explode("sh").alias("g")
     )
     if hash_grams:

@@ -150,7 +150,12 @@ BROADCAST_SCORE_PARTITION_CAP = 8
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int, shingler: str = "arrow"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingler: str = "arrow",
+    nondet: bool = False,
 ) -> DataFrame:
     """(id, shingles) with empty-shingle docs removed (shorter than k words).
 
@@ -168,7 +173,20 @@ def shingle_sets(
     where Python worker startup/transfer dominates or Python workers are
     unavailable. Output is bit-identical (insertion-ordered distinct —
     equality test-pinned on the minhash oracle), so the choice never
-    affects results."""
+    affects results.
+
+    ``nondet=True`` marks the Arrow shingler non-deterministic (guide
+    §4.4, r15 optimization; same device as ``functions.vector.cosine``).
+    For it when the CONSUMER explodes ``sh``: Catalyst infers a
+    ``size(sh) > 0`` filter from the Generate and pushes it below the
+    fan-out exchange by DUPLICATING the shingle UDF, so every document
+    is shingled twice — and the duplicate runs on the PRE-fan-out scan
+    side (a single task for a one-file parquet input; at corpus scale, a
+    full extra pass over the text). The marker forbids that duplication;
+    the function is pure, so results are unchanged. Off by default
+    because it also blocks pushing CALLER-written filters on derived
+    columns past the projection — the dedup pipelines instead break the
+    pushdown with a checkpoint or the ``input_nonempty`` declaration."""
     from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
 
     if shingler not in ("arrow", "jvm"):
@@ -188,12 +206,12 @@ def shingle_sets(
     if shingler == "jvm":
         sh = word_shingles(tokens(F.col(text_col)), k)
     else:
-        sh = _shingle_udf(k)(F.col(text_col))
+        sh = _shingle_udf(k, nondet=nondet)(F.col(text_col))
     return filtered.select(F.col(id_col).alias("id"), sh.alias("sh"))
 
 
 @functools.lru_cache(maxsize=8)
-def _shingle_udf(k: int):
+def _shingle_udf(k: int, nondet: bool = False):
     """Arrow-vectorized k-shingler. Python string slicing beats the
     F.transform/slice/concat_ws expression ~5x per core (measured at sf0.1:
     0.8 s vs 4.2 s single-task for 5000 docs / 260k shingles) because
@@ -221,7 +239,10 @@ def _shingle_udf(k: int):
                 )
         return pd.Series(out)
 
-    return shingle
+    # Marked inside the factory (nondet is part of the lru_cache key):
+    # UserDefinedFunction.asNondeterministic mutates the instance, so
+    # marking the cached default copy would silently flip EVERY caller.
+    return shingle.asNondeterministic() if nondet else shingle
 
 
 def minhash_lsh_pairs(
@@ -522,8 +543,8 @@ def simhash_signatures_wide_map(
     is the un-checkpointed Arrow shingler output, Catalyst pushes the
     ``size(sh) > 0`` filter below the projection by DUPLICATING the
     shingle UDF, so every document was being shingled twice (two
-    ArrowEvalPython nodes; measured at sf0.1: dedup_simhash 1.43 ->
-    0.95 s median once the duplicate eval is gone). Identical results
+    ArrowEvalPython nodes; measured idle at sf0.1: dedup_simhash 1.78 ->
+    1.36 s median, n=5, once the duplicate eval is gone). Identical results
     on any input that honors the declaration; the default keeps the
     drop-empty contract for arbitrary frames."""
     if n_longs != 2 or bits_per_long != 56:

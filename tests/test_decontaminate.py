@@ -97,3 +97,22 @@ def test_plan_broadcasts_benchmark_grams(corpus, bench_docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_single_shingle_eval_per_side(corpus, bench_docs):
+    """r15 optimization pin (guide §4.4): both variants shingle each side
+    exactly ONCE. Catalyst used to infer a size(sh) > 0 filter from the
+    explode and push it below the fan-out exchange by DUPLICATING the
+    Arrow shingle UDF (4 ArrowEvalPython nodes for 2 logical uses, the
+    duplicates on the pre-fan-out scan side); the nondeterministic
+    marking on the decontamination call sites forbids that."""
+    from kafka_custom_transforms_spark.operators.decontaminate import (
+        bloom_contamination_flags,
+    )
+
+    for flags in (
+        contamination_flags(corpus, bench_docs, ngram=8),
+        bloom_contamination_flags(corpus, bench_docs, ngram=8),
+    ):
+        plan = flags._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 2, plan
