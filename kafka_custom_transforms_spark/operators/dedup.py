@@ -1537,4 +1537,13 @@ def minhash_incremental(
         .select("id")
         .distinct()
     )
-    return batch_sigs.join(dropped, "id", "left_anti").select("id")
+    # Broadcast the dropped-id side of the anti-join: it is a DISTINCT
+    # SUBSET of the ingest batch's ids, and a batch is bounded by
+    # definition (the same contract the lazy checkpoint above already
+    # relies on) — id-only rows, so even a 10M-doc batch broadcasts tens
+    # of MB. Without the hint the planner picks a SortMergeJoin whose
+    # LEFT side pays an Exchange + Sort of every batch id purely for
+    # this join; with it the batch side is not shuffled at all (r15
+    # plan audit: nodes 4-5/21-22 of dedup_minhash_incremental_after
+    # were exactly that exchange+double-sort).
+    return batch_sigs.join(F.broadcast(dropped), "id", "left_anti").select("id")

@@ -908,6 +908,27 @@ def test_minhash_incremental_empty_store_keeps_all(spark):
     assert sorted(r.id for r in minhash_incremental(batch, empty).collect()) == [1, 2]
 
 
+def test_minhash_incremental_anti_join_broadcasts_dropped_side(spark):
+    """r15 optimization pin: the final batch-vs-dropped LeftAnti must be a
+    BroadcastHashJoin (the dropped side is a distinct subset of the bounded
+    ingest batch), not a SortMergeJoin that pays an Exchange + Sort of
+    every batch id purely for the join."""
+    from kafka_custom_transforms_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_store,
+    )
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_store(docs)
+    plan = plan_str(minhash_incremental(sigs, sigs, checkpoint="none"))
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
 def test_map_forms_fail_loudly_on_bad_inputs(spark):
     """Behavioral-parity guards (r8 advice): the simhash map form must
     raise the agg form's >32767-shingle ValueError instead of silently
