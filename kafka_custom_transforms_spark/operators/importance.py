@@ -42,8 +42,15 @@ from kafka_custom_transforms_spark.functions.texthash import (
 def _doc_grams(
     docs: DataFrame, text_col: str, id_col: str, ngram: int, n_buckets: int
 ) -> DataFrame:
-    """(id, bucket) per distinct n-gram per document."""
-    g = F.explode(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram")
+    """(id, bucket) per n-gram per document, via explode_OUTER: a document
+    with no grams (short/empty/null text) survives as one null-bucket row
+    (md5 of null is null, so the bucket stays null). Keeping gram-less
+    docs in the stream lets the scorer aggregate straight to the final
+    per-doc row — the r15 plan audit showed the old explode form needed a
+    corpus-wide LEFT OUTER join (docs ids vs per-doc sums = an extra
+    Exchange + two Sorts + a third corpus scan) purely to resurrect
+    them."""
+    g = F.explode_outer(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram")
     return docs.select(F.col(id_col).alias("_imp_id"), g).select(
         "_imp_id", F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket")
     )
@@ -110,21 +117,28 @@ def importance_scores(
     partitioning and join order."""
     ratios = bucket_ratio_table(docs, target_cond, text_col, ngram, n_buckets, scale)
     grams = _doc_grams(docs, text_col, id_col, ngram, n_buckets)
+    # LEFT join + count("bucket"): every real gram's bucket exists in the
+    # ratio table by construction (both derive from the same corpus), so
+    # the left join matches exactly the rows the old inner join did; the
+    # only unmatched rows are the null-bucket markers of gram-less docs,
+    # which count() over "bucket" ignores (n_grams 0) and sum() leaves
+    # NULL (coalesced to 0). One doc_id-keyed exchange total — the old
+    # docs-LEFT-OUTER-per_doc resurrection join (corpus-wide SMJ) is gone.
+    # Assumes id_col is unique per document, as every caller's corpus is
+    # (the old join form duplicated OUTPUT rows on duplicate ids instead
+    # of merging them — neither form is meaningful on duplicate ids).
     per_doc = (
-        grams.join(F.broadcast(ratios), "bucket")
+        grams.join(F.broadcast(ratios), "bucket", "left")
         .groupBy("_imp_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("bucket")).alias("n_grams"),
             F.sum("ratio_milli").alias("score_milli"),
         )
     )
-    out = docs.select(F.col(id_col)).join(
-        per_doc, F.col(id_col) == F.col("_imp_id"), "left"
-    )
     n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
     score = F.coalesce(F.col("score_milli"), F.lit(0)).cast("long")
-    return out.select(
-        F.col(id_col),
+    return per_doc.select(
+        F.col("_imp_id").alias(id_col),
         n_grams.alias("n_grams"),
         score.alias("score_milli"),
         ((score >= n_grams * scale) & (n_grams > 0)).alias("selected"),

@@ -94,3 +94,21 @@ def test_ratio_table_survives_int64_overflow_scale(spark):
     # same ratios at 10^15x the scale (floor division; ratios here are exact)
     for b, v in small.items():
         assert big[b] == v * 10**15
+
+
+def test_scores_single_exchange_no_corpus_join(spark, sf_dir):
+    """r15 optimization pin: the per-doc score aggregates straight off the
+    explode_outer gram stream — ONE doc-keyed Exchange on the corpus side,
+    no SortMergeJoin (the old plan resurrected gram-less docs via a
+    corpus-wide LEFT OUTER join costing an extra Exchange + two Sorts +
+    a third scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_str(importance_scores(docs, F.col("lang") == "en"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort " not in plan.split("== Physical Plan ==")[1].split("(1) Scan")[0], plan
+    # scans: ratio counts + ratio totals + the gram stream (the old plan
+    # had a 4th, the id-list scan feeding the resurrection join)
+    import re
+
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scan_nodes) <= 3, plan
