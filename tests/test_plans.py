@@ -901,3 +901,43 @@ def test_r15_row_plan_shapes(spark, sf_dir):
     tail_after_window = p.split("Window", 1)[1]
     assert "Exchange" in tail_after_window        # the two input exchanges…
     assert "Exchange" not in p.split("Window", 1)[0]  # …none above the window
+
+
+def test_bench_count_action_is_not_vacuous(spark, sf_dir):
+    """r15 measurement audit (guide §1.4): for every bench row timed with
+    `.count()`, the count-aggregate plan must retain at least one of the
+    full plan's heavy operators (joins / Python stages / generates) —
+    otherwise Catalyst has reduced the timed action to a bare row count
+    and the bench row measures nothing. Rows where that is unavoidable
+    (final left join with unique build key, scalar set-op outputs, a
+    pure-projection Arrow encode) are exactly bench.NOOP_SINK_QUERIES,
+    which bench.py times with the noop sink instead."""
+    import re
+
+    import bench
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.plans.explain import plan_str
+
+    heavy = re.compile(
+        r"^\([0-9]+\) (\w*Join\w*|ArrowEvalPython|BatchEvalPython"
+        r"|MapInPandas|PythonMapInArrow|MapInArrow|Generate)",
+        re.MULTILINE,
+    )
+    qs = em.queries()
+    vacuous = []
+    for name in bench.BENCH_QUERIES:
+        if name in bench.NOOP_SINK_QUERIES:
+            continue
+        df = qs[name](spark, sf_dir)
+        full_n = len(heavy.findall(plan_str(df)))
+        if full_n == 0:
+            continue  # nothing heavy to lose (pure scan/agg rows)
+        count_n = len(heavy.findall(plan_str(df.agg(F.count(F.lit(1)).alias("n")))))
+        if count_n == 0:
+            vacuous.append(name)
+    assert not vacuous, (
+        "count() eliminates every heavy operator for these bench rows — "
+        f"time them with the noop sink (bench.NOOP_SINK_QUERIES): {vacuous}"
+    )
