@@ -196,6 +196,11 @@ NOOP_SINK_QUERIES = frozenset({
     "setops_all_lineitems",
     "importance_score_docs",
 })
+if not NOOP_SINK_QUERIES <= set(BENCH_QUERIES):
+    raise RuntimeError(
+        "NOOP_SINK_QUERIES contains names outside BENCH_QUERIES: "
+        f"{sorted(NOOP_SINK_QUERIES - set(BENCH_QUERIES))}"
+    )
 
 
 def _materialize(df, name: str) -> None:
