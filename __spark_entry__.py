@@ -5134,16 +5134,150 @@ def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of l_quantity per return flag from
+    exact bigint power sums (q <= 50 so q^4 <= 6.25e6 per row; the sums
+    stay int64 far past sf100).  One partial/final aggregate pair,
+    constant state per group; the double arithmetic happens once per
+    GROUP, not per row, and mirrors the oracle token for token."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("skew_qty"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurt_qty"),
+    )
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type bigram counts over each user's time-ordered stream.
+    The lead() window shuffles once on user_id with a partition-local
+    (ts, event_id) sort; the bigram aggregate benefits from map-side
+    partials because transition cardinality is event_types^2, tiny
+    against the row count at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+
+
+def _sessionize_late_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.dedup.sessionize_late under LATE data: batch 1 carries
+    event_id % 5 != 0, batch 2 the % 5 == 0 remainder (late — older than
+    batch 1's max ts), batch 3 the far-future sentinel whose watermark
+    advance fires every event-time timeout. The watermark delay exceeds
+    the corpus span, so every late row is admitted and merges into HELD
+    session state (bridging splits, extending bounds); the emitted
+    sessions equal the batch gap-split over ALL events."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from kafka_custom_transforms_spark.streaming.dedup import sessionize_late
+    from kafka_custom_transforms_spark.streaming.sinks import write_parquet_stream
+
+    d = tempfile.mkdtemp(prefix="kcts-sess-late-")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_s = int((hi - lo).total_seconds()) + 3600
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def _stage(df, mtime):
+        before = set(_glob.glob(d + "/staged/*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(d + "/staged")
+        # FileStreamSource orders files by modification time — force the
+        # intended batch order regardless of fs timestamp granularity.
+        for f in set(_glob.glob(d + "/staged/*.parquet")) - before:
+            _os.utime(f, (mtime, mtime))
+
+    now = _time.time()
+    _stage(ev.filter(F.col("event_id") % 5 != 0), now + 60)
+    _stage(ev.filter(F.col("event_id") % 5 == 0), now + 120)  # the LATE batch
+    sentinel = spark.createDataFrame([(-1, hi, -1)], schema).withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {2 * span_s} SECONDS")
+    )
+    _stage(sentinel, now + 180)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/staged")
+    )
+    sessions = sessionize_late(
+        stream, key_col="user_id", ts_col="ts", gap="30 minutes",
+        watermark_delay=f"{span_s} seconds",
+    )
+    q = write_parquet_stream(sessions, d + "/sink", d + "/ckpt")
+    q.awaitTermination()
+    out = spark.read.parquet(d + "/sink").filter(F.col("user_id") >= 0)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("first_ts")).alias("first_epoch_us"),
+        F.unix_micros(F.col("last_ts")).alias("last_epoch_us"),
+    )
+
+
+def _similarity_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-quantizer IVF upsert: the index derives from the 90%
+    'indexed' subset (vec_id % 10 != 3); the arriving 10% batch is only
+    assigned; queries (vec_id % 50 == 0, over the union) probe as usual.
+    Fully oracle-checked — the DuckDB replay recomputes seeds and sizing
+    from the indexed subset and the assignment over the union."""
+    from kafka_custom_transforms_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = emb.filter(F.col("vec_id") % 10 != 3)
+    arriving = emb.filter(F.col("vec_id") % 10 == 3)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_upsert_topk_neighbors(
+        indexed, arriving, queries_df, k=5, n_probe=8, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ORDER MATTERS: the correctness driver hashes the FIRST 50 keys of
 # queries() in dict order. The window rotates each round so every
 # registry entry periodically lands in an official CORRECTNESS record:
 # the 13 SMT reference-parity rows stay pinned every round; the other
 # 37 slots hold (a) every registry row with NO record yet in rounds
 # before CORRECTNESS_WINDOW_ROUND, then (b) the least-recently-recorded
-# rows. Round-15 rotation: the 4 new r15 rows (never recorded, lifted
-# from tools/staging_r15.py where they were pre-verified at sf0.001 and
-# sf0.01 during r14), then the next 33 rows last recorded in r9/r10
-# (registry order).
+# rows. Round-16 rotation: the 4 new r16 rows (never recorded, lifted
+# from tools/staging_r16.py where they were pre-verified at sf0.001 and
+# sf0.01 during earlier rounds), then the next 33 rows last recorded in
+# r10/r11 (registry order).
 # tests/test_oracle_parity.py still covers ALL entries;
 # tests/test_registry_order.py pins this window.
 
@@ -5152,7 +5286,7 @@ def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round number equals this value (that file is the record OF this
 # window, written by the driver after the builder pins it — not a
 # staleness signal).
-CORRECTNESS_WINDOW_ROUND = 15
+CORRECTNESS_WINDOW_ROUND = 16
 
 CORRECTNESS_WINDOW = [
     # reference-parity core — pinned every round
@@ -5161,25 +5295,24 @@ CORRECTNESS_WINDOW = [
     "smt_hoist_json_wrap", "smt_hoist_json_keep", "smt_to_json_map",
     "smt_chain_envelope", "stream_chain_envelope", "kafka_roundtrip",
     "smt_mixed_chain",
-    # round-15 new rows (never recorded — outrank re-records)
-    "bitmap_gsets_distinct", "lateral_alias_chain",
-    "geo_grid_rollup", "activity_streaks",
-    # least-recently-recorded re-records (9 from r9, 24 from r10, registry order)
-    "stream_multimodal_decode", "multimodal_jpeg_progressive_decode",
-    "multimodal_jpeg_sa_decode", "dedup_substring_spans",
-    "multimodal_h264_metadata", "multimodal_h264_frame_decode",
-    "audio_frame_features", "skew_join_aqe", "bloom_join_parts",
-    "multimodal_mp4_tracks", "lm_quality_score", "tokenize_bpe_docs",
-    "tokenize_bpe_bytes", "pack_bpe_docs", "bpe_train_docs",
-    "variant_events", "xml_events", "sql_pipe_syntax",
-    "stream_tokenize_bpe", "dedup_minhash_incremental",
-    "graph_triangles_cosupplier", "q9_product_profit",
-    "q11_top_part_value", "q17_small_quantity_revenue",
-    "q20_part_shipment_suppliers", "q21_waiting_suppliers",
-    "q2_min_cost_parts", "stream_full_outer_interval",
-    "dedup_incremental", "linear_score_embeddings",
-    "fuzzy_match_customers", "pseudonymize_events",
-    "knn_label_vote",
+    # round-16 new rows (never recorded — outrank re-records)
+    "moments_lineitem", "event_transitions",
+    "sessionize_late_merge", "similarity_ivf_upsert",
+    # least-recently-recorded re-records (13 from r10, 20 from r11, registry order)
+    "text_repetition", "pack_texts", "text_normalize",
+    "tfidf_top_terms", "q5_local_supplier_volume",
+    "grouping_sets_docs", "pagerank_doc_tree",
+    "observed_orders_metrics", "cms_heavy_hitters",
+    "multimodal_wav_decode", "multimodal_mp4_decode",
+    "arrow_vector_norms", "cube_docs", "docs_tree_rollup",
+    "lateral_top_orders", "stream_outer_interval", "orders_bulk_semi",
+    "udaf_median_chars", "split_train_holdout",
+    "schema_evolution_read", "udtf_chunk_docs",
+    "daily_activity_full_outer", "python_source_envelope",
+    "stream_python_source", "sql_cte_summary", "stream_upsert_users",
+    "corrupt_json_audit", "sliding_counts", "session_window_native",
+    "bucketed_join_orders", "salted_event_totals",
+    "pipeline_clean_corpus", "json_source_roundtrip",
 ]
 
 
@@ -5396,6 +5529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_alias_chain": _lateral_alias_chain,
         "geo_grid_rollup": _geo_grid_rollup,
         "activity_streaks": _activity_streaks,
+        "moments_lineitem": _moments_lineitem,
+        "event_transitions": _event_transitions,
+        "sessionize_late_merge": _sessionize_late_merge,
+        "similarity_ivf_upsert": _similarity_ivf_upsert,
     }
     window = set(CORRECTNESS_WINDOW)
     return {
@@ -6125,6 +6262,94 @@ def _pack_bpe_oracle_sql() -> str:
     """ + _PACK_STEP_CTE + """
         SELECT doc_id, n_tokens, bucket, seq, pack_offset FROM p
     """
+
+
+def _ivf_upsert_oracle_sql() -> str:
+    """The similarity_topk_ivf full-pipeline oracle with quantizer
+    derivation (params/seeds) restricted to the INDEXED subset while
+    coarse/fine assignment covers the union — the frozen-quantizer
+    contract, replayed bit-exactly."""
+    cos = _COSINE_EXPR
+    return """
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+eo as (select * from e where vec_id % 10 != 3),
+params as (select greatest(16, cast(round(sqrt(count(*))) as int)) as nc from eo),
+params2 as (
+  select nc,
+         case when nc < 256 then 1
+              else greatest(8, cast(round(sqrt(nc)) as int)) end as ng
+  from params
+),
+seeds as (
+  select cid, cv from (
+    select vec_id as cid, v as cv,
+           row_number() over (order by md5(cast(vec_id as varchar)), vec_id) as rn
+    from eo)
+  where rn <= (select nc from params)
+),
+gseeds as (
+  select gid, gv from (
+    select cid as gid, cv as gv,
+           row_number() over (order by md5(cast(cid as varchar)), cid) as rn
+    from seeds)
+  where rn <= (select ng from params2)
+),
+reg as (
+  select gid, cid, cv from (
+    select g.gid, s.cid, s.cv,
+           row_number() over (partition by s.cid
+                              order by {cos_sg} desc, g.gid) as rn
+    from seeds s, gseeds g)
+  where rn <= (select least(greatest(4, (3 * ng) // 4), 16, ng) from params2)
+),
+gactive as (select gid, gv from gseeds where gid in (select gid from reg)),
+vcoarse as (
+  select id, gid from (
+    select e.vec_id as id, g.gid,
+           row_number() over (partition by e.vec_id
+                              order by {cos_eg} desc, g.gid) as rn
+    from e, gactive g)
+  where rn = 1
+),
+assign as (
+  select id, cid from (
+    select v.id, r.cid,
+           row_number() over (partition by v.id
+                              order by {cos_er} desc, r.cid) as rn
+    from vcoarse v
+    join reg r using (gid)
+    join e on e.vec_id = v.id)
+  where rn = 1
+),
+q as (select vec_id as query_id, v as qv from e where vec_id % 50 = 0),
+probes as (
+  select query_id, cid from (
+    select q.query_id, s.cid,
+           row_number() over (partition by q.query_id
+                              order by {cos_qs} desc, s.cid) as rn
+    from q, seeds s)
+  where rn <= (select least(8, nc // 2) from params)
+),
+scored as (
+  select p.query_id, a.id as neighbor_id, {cos_qb} as c
+  from probes p
+  join assign a using (cid)
+  join e b on b.vec_id = a.id
+  join q on q.query_id = p.query_id
+  where a.id != p.query_id
+)
+select query_id, neighbor_id,
+       cast(row_number() over (partition by query_id
+            order by c desc, neighbor_id) as bigint) as rank
+from scored
+qualify rank <= 5
+""".format(
+        cos_sg=cos.format(a="s.cv", b="g.gv"),
+        cos_eg=cos.format(a="e.v", b="g.gv"),
+        cos_er=cos.format(a="e.v", b="r.cv"),
+        cos_qs=cos.format(a="q.qv", b="s.cv"),
+        cos_qb=cos.format(a="q.qv", b="b.v"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8931,4 +9156,77 @@ def oracle_sql() -> dict[str, str]:
             FROM streaks
             GROUP BY user_id
         """,
+        # Same closed form token for token (the convention-divergent
+        # DuckDB skewness()/kurtosis() builtins are pinned separately,
+        # converted, in tests/test_independent_oracles.py).
+        "moments_lineitem": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     cast(count(*) AS BIGINT) AS n,
+                     sum(cast(l_quantity AS BIGINT)) AS s1,
+                     sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)) AS s2,
+                     sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)
+                         * cast(l_quantity AS BIGINT)) AS s3,
+                     sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)
+                         * cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)) AS s4
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            d AS (
+              SELECT l_returnflag, n,
+                     cast(s1 AS DOUBLE) / cast(n AS DOUBLE) AS mean,
+                     cast(s2 AS DOUBLE) / cast(n AS DOUBLE) AS r2,
+                     cast(s3 AS DOUBLE) / cast(n AS DOUBLE) AS r3,
+                     cast(s4 AS DOUBLE) / cast(n AS DOUBLE) AS r4
+              FROM s
+            ),
+            m AS (
+              SELECT l_returnflag, n,
+                     r2 - mean * mean AS m2,
+                     r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+                     r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                        - 3.0 * mean * mean * mean * mean AS m4
+              FROM d
+            )
+            SELECT l_returnflag, n,
+                   m3 / sqrt(m2 * m2 * m2) AS skew_qty,
+                   m4 / (m2 * m2) - 3.0 AS kurt_qty
+            FROM m
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, cast(count(*) AS BIGINT) AS n_trans
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        # The stream's late batch must merge, so the final state equals the
+        # batch gap-split over ALL events — the same oracle as
+        # events_sessionize.
+        "sessionize_late_merge": """
+            with g as (
+              select user_id, ts,
+                     case when epoch_us(ts) - coalesce(
+                           lag(epoch_us(ts)) over (partition by user_id order by ts), 0)
+                           > 1800000000
+                          then 1 else 0 end as new_session
+              from events
+            ),
+            s as (
+              select user_id, ts,
+                     sum(new_session) over (partition by user_id order by ts
+                                            rows between unbounded preceding and current row) as sid
+              from g
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_events,
+                   cast(epoch_us(min(ts)) as bigint) as first_epoch_us,
+                   cast(epoch_us(max(ts)) as bigint) as last_epoch_us
+            from s
+            group by user_id, sid
+        """,
+        "similarity_ivf_upsert": _ivf_upsert_oracle_sql(),
     }

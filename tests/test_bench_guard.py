@@ -389,7 +389,7 @@ def test_current_stdout_line_fits_budget():
 
     slim = {
         "metric": "engine_queries_wall_total", "value": 999.99,
-        "unit": "sec", "decode_value": 999.99, "value_r3_subset": 999.99,
+        "unit": "sec", "decode_value": 999.99,
         "sf": 0.1, "loadavg_start": [32.11, 32.11, 32.11],
         "steal_cores": 32.999,
         "queries": {n: 9.99 for n in bench.BENCH_QUERIES},
@@ -492,7 +492,7 @@ def test_stdout_line_survives_driver_tail_capture():
     import bench
 
     rec = {"metric": "engine_queries_wall_total", "value": 34.26,
-           "unit": "sec", "decode_value": 6.09, "value_r3_subset": 15.52,
+           "unit": "sec", "decode_value": 6.09,
            "sf": 0.1, "loadavg_start": [0.04, 0.1, 0.2],
            "steal_cores": 0.224,
            "queries": {n: 9.99 for n in bench.BENCH_QUERIES}}

@@ -254,3 +254,110 @@ def test_event_day_index_is_non_negative(sf_dir):
         "the div-vs-// floor divergence now applies: switch both rows "
         "to an explicit floor_div or move the epoch before min(ts)"
     )
+
+
+def test_moments_match_convention_converted_builtins(spark, ddb):
+    """Independent-implementation check for moments_lineitem: DuckDB's
+    skewness()/kurtosis() builtins use the SAMPLE conventions
+    (bias-corrected g1 -> G1, excess kurtosis with the n-1 correction);
+    convert our population statistics to those conventions and require
+    agreement to 1e-9 relative — two genuinely different computations
+    (power sums vs the builtins' streaming central-moment updates) must
+    meet (the r12 OLS lesson: don't let both sides share one path).
+    Lifted from tests/test_staging_r16.py at the round-16 registry
+    lift; now guards the REGISTERED row."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["skew_qty"], r["kurt_qty"])
+        for r in entry_mod.queries()["moments_lineitem"](spark, SF_DIR).collect()
+    }
+    want = {
+        flag: (skw, krt)
+        for flag, skw, krt in ddb.execute(
+            "SELECT l_returnflag, skewness(cast(l_quantity AS BIGINT)), "
+            "kurtosis(cast(l_quantity AS BIGINT)) FROM lineitem "
+            "GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for flag, (n, g1, excess) in got.items():
+        # sample skewness G1 = g1 * sqrt(n(n-1)) / (n-2)
+        G1 = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+        # sample excess kurtosis from population excess g2:
+        # G2 = ((n+1)*g2 + 6) * (n-1) / ((n-2)(n-3))
+        G2 = ((n + 1) * excess + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+        ws, wk = want[flag]
+        assert G1 == pytest.approx(ws, rel=1e-9), flag
+        assert G2 == pytest.approx(wk, rel=1e-9), flag
+
+
+def test_event_transitions_conserve_row_count(spark, ddb):
+    """Every event except each user's last produces exactly one
+    transition: sum(n_trans) == n_events - n_users (a structural
+    invariant independent of the oracle's window). Lifted from
+    tests/test_staging_r16.py at the round-16 registry lift."""
+    import __spark_entry__ as entry_mod
+
+    total = sum(
+        r["n_trans"]
+        for r in entry_mod.queries()["event_transitions"](spark, SF_DIR).collect()
+    )
+    n_events, n_users = ddb.execute(
+        "select count(*), count(distinct user_id) from events"
+    ).fetchone()
+    assert total == n_events - n_users
+
+
+def test_late_batch_is_actually_late():
+    """Precondition that makes sessionize_late_merge a LATE-data test at
+    all: the second file batch (event_id % 5 == 0) must contain rows
+    OLDER than the first batch's maximum timestamp — if a data
+    regeneration ever breaks this, the row silently degenerates into the
+    ordinary two-batch case and must fail HERE with a clear message.
+    Lifted from tests/test_staging_r16.py at the round-16 registry
+    lift."""
+    lo2, hi1 = duckdb.execute(
+        f"""
+        select (select min(ts) from '{SF_DIR}/events.parquet' where event_id % 5 = 0),
+               (select max(ts) from '{SF_DIR}/events.parquet' where event_id % 5 != 0)
+        """
+    ).fetchone()
+    assert lo2 < hi1, (
+        "no late rows: the %5==0 batch starts after the on-time batch ends"
+    )
+
+
+def test_ivf_upsert_recall_and_frozen_sizing(spark):
+    """The frozen quantizer must not crater recall on this data (the
+    retrain signal the operator documents), and the sizing must derive
+    from the INDEXED subset: passing the indexed count explicitly as
+    n_indexed reproduces the row bit-for-bit (no hidden union-sized
+    count). Lifted from tests/test_staging_r16.py at the round-16
+    registry lift; now guards the REGISTERED row."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.operators import similarity
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    indexed = emb.filter(F.col("vec_id") % 10 != 3)
+    arriving = emb.filter(F.col("vec_id") % 10 == 3)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    up = similarity.ivf_upsert_topk_neighbors(
+        indexed, arriving, queries_df, k=5, n_probe=8, dim=64
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in up.collect()}
+    pinned = similarity.ivf_upsert_topk_neighbors(
+        indexed, arriving, queries_df, k=5, n_probe=8, dim=64,
+        n_indexed=indexed.count(),
+    )
+    assert got == {(r["query_id"], r["neighbor_id"]) for r in pinned.collect()}
+    brute = similarity.topk_neighbors(
+        emb, queries_df, k=5, dim=64, method="exact"
+    )
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"frozen-quantizer recall collapsed: {recall:.2f}"
