@@ -39,23 +39,6 @@ from kafka_custom_transforms_spark.functions.texthash import (
 )
 
 
-def _doc_grams(
-    docs: DataFrame, text_col: str, id_col: str, ngram: int, n_buckets: int
-) -> DataFrame:
-    """(id, bucket) per n-gram per document, via explode_OUTER: a document
-    with no grams (short/empty/null text) survives as one null-bucket row
-    (md5 of null is null, so the bucket stays null). Keeping gram-less
-    docs in the stream lets the scorer aggregate straight to the final
-    per-doc row — the r15 plan audit showed the old explode form needed a
-    corpus-wide LEFT OUTER join (docs ids vs per-doc sums = an extra
-    Exchange + two Sorts + a third corpus scan) purely to resurrect
-    them."""
-    g = F.explode_outer(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram")
-    return docs.select(F.col(id_col).alias("_imp_id"), g).select(
-        "_imp_id", F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket")
-    )
-
-
 def bucket_ratio_table(
     docs: DataFrame,
     target_cond,
@@ -114,9 +97,59 @@ def importance_scores(
     selected). ``selected`` keeps documents whose average per-gram ratio
     is >= 1 (score >= n_grams * scale) — gram-less documents score 0 and
     are not selected. Integer sums make the score independent of
-    partitioning and join order."""
-    ratios = bucket_ratio_table(docs, target_cond, text_col, ngram, n_buckets, scale)
-    grams = _doc_grams(docs, text_col, id_col, ngram, n_buckets)
+    partitioning and join order.
+
+    Contract: ``id_col`` must be unique and non-null per document — the
+    output is one row per distinct id (a groupBy on it), so duplicate or
+    null ids are silently MERGED into a single aggregated row rather
+    than scored separately (neither form of the operator is meaningful
+    on duplicate ids; the pre-r15 join form emitted one row each)."""
+    # ONE tokenize/shingle/md5 pass over the corpus text (guide §2.4/§6,
+    # r16): the gram stream — (_imp_id, _t, bucket), ~17 B/gram — is
+    # lazily localCheckpoint-ed and feeds BOTH the ratio table and the
+    # per-doc scorer. The r15 form derived each from its own explode of
+    # the text (and Catalyst duplicated the ratio subtree a third time
+    # for the totals cross-join): three Generate-over-Scan passes, each
+    # re-running the interpreted shingle HOFs and md5, for one logical
+    # gram stream. Same device as bitmap_gsets / duplicate_spans; the
+    # checkpoint is within-query (fresh per build), never cross-run.
+    g = F.explode_outer(word_shingles(tokens(F.col(text_col)), ngram)).alias("gram")
+    grams = (
+        docs.select(F.col(id_col).alias("_imp_id"), target_cond.alias("_t"), g)
+        .select(
+            "_imp_id",
+            "_t",
+            F.pmod(md5_hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # The ratio table from the SAME stream: a real gram's bucket is never
+    # null (md5 of a non-null string), and a null bucket marks exactly
+    # the explode_outer row of a gram-less doc — filtering it reproduces
+    # bucket_ratio_table's inner-explode stream bit for bit. counts
+    # (<= n_buckets rows) is checkpointed too: the totals aggregate and
+    # the ratio projection both read it, and without the cut Catalyst
+    # recomputes the whole gram aggregation once per consumer.
+    counts = (
+        grams.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    # Same decimal(38,0) overflow headroom story as bucket_ratio_table
+    # (which remains the standalone public builder of this table).
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"case when nt = 0 then 0L "
+            f"else cast(ct as decimal(38,0)) * {scale} * nr "
+            f"div (cast(cr as decimal(38,0)) * nt) end"
+        ).cast("long").alias("ratio_milli"),
+    )
     # LEFT join + count("bucket"): every real gram's bucket exists in the
     # ratio table by construction (both derive from the same corpus), so
     # the left join matches exactly the rows the old inner join did; the
@@ -126,7 +159,8 @@ def importance_scores(
     # docs-LEFT-OUTER-per_doc resurrection join (corpus-wide SMJ) is gone.
     # Assumes id_col is unique per document, as every caller's corpus is
     # (the old join form duplicated OUTPUT rows on duplicate ids instead
-    # of merging them — neither form is meaningful on duplicate ids).
+    # of merging them — neither form is meaningful on duplicate ids; see
+    # the docstring).
     per_doc = (
         grams.join(F.broadcast(ratios), "bucket", "left")
         .groupBy("_imp_id")
