@@ -1345,12 +1345,29 @@ def duplicate_spans(
     60-bit md5 prefix (cross-engine exact, so the DuckDB oracle reruns the
     identical pipeline). ``gram_hasher='arrow'`` (default) hashes windows
     in an Arrow-batched hashlib loop; ``'jvm'`` keeps the pure-expression
-    form (bit-identical, test-pinned) for Python-worker-free clusters. Skew is handled by aggregating per (doc, gram)
-    FIRST: a document repeating one slogan 10^6 times contributes ONE row
-    to the global count, so the per-gram shuffle sees distinct (doc, gram)
-    pairs and the heavy-hitter join fan-out is bounded by document count,
-    not occurrence count; both groupBys partial-aggregate map-side. Four
-    shuffles total: (doc,gram), gram, the count join-back, doc.
+    form (bit-identical, test-pinned) for Python-worker-free clusters.
+    Skew is handled by aggregating per (doc, gram) FIRST: a document
+    repeating one slogan 10^6 times contributes ONE row to the global
+    count, so the per-gram stage sees distinct (doc, gram) pairs and its
+    fan-in is bounded by document count, not occurrence count.
+
+    One pass (r16, guide §2.4): the gram stream is exploded OUTER (a
+    gram-less doc survives as one null-hash row), pre-aggregated per
+    (doc, gram), given its corpus-wide occurrence count by a window over
+    the gram hash, and folded per doc with conditional sums — n_spans is
+    the multiplicity sum itself (the hasher emits exactly
+    max(n_tokens - k + 1, 0) windows). Three shuffles total —
+    (doc,gram), gram, doc — where the r15 join form ran the explode and
+    the (doc,gram) aggregation TWICE (Catalyst re-derived the
+    checkpointed stream per branch) plus a per-gram join-back and a
+    corpus-wide LEFT join to resurrect no-dup docs: four shuffles, two
+    joins, double gram pass. The null-hash window partitions by (null,
+    doc_id) so empty docs never pile into one skewed window partition.
+
+    Contract: ``id_col`` must be unique and non-null per document — the
+    output is one row per distinct id (a groupBy), so duplicate or null
+    ids are MERGED into one row where the pre-r16 join form emitted one
+    row per input doc row (neither is meaningful on duplicate ids).
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -1366,27 +1383,35 @@ def duplicate_spans(
         ).otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(f"duplicate_spans: unknown gram_hasher {gram_hasher!r}")
-    base = df.select(
-        F.col(id_col), F.greatest(n - k + 1, F.lit(0)).alias("n_spans"), windows.alias("ws")
-    ).localCheckpoint(eager=False)
-    grams = base.select(id_col, F.explode("ws").alias("h"))
-    per_doc_gram = grams.groupBy(id_col, "h").agg(F.count("*").alias("m"))
-    per_gram = per_doc_gram.groupBy("h").agg(F.sum("m").alias("n_occ"))
-    dup_per_doc = (
-        per_doc_gram.join(per_gram.filter(F.col("n_occ") >= 2), "h")
-        .groupBy(id_col)
-        .agg(F.sum("m").alias("dup_spans"))
-    )
+    grams = df.select(F.col(id_col), F.explode_outer(windows).alias("h"))
+    per_doc_gram = grams.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("m"))
+    # Corpus-wide occurrence count per gram hash, WITHOUT a join: a
+    # whole-partition window over h. Null-hash rows (gram-less docs) get
+    # a per-doc partition key so they cannot form one giant null
+    # partition; their n_occ is never read (the isNotNull conditions
+    # below). A/B'd against a checkpoint + per-gram join-back variant:
+    # tied at sf0.1 (1.41 vs 1.45 s in-era), and the window form needs
+    # no checkpoint materialization of the gram stream and no
+    # corpus-growing broadcast/SMJ of the duplicated-gram counts at
+    # scale.
+    w = Window.partitionBy("h", F.when(F.col("h").isNull(), F.col(id_col)))
+    occ = per_doc_gram.withColumn("n_occ", F.sum("m").over(w))
+    real = F.col("h").isNotNull()
     return (
-        base.select(id_col, "n_spans")
-        .join(dup_per_doc, id_col, "left")
+        occ.groupBy(id_col)
+        .agg(
+            F.sum(F.when(real, F.col("m")).otherwise(0)).cast("int").alias("n_spans"),
+            F.sum(F.when(real & (F.col("n_occ") >= 2), F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
         .select(
             id_col,
             "n_spans",
-            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+            "dup_spans",
             F.expr(
                 "cast(case when n_spans > 0 then"
-                " coalesce(dup_spans, 0) * 1000 div n_spans else 0 end as bigint)"
+                " dup_spans * 1000 div n_spans else 0 end as bigint)"
             ).alias("dup_ratio_milli"),
         )
     )

@@ -845,14 +845,23 @@ def test_duplicate_spans_hand_computed(spark):
     assert got[4] == (0, 0, 0)
 
 
-def test_duplicate_spans_partial_aggregates_and_no_window(spark, sf_dir):
-    """Scale shape: every aggregate partial-aggregates map-side (skew-safe
-    under heavy-hitter grams) and there is no Window operator anywhere —
-    the per-doc pre-aggregation bounds join fan-out by document count."""
+def test_duplicate_spans_single_gram_pass_no_joins(spark, sf_dir):
+    """Scale shape (r16 single-pass rewrite): the (doc, gram) stream is
+    exploded and pre-aggregated ONCE (map-side partials bound heavy-hitter
+    gram skew by document count), the corpus-wide occurrence count is a
+    window over the gram hash instead of a per-gram aggregate + join-back,
+    and no-dup docs survive via explode_outer + conditional sums instead
+    of a corpus-wide LEFT join — the r15 plan ran the explode and the
+    (doc,gram) aggregation twice and joined twice."""
+    import re
+
     docs = load_table(spark, sf_dir, "documents")
     plan = dedup.duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower()
-    assert "Window" not in plan
+    assert plan.count("Generate") == 1, plan  # one gram explode, not two
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
 
 
 def test_minhash_incremental_drops_planted_near_dup(spark, tmp_path):
