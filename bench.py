@@ -520,15 +520,30 @@ def main() -> None:
 
     # Legacy `.count()` timings for the noop-sink rows, so the r1-r15
     # count-action series stays continuable next to the honest numbers.
+    # Same per-sample steal gate as the primary loop (r15 advice: an
+    # ungated legacy series could be contaminated by the hypervisor
+    # bursts the main methodology discards).
     legacy_count: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in NOOP_SINK_QUERIES:
             continue
-        legacy_samples = []
-        for _ in range(SAMPLES):
+        legacy_samples: list[float] = []
+        legacy_retries = 0
+        while len(legacy_samples) < SAMPLES:
+            s0 = _steal_jiffies()
             t0 = time.time()
             queries[name](spark, sf_dir).count()
-            legacy_samples.append(time.time() - t0)
+            dt = time.time() - t0
+            s1 = _steal_jiffies()
+            if (
+                s0 is not None
+                and s1 is not None
+                and (s1 - s0) / _HZ / max(dt, 1e-3) > 1.0
+                and legacy_retries < SAMPLES
+            ):
+                legacy_retries += 1
+                continue
+            legacy_samples.append(dt)
         legacy_count[name] = round(statistics.median(legacy_samples), 3)
 
     engine_total = round(sum(timings[n] for n in ENGINE_QUERIES), 3)

@@ -1493,7 +1493,15 @@ def minhash_incremental(
     keys, no skew, never all-pairs (the verify join runs on candidates
     only). The band bucket uses xxhash64 internally, but band collision
     equals slice equality up to a ~2^-64 hash collision, so the DuckDB
-    oracle reproduces the semantics from raw signature slices."""
+    oracle reproduces the semantics from raw signature slices.
+
+    Contract: ``batch_sigs`` is an INGEST BATCH, bounded by definition —
+    the lazy checkpoint below and the forced broadcast of the dropped-id
+    anti-join side (a distinct subset of the batch's ids) both rely on
+    it. A batch of ~100M ids (~1 GB id-only broadcast) is the practical
+    ceiling; passing a full corpus as ``batch_sigs`` risks driver memory
+    pressure and the 8 GB broadcast hard cap. Swap the roles (corpus as
+    ``store_sigs``) or split the ingest into bounded batches instead."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     if checkpoint not in ("local", "reliable", "none"):
