@@ -899,15 +899,27 @@ def simhash_pairs_wide(
     )
 
 
-def _derive_n_blocks(n_rows: int, dim: int, task_mem_bytes: int) -> int:
+def _derive_n_blocks(
+    n_rows: int, dim: int, task_mem_bytes: int, parallelism: int = 1
+) -> int:
     """Block count for the exact block self-join: peak task memory is two
-    blocks of ``n/n_blocks`` doubles-vectors, so the smallest block count
-    whose two-block working set fits ``task_mem_bytes`` is
-    ``ceil(2 * n * dim * 8 / budget)``. Smallest, because shuffle volume is
-    ``n x n_blocks`` rows — more blocks than memory requires is pure
-    replication cost. Floor of 1: a single in-memory matmul is optimal for
-    corpora that fit one task."""
-    return max(1, math.ceil(2 * n_rows * dim * 8 / max(task_mem_bytes, 1)))
+    blocks of ``n/n_blocks`` doubles-vectors, so the memory bound is
+    ``ceil(2 * n * dim * 8 / budget)``. Beyond what memory or parallelism
+    require, shuffle volume is ``n x n_blocks`` rows — more blocks is pure
+    replication cost.
+
+    ``parallelism`` floors the count so the ``n_blocks*(n_blocks+1)/2``
+    block-pair groups can occupy every core: one memory-derived block puts
+    the whole n x n matmul in ONE Python task, which serializes the query
+    and anti-scales with core count (r15 driver: 1.86 s at 32 cores, 8-core
+    run 1.9x faster). Small corpora pay the extra replication in rows that
+    are, by construction, few. Capped at ``n_rows`` — sub-row blocks only
+    add empty groups."""
+    mem_blocks = math.ceil(2 * n_rows * dim * 8 / max(task_mem_bytes, 1))
+    par_blocks = 1
+    while par_blocks * (par_blocks + 1) // 2 < parallelism:
+        par_blocks += 1
+    return max(1, mem_blocks, min(par_blocks, n_rows))
 
 
 def _occupancy_bits(
@@ -1083,7 +1095,12 @@ def embedding_dup_pairs(
         else:
             method = "block"
             if n_blocks is None:
-                n_blocks = _derive_n_blocks(n_rows, dim or 64, task_mem_bytes)
+                n_blocks = _derive_n_blocks(
+                    n_rows,
+                    dim or 64,
+                    task_mem_bytes,
+                    df.sparkSession.sparkContext.defaultParallelism,
+                )
     if method == "join":
         pairs = (
             vecs.alias("a")
@@ -1141,7 +1158,12 @@ def embedding_dup_pairs(
 
     if method == "block":
         if n_blocks is None:
-            n_blocks = _derive_n_blocks(vecs.count(), dim or 64, task_mem_bytes)
+            n_blocks = _derive_n_blocks(
+                vecs.count(),
+                dim or 64,
+                task_mem_bytes,
+                df.sparkSession.sparkContext.defaultParallelism,
+            )
         # Each unordered block pair (g0 <= g1) is one group; a row in block k
         # joins every group containing k, i.e. exactly n_blocks groups.
         # xxhash64 of the id, not the raw id value: works for string/UUID

@@ -276,13 +276,21 @@ def test_embedding_lsh_planned_finds_planted_duplicate(spark):
 
 
 def test_derive_n_blocks_formula():
-    """n_blocks follows the two-blocks-per-task memory formula and never
-    exceeds what memory requires (replication is n x n_blocks rows)."""
+    """n_blocks follows the two-blocks-per-task memory formula, floored so
+    the block-pair group count reaches the session parallelism (a 1-block
+    plan serializes the matmul in one Python task), capped at n_rows."""
     assert dedup._derive_n_blocks(2_000, 64, 64 << 20) == 1  # tiny: one matmul
     # 1e8 rows x 1024 dims x 8 B x 2 / 256 MB -> ~6104 blocks
     big = dedup._derive_n_blocks(100_000_000, 1024, 256 << 20)
     assert 6000 <= big <= 6200
     assert dedup._derive_n_blocks(0, 64, 64 << 20) == 1
+    # parallelism floor: 8 blocks -> 36 unordered pair groups >= 32 cores
+    assert dedup._derive_n_blocks(2_000, 64, 64 << 20, parallelism=32) == 8
+    # floor never exceeds n_rows (sub-row blocks only add empty groups)
+    assert dedup._derive_n_blocks(3, 64, 64 << 20, parallelism=32) == 3
+    assert dedup._derive_n_blocks(0, 64, 64 << 20, parallelism=32) == 1
+    # memory bound dominates when it is already parallel enough
+    assert dedup._derive_n_blocks(100_000_000, 1024, 256 << 20, parallelism=32) == big
 
 
 def test_embedding_string_ids_and_zero_norms(spark):
