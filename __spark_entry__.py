@@ -3257,25 +3257,34 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a null groupBy group would read a null est_map entry, turning
     cms_ok null — the sketch contract here is non-null keys only, and
     the oracle filters identically."""
+    # One scan builds the sketch AND the (bounded, sorted) distinct key
+    # list in a single driver job — the r15 shape ran a second full scan
+    # and job just for distinct().limit() (r16 optimization: 3 jobs -> 2,
+    # parquet scans 3 -> 1 with the lazy within-query checkpoint below).
+    # collect_set's partial states hold the same per-partition distincts
+    # the old distinct() partials held; slice() keeps the driver transfer
+    # bounded at MAX_CMS_KEYS + 1 whatever the (contract-violating)
+    # cardinality turns out to be.
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type")
         .where(F.col("event_type").isNotNull())
+        .localCheckpoint(eager=False)
     )
     eps, conf, seed = 0.001, 0.99, 42
-    sk = ev.agg(
+    head = ev.agg(
         F.expr(
             f"count_min_sketch(event_type, cast({eps} as double),"
             f" cast({conf} as double), {seed})"
-        ).alias("sk")
-    ).collect()[0].sk
+        ).alias("sk"),
+        F.slice(
+            F.sort_array(F.collect_set("event_type")), 1, MAX_CMS_KEYS + 1
+        ).alias("keys"),
+    ).collect()[0]
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(  # noqa: SLF001
-        bytes(sk)
+        bytes(head.sk)
     )
-    keys = [
-        r.event_type
-        for r in ev.select("event_type").distinct().limit(MAX_CMS_KEYS + 1).collect()
-    ]
+    keys = list(head.keys)
     if len(keys) > MAX_CMS_KEYS:
         raise ValueError(
             f"cms_heavy_hitters: key column exceeds {MAX_CMS_KEYS} distinct "
@@ -3452,12 +3461,15 @@ def _tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ids are far below 2^53, the double division is exact).
 _RECURSIVE_DEPTH_SQL = """
 WITH RECURSIVE walk (doc_id, depth) AS (
-  SELECT doc_id, 0 FROM {docs} WHERE doc_id = 0
+  SELECT doc_id, CASE WHEN doc_id = 0 THEN 0 ELSE 1 END
+  FROM {docs} WHERE doc_id BETWEEN 0 AND 2
   UNION ALL
-  SELECT d.doc_id, w.depth + 1
+  SELECT g.doc_id, w.depth + 2
   FROM walk w
-  JOIN {docs} d
-    ON d.doc_id >= 1 AND CAST(floor((d.doc_id - 1) / 2) AS BIGINT) = w.doc_id
+  JOIN {docs} c
+    ON c.doc_id >= 1 AND CAST(floor((c.doc_id - 1) / 2) AS BIGINT) = w.doc_id
+  JOIN {docs} g
+    ON g.doc_id >= 1 AND CAST(floor((g.doc_id - 1) / 2) AS BIGINT) = c.doc_id
 )
 SELECT w.depth AS depth,
        cast(count(*) AS bigint)       AS n_docs,
@@ -3471,9 +3483,15 @@ def _recursive_cte_doc_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth histogram of the implicit binary doc tree (i -> 2i+1, 2i+2;
     the same tree as pagerank_doc_tree) via Spark 4 recursive CTE — the
     new-in-4 iterative SQL surface (like the pipe-syntax row).  The
-    recursion is a bounded iterative equi-join (log2(N) rounds); each
-    round shuffles only the frontier, not the full table.  DuckDB runs
-    the identical WITH RECURSIVE statement as the oracle.
+    recursion is a bounded iterative equi-join; each round shuffles only
+    the frontier, not the full table.  The recursive step is UNROLLED TWO
+    LEVELS (anchor seeds depths 0 and 1, the step joins child then
+    grandchild and emits depth+2): every node at depth >= 2 has exactly
+    one grandparent, so the walk still reaches each doc exactly once and
+    the (doc_id, depth) set is unchanged, but the iteration count — and
+    with it the per-round scheduler/plan overhead that dominates this row
+    — halves to ~log2(N)/2 (r16, guide §2.4).  DuckDB runs the identical
+    WITH RECURSIVE statement as the oracle.
 
     The recursion source is the 2-column projection, eagerly
     localCheckpoint-ed: every UnionLoop iteration re-reads the table, so

@@ -361,3 +361,33 @@ def test_ivf_upsert_recall_and_frozen_sizing(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"frozen-quantizer recall collapsed: {recall:.2f}"
+
+
+def test_recursive_depth_matches_closed_form(spark):
+    """recursive_cte_doc_depth vs the closed form: in the implicit binary
+    tree i -> 2i+1, 2i+2 rooted at 0, depth(i) = floor(log2(i+1)) exactly.
+    Pins the r16 two-level unroll (anchor = depths 0+1, step = grandchild
+    at depth+2): the walk must still reach every doc exactly once with
+    the same depth — a double-emitted or skipped frontier would show up
+    as a wrong histogram even while the shared-SQL DuckDB oracle agrees
+    (it runs the identical statement)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["depth"]: (r["n_docs"], r["sum_chars"])
+        for r in entry_mod.queries()["recursive_cte_doc_depth"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        select cast(floor(log2(doc_id + 1)) as int) as depth,
+               count(*) as n_docs, sum(n_chars) as sum_chars
+        from '{SF_DIR}/documents.parquet' group by 1
+        """
+    ).fetchall()
+    con.close()
+    assert len(ref) == len(got) > 0
+    for depth, n_docs, sum_chars in ref:
+        assert got[depth] == (n_docs, sum_chars), (depth, got[depth], (n_docs, sum_chars))
