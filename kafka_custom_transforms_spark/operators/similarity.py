@@ -137,6 +137,7 @@ def topk_neighbors(
             n_centroids=n_centroids,
             **({"n_probe": n_probe} if n_probe is not None else {}),
             dim=dim,
+            n_rows=n,
         )
     cos_dim = _auto_cos_dim(base, dim, n_rows)
     b = base.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("bv"))
@@ -1027,6 +1028,7 @@ def ivf_topk_neighbors(
     lloyd_iters: int = 0,
     train_fraction: float = 0.1,
     train_on: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: hash-sampled deterministic centroid seeds refined by
     ``lloyd_iters`` rounds of Lloyd's algorithm (assign each vector to its
@@ -1060,11 +1062,18 @@ def ivf_topk_neighbors(
     brute-force baseline; the scored fraction is pinned by
     test_ivf_scored_fraction.
     """
-    cos_dim = dim
     if n_centroids is None:
         n = base.count()
         n_centroids, n_probe = ivf_params(n, n_probe)
         cos_dim = dim if n >= UNROLL_MIN_ROWS else None
+    else:
+        # Explicit n_centroids must not silently force the unrolled cosine
+        # (the r16 ivf_upsert finding: the 64-wide codegen costs ~1.8 s of
+        # compile the corpus does not amortize below UNROLL_MIN_ROWS —
+        # same values either way, the branches are bit-equal). Callers
+        # that know the corpus size pass n_rows; otherwise the
+        # plan-statistics estimate decides, exactly like topk_neighbors.
+        cos_dim = _auto_cos_dim(base, dim, n_rows)
     scored = _ivf_candidates(
         base, queries, id_col, vec_col, n_centroids, n_probe, dim, lloyd_iters,
         train_fraction, cos_dim, train_on,
@@ -1121,4 +1130,5 @@ def ivf_upsert_topk_neighbors(
         base, queries, k=k, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, n_probe=n_probe, dim=dim,
         train_on=indexed,
+        n_rows=n,
     )
