@@ -1405,7 +1405,20 @@ def duplicate_spans(
         ).otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(f"duplicate_spans: unknown gram_hasher {gram_hasher!r}")
-    grams = df.select(F.col(id_col), F.explode_outer(windows).alias("h"))
+    # Fan the gram hashing out before the Python stage (guide §2.6, r16):
+    # a one-file corpus scans as 1-2 tasks, which serialized the Arrow
+    # hasher on 1-2 cores (the r15 plan had ArrowEvalPython directly on
+    # the scan). Project to (id, text) first so the round-robin ships
+    # only what the hasher needs; no-op at cluster scale, same device and
+    # cap as shingle_sets. Idle A/B at sf0.1 (noop, n=6): 1.146 ->
+    # 0.941 s median.
+    from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+
+    src = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)),
+        min(SHINGLE_FANOUT_CAP, df.sparkSession.sparkContext.defaultParallelism),
+    )
+    grams = src.select(F.col(id_col), F.explode_outer(windows).alias("h"))
     per_doc_gram = grams.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("m"))
     # Corpus-wide occurrence count per gram hash, WITHOUT a join: a
     # whole-partition window over h. Null-hash rows (gram-less docs) get
