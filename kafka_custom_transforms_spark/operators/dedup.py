@@ -588,6 +588,60 @@ def simhash_signatures_wide_map(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _simhash_text_sig_udf(k: int, bits_per_long: int = 56, n_longs: int = 2):
+    """Merged text -> wide-SimHash signature: tokenize, k-shingle
+    (insertion-ordered distinct), BOTH md5 halves, and the per-bit
+    majority votes in ONE Arrow pass (r16, guide §4.1/§4.2). The split
+    chain (_shingle_udf -> JVM transform(md5_hash56) -> signature
+    pandas_udf) crossed the Python boundary twice — the shingle STRINGS
+    shipped back to the JVM just to be md5'd by an interpreted
+    higher-order lambda, then the hash longs shipped to Python again for
+    the votes. hashlib.md5 of the same UTF-8 bytes is bit-identical to
+    the JVM md5 (same convention as :func:`_gram_hash_udf`), distinct is
+    applied to the shingle strings BEFORE hashing (vote counts match the
+    split form even under an md5 collision), and the vote rule is the
+    same 2*set_count > n_shingles with ties to 0 — equality with the
+    split chain is test-pinned. Docs with < k tokens yield NULL (callers
+    pre-filter, same contract as shingle_sets). Docs with >= 32768
+    shingles raise, matching both existing forms."""
+    if n_longs != 2 or bits_per_long != 56:
+        raise ValueError("wide signatures are fixed at 2 x 56 bits (one md5)")
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def text_sig(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        shifts = np.arange(bits_per_long, dtype=np.int64)
+        lanes = np.int64(1) << shifts
+        out = []
+        for t in texts:
+            w = t.split(" ") if isinstance(t, str) else []
+            if len(w) < k:
+                out.append(None)
+                continue
+            wins = dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+            if len(wins) >= 32768:
+                raise ValueError(
+                    "simhash_signatures_wide: >32767 shingles in one doc"
+                )
+            hexes = [md5(s.encode()).hexdigest() for s in wins]
+            sig = []
+            for lo, hi in ((0, 14), (14, 28)):
+                hv = np.fromiter(
+                    (int(h[lo:hi], 16) for h in hexes), dtype=np.int64, count=len(hexes)
+                )
+                cnt = ((hv[:, None] >> shifts) & 1).sum(axis=0)
+                sig.append(int(((2 * cnt > len(hv)) * lanes).sum()))
+            out.append(sig)
+        return pd.Series(out)
+
+    return text_sig
+
+
 def simhash_signatures_wide(
     sets: DataFrame, bits_per_long: int = 56, n_longs: int = 2
 ) -> DataFrame:
@@ -804,20 +858,32 @@ def simhash_pairs_wide(
         )
     if chunks is None:
         chunks = 16
-    sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     # Signature form follows the shingler trade-off flag (same rule as the
-    # MinHash pipeline): 'arrow' uses the shuffle-free per-doc map form,
-    # 'jvm' the explode + packed-lane aggregate. Bit-identical, test-pinned.
-    # input_nonempty=True: sets comes from shingle_sets, whose >= k-token
-    # filter guarantees a non-empty shingle array per row — skipping the
-    # map form's redundant empty-set filter stops Catalyst duplicating
-    # the Arrow shingle UDF below it (sets is NOT checkpointed here; see
-    # simhash_signatures_wide_map's docstring for the measured effect).
+    # MinHash pipeline): 'arrow' fuses tokenize + shingle + md5 + votes
+    # into ONE Arrow pass (r16, guide §4.1/§4.2 — the split chain crossed
+    # the Python boundary twice with an interpreted per-shingle md5 HOF
+    # between; see _simhash_text_sig_udf); 'jvm' keeps the explode +
+    # packed-lane aggregate. Bit-identical, test-pinned. The >= k-token
+    # pre-filter and the projection-first fan-out mirror shingle_sets
+    # (project to (id, text) BEFORE the round-robin so only those columns
+    # ship — guide §2.3).
     if shingler == "arrow":
-        raw_sigs = simhash_signatures_wide_map(
-            sets, bits_per_long, n_longs, input_nonempty=True
+        from kafka_custom_transforms_spark.functions.skew import (
+            ensure_min_partitions,
+        )
+
+        src = ensure_min_partitions(
+            df.filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+            ),
+            min(SHINGLE_FANOUT_CAP, df.sparkSession.sparkContext.defaultParallelism),
+        )
+        s = _simhash_text_sig_udf(shingle_k, bits_per_long, n_longs)(F.col("_txt"))
+        raw_sigs = src.select("id", s.alias("_s")).select(
+            "id", *[F.col("_s")[i].alias(f"sig{i}") for i in range(n_longs)]
         )
     else:
+        sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
         raw_sigs = simhash_signatures_wide(sets, bits_per_long, n_longs)
     sigs = _materialize(raw_sigs, checkpoint)
     sig_names = [f"sig{i}" for i in range(n_longs)]

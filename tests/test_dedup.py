@@ -532,6 +532,31 @@ def test_simhash_wide_map_variant_matches_agg(spark, sf_dir):
     assert map_sigs == agg_sigs
 
 
+def test_simhash_fused_text_sig_matches_split_chain(spark, sf_dir):
+    """The r16 fused text->signature Arrow pass (tokenize + shingle +
+    hashlib md5 + votes in one UDF) must be bit-identical to the split
+    chain (shingle_sets -> JVM md5 transform -> vote UDF) on real corpus
+    text, including which docs it drops (< k tokens -> NULL)."""
+    from pyspark.sql import functions as F
+
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    split_sigs = {
+        r.id: (r.sig0, r.sig1)
+        for r in dedup.simhash_signatures_wide_map(sets).collect()
+    }
+    s = dedup._simhash_text_sig_udf(3)(F.col("text"))
+    fused = (
+        docs.filter(F.size(dedup.tokens(F.col("text"))) >= 3)
+        .select(F.col("doc_id").alias("id"), s.alias("_s"))
+        .select("id", F.col("_s")[0].alias("sig0"), F.col("_s")[1].alias("sig1"))
+    )
+    fused_sigs = {r.id: (r.sig0, r.sig1) for r in fused.collect()}
+    assert fused_sigs == split_sigs and len(fused_sigs) > 0
+
+
 def test_input_nonempty_signatures_identical_and_single_shingle_eval(
     spark, sf_dir
 ):
