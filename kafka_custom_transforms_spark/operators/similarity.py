@@ -397,7 +397,16 @@ def hyperplane_buckets(
     if fan_out:
         from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
 
-        vecs = ensure_min_partitions(vecs)
+        # Capped at the same measured Python-dispatch knee as the exact
+        # scorer (r16: the r15 "capping loses 1.80x" claim for this path
+        # was taken in a steal era and did not reproduce — two idle-ish
+        # interleaved re-runs had cap=16 winning 11/12 pairs, with every
+        # steal-clean capped sample under every uncapped one). A cluster
+        # scan already exceeds the cap, so this only ever ADDS partitions.
+        vecs = ensure_min_partitions(
+            vecs,
+            min(EXACT_SCORE_FANOUT_CAP, df.sparkSession.sparkContext.defaultParallelism),
+        )
     id_type = df.schema[id_col].dataType.simpleString()
     return vecs.mapInPandas(_assign, schema=f"id {id_type}, table int, bucket long")
 
