@@ -321,10 +321,12 @@ def test_live_repo_clean_chain_anchors_on_r12(tmp_path):
     """On the real committed records, the clean-chain rule must walk past
     the adjudicated-degraded BENCH_r13_repro (probe-normalized 1.36x vs
     r12 — its probes were FASTER, tightening the raw 1.23x) and anchor on
-    BENCH_r12_repro — until a genuinely clean newer record lands, which
-    will then take over automatically."""
+    the newest genuinely clean record — BENCH_r16_repro (blessed idle at
+    the r16 close: 1-min load 0.00, steal 0.34 cores), which took over
+    from the r12/r14 anchors exactly as this docstring always said it
+    would."""
     name, _ = bench_guard.load_baseline()
-    assert name in ("BENCH_r12_repro.json", "BENCH_r14_repro.json", "BENCH_r14.json")
+    assert name in ("BENCH_r16_repro.json",)
 
 
 def _orders_registry():
