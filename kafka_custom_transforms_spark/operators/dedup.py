@@ -1518,6 +1518,52 @@ def duplicate_spans(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _minhash_text_sig_udf(k: int, num_perm: int, seed: int):
+    """Merged text -> md5-based MinHash signature: tokenize, k-shingle
+    (insertion-ordered distinct), md5 base hashes, and the universal-hash
+    mod-min reduction in ONE Arrow pass (r16, guide §4.1/§4.2 — the
+    simhash fusion applied to the store pipeline). The split chain
+    (_shingle_udf -> interpreted transform(pmod(md5_hash60)) HOF ->
+    minhash_signature_map's pandas_udf) crossed the Python boundary twice
+    per document. hashlib md5 over the same UTF-8 bytes is bit-identical
+    to the JVM md5 and ``int(hexdigest()[:15], 16) % MERSENNE_P`` equals
+    ``pmod(md5_hash60(s), p)`` (both operands non-negative — the
+    _gram_hash_udf convention); the numpy mod-min is the exact
+    minhash_signature_map reduction. Only the md5-based STORE pipeline
+    fuses: the xxhash64 batch pipeline has no bit-identical Python
+    counterpart here, and changing its hash family would change LSH
+    candidates. Docs with < k tokens yield NULL (callers pre-filter)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    perms = minhash_perms(num_perm, seed)
+    av = np.asarray([a for a, _ in perms], dtype=np.int64)
+    bv = np.asarray([b for _, b in perms], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def text_sig(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            w = t.split(" ") if isinstance(t, str) else []
+            if len(w) < k:
+                out.append(None)
+                continue
+            wins = dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+            hv = np.fromiter(
+                (int(md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_P for s in wins),
+                dtype=np.int64,
+                count=len(wins),
+            )
+            out.append(((hv[:, None] * av + bv) % MERSENNE_P).min(axis=0))
+        return pd.Series(out)
+
+    return text_sig
+
+
 def minhash_store(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1539,24 +1585,33 @@ def minhash_store(
     mode. Signature form follows the ``shingler`` trade-off flag like the
     batch pipeline: 'arrow' (default) uses the shuffle-free numpy map
     form, 'jvm' the explode + per-permutation min-aggregate plan."""
+    if shingler == "arrow":
+        # Fused form (r16): tokenize + shingle + md5 base hashes + mod-min
+        # in one Arrow pass — one Python boundary crossing per document
+        # instead of two with an interpreted md5 HOF between (see
+        # _minhash_text_sig_udf; bit-parity with the split chain is
+        # test-pinned). Pre-filter and projection-first fan-out mirror
+        # shingle_sets (guide §2.3/§2.6, no-ops at cluster scale).
+        from kafka_custom_transforms_spark.functions.skew import (
+            ensure_min_partitions,
+        )
+
+        src = ensure_min_partitions(
+            df.filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+            ),
+            min(SHINGLE_FANOUT_CAP, df.sparkSession.sparkContext.defaultParallelism),
+        )
+        return src.select(
+            "id",
+            _minhash_text_sig_udf(shingle_k, num_perm, seed)(F.col("_txt")).alias("sig"),
+        )
     sets = shingle_sets(df, id_col, text_col, shingle_k, shingler)
     perms = minhash_perms(num_perm, seed)
     p = F.lit(MERSENNE_P)
 
     def _md5_base(sh: Column) -> Column:
         return F.transform(sh, lambda s: F.pmod(md5_hash60(s), p))
-
-    if shingler == "arrow":
-        # Map form: md5 base hashes stay JVM-side (DuckDB bit-parity),
-        # numpy does the mod-min — no explode, no shuffle (see
-        # texthash.minhash_signature_map).
-        # input_nonempty=True: sets is shingle_sets output (non-empty by
-        # its >= k-token filter) and is NOT checkpointed here, so the map
-        # form's empty-set filter would otherwise be pushed below the
-        # projection by duplicating the Arrow shingle UDF (guide §4.4).
-        return minhash_signature_map(
-            sets, perms, base_hashes=_md5_base, input_nonempty=True
-        )
     exploded = sets.select(F.col("id"), F.explode(_md5_base(F.col("sh"))).alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"m{j}")

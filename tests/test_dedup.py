@@ -1056,3 +1056,16 @@ def test_plan_srp_lsh_contract_property():
         assert 1 <= tables <= 64 and 4 <= bits <= 24
         p = 1 - math.acos(thr) / math.pi
         assert 1 - (1 - p**bits) ** tables >= recall - 1e-9
+
+
+def test_minhash_store_fused_matches_jvm(spark, sf_dir):
+    """minhash_store's r16 fused arrow route (tokenize + shingle + hashlib
+    md5 + mod-min in one UDF) must be bit-identical to the pure-JVM
+    explode+agg route on real corpus text — same ids kept (>= k tokens),
+    same 32-long signatures."""
+    from kafka_custom_transforms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    fused = {r.id: list(r.sig) for r in dedup.minhash_store(docs).collect()}
+    jvm = {r.id: list(r.sig) for r in dedup.minhash_store(docs, shingler="jvm").collect()}
+    assert fused == jvm and len(fused) > 0
