@@ -40,6 +40,45 @@ def _bloom_bits(g, k_hashes: int, m_bits: int):
     ]
 
 
+def _bloom_probe_rows(k: int, m_bits: int, k_hashes: int):
+    """mapInPandas generator: one (id, b1..bk) row per distinct k-gram of
+    each document — tokenize, shingle, and ALL k md5 bit probes in one
+    Arrow pass (r16, guide §4.1/§4.2). hashlib md5 of the same UTF-8
+    bytes is bit-identical to the JVM md5 and ``int(hexdigest()[:15],16)
+    % m_bits`` equals ``md5_hash60(concat(lit(f"{j}:"), g)) % m_bits``
+    (both operands non-negative) — the exact :func:`_bloom_bits` values,
+    so the oracle's bit replay is untouched. Replaces the shape that
+    shipped the gram STRINGS back to the JVM just to explode them and
+    hash each three times in codegen. Docs with < k tokens emit nothing
+    (the caller's resurrection join zero-fills them)."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids = []
+            cols: dict[str, list[int]] = {f"b{j}": [] for j in range(1, k_hashes + 1)}
+            for did, t in zip(pdf["id"], pdf["_txt"]):
+                w = t.split(" ") if isinstance(t, str) else []
+                if len(w) < k:
+                    continue
+                for g in dict.fromkeys(
+                    " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+                ):
+                    ids.append(did)
+                    for j in range(1, k_hashes + 1):
+                        cols[f"b{j}"].append(
+                            int(md5((f"{j}:" + g).encode()).hexdigest()[:15], 16)
+                            % m_bits
+                        )
+            if ids:
+                yield pd.DataFrame({"id": ids, **cols})
+
+    return gen
+
+
 def bloom_contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -65,12 +104,23 @@ def bloom_contamination_flags(
     re-check flagged docs with the raw-gram join (two-pass, both sides tiny
     after the Bloom prune).
 
-    Plan shape: the set-bit table (<= m_bits rows of one long) is built with
-    one distinct over the (small) benchmark gram fan-out and broadcast; the
-    corpus side explodes each gram into its k bit probes map-side, joins the
-    broadcast bits, and a gram is a hit iff all k probes matched. Shuffles:
-    the per-(id, gram) probe count and the per-id hit count — both keyed on
-    uniformly-hashed ids. The corpus text is never shuffled.
+    Plan shape (r16): the set-bit table (<= m_bits rows of one long) is
+    built with one distinct over the (small) benchmark gram fan-out and
+    broadcast; the corpus side emits one (id, b1..bk) row per distinct
+    gram from ONE Arrow pass (tokenize + shingle + all k md5 probes —
+    :func:`_bloom_probe_rows`; the pre-r16 shape shipped gram strings
+    back to the JVM, exploded them, hashed each k times in codegen, and
+    paid a per-(id, gram) shuffle to reassemble the all-probes-set
+    check), and a gram is a hit iff each probe column survives a LEFT
+    SEMI broadcast join against the set bits. ONE shuffle: the per-id hit
+    count, map-side-combined on uniformly-hashed ids. The corpus text is
+    never shuffled and never recrosses the Python boundary.
+
+    Contract: ``id_col`` should be unique per document — duplicate ids
+    are counted per input row here, where the pre-r16 per-(id, gram)
+    probe count silently zeroed grams shared by duplicate-id rows
+    (neither form is meaningful on duplicate ids; same contract as
+    importance_scores / duplicate_spans).
     """
     bench_text = bench_text_col or text_col
     # nondet=True on both shingle passes (guide §4.4, r15): the explode
@@ -91,32 +141,46 @@ def bloom_contamination_flags(
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
+    # Lazily localCheckpoint-ed (within-query only; bench rebuilds the DF
+    # per sample): the k semi-joins below each broadcast this table, and
+    # without the pin each broadcast would re-derive the benchmark shingle
+    # pass (3 ArrowEvalPython for one logical use — the same duplication
+    # family as the nondet markers above). The checkpoint is <= m_bits
+    # rows of one long; the shingler runs exactly once, at first
+    # materialization inside the query (test-pinned).
     set_bits = (
         bench_grams.select(
             F.explode(F.array(*_bloom_bits(F.col("g"), k_hashes, m_bits))).alias("bit")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    doc_probes = (
-        shingle_sets(docs, id_col, text_col, ngram, nondet=True)
-        .select("id", F.explode("sh").alias("g"))
-        .select(
-            "id",
-            "g",
-            F.explode(F.array(*_bloom_bits(F.col("g"), k_hashes, m_bits))).alias("bit"),
-        )
+    from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+    from kafka_custom_transforms_spark.operators.dedup import SHINGLE_FANOUT_CAP
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    src = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")),
+        min(SHINGLE_FANOUT_CAP, docs.sparkSession.sparkContext.defaultParallelism),
     )
-    # A gram passes the Bloom filter iff every one of its k probes (counted
-    # with multiplicity — duplicate positions join twice, keeping the
-    # all-probes-set semantics exact) found a set bit.
-    hits = (
-        doc_probes.join(F.broadcast(set_bits), "bit")
-        .groupBy("id", "g")
-        .agg(F.count(F.lit(1)).alias("_n_set"))
-        .filter(F.col("_n_set") == k_hashes)
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias(count_alias))
+    probe_schema = ", ".join(
+        [f"id {id_t}"] + [f"b{j} long" for j in range(1, k_hashes + 1)]
     )
+    doc_probes = src.mapInPandas(
+        _bloom_probe_rows(ngram, m_bits, k_hashes), schema=probe_schema
+    )
+    # A gram passes the Bloom filter iff EVERY probe column finds a set bit
+    # — one LEFT SEMI broadcast join per probe (each tests independently;
+    # duplicate positions within a gram's probes pass/fail together, the
+    # same AND the old multiplicity count enforced). All k joins reference
+    # the SAME set_bits plan via an expression condition (no per-join
+    # rename), so ReuseExchange builds the benchmark-side broadcast — and
+    # runs its shingle pass — exactly once (test-pinned).
+    sb = F.broadcast(set_bits)
+    hits = doc_probes
+    for j in range(1, k_hashes + 1):
+        hits = hits.join(sb, F.col(f"b{j}") == sb["bit"], "left_semi")
+    hits = hits.groupBy("id").agg(F.count(F.lit(1)).alias(count_alias))
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(hits, "id", "left")

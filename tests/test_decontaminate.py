@@ -100,19 +100,38 @@ def test_plan_broadcasts_benchmark_grams(corpus, bench_docs):
 
 
 def test_single_shingle_eval_per_side(corpus, bench_docs):
-    """r15 optimization pin (guide §4.4): both variants shingle each side
-    exactly ONCE. Catalyst used to infer a size(sh) > 0 filter from the
-    explode and push it below the fan-out exchange by DUPLICATING the
-    Arrow shingle UDF (4 ArrowEvalPython nodes for 2 logical uses, the
-    duplicates on the pre-fan-out scan side); the nondeterministic
-    marking on the decontamination call sites forbids that."""
+    """r15 optimization pin (guide §4.4): each side's text crosses the
+    Python boundary exactly ONCE. Catalyst used to infer a size(sh) > 0
+    filter from the explode and push it below the fan-out exchange by
+    DUPLICATING the Arrow shingle UDF (4 ArrowEvalPython nodes for 2
+    logical uses, the duplicates on the pre-fan-out scan side); the
+    nondeterministic marking on the decontamination call sites forbids
+    that."""
+    plan = (
+        contamination_flags(corpus, bench_docs, ngram=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
+def test_bloom_plan_shape(corpus, bench_docs):
+    """r16 fused-probe pin: the Bloom variant's corpus side is ONE
+    mapInPandas pass (tokenize + shingle + all k md5 probes — no gram
+    strings recross the boundary, no (id, gram) shuffle), and the
+    benchmark side is a lazily checkpointed bit table — the k broadcast
+    semi-joins scan the checkpoint (<= m_bits longs), so the scorer plan
+    carries ZERO Arrow shingle evals (without the checkpoint each
+    broadcast re-derived the benchmark shingle pass: 3 ArrowEvalPython
+    for one logical use)."""
     from kafka_custom_transforms_spark.operators.decontaminate import (
         bloom_contamination_flags,
     )
 
-    for flags in (
-        contamination_flags(corpus, bench_docs, ngram=8),
-        bloom_contamination_flags(corpus, bench_docs, ngram=8),
-    ):
-        plan = flags._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ArrowEvalPython") == 2, plan
+    plan = (
+        bloom_contamination_flags(corpus, bench_docs, ngram=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
+    # all three probe joins are broadcast semi-joins over the checkpoint
+    assert plan.count("LeftSemi, BuildRight") == 3, plan
