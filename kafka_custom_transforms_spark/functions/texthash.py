@@ -189,6 +189,14 @@ def minhash_signature_map(
         av = np.asarray(a_list, dtype=np.int64)
         bv = np.asarray(b_list, dtype=np.int64)
         out = []
+        # Deliberately a per-document loop (r16 NEGATIVE A/B, pinned): a
+        # batch-flattened chunked ``minimum.reduceat`` over the whole
+        # Arrow batch is bit-identical but ~2x SLOWER — numpy's reduceat
+        # has no SIMD fast path, while the ~(50-100 x num_perm) per-doc
+        # matrices here are small enough that the vectorized min(axis=0)
+        # dominates the per-call overhead (0.30 vs 0.57 s per 3k docs
+        # measured standalone; 0.78 vs 1.83 s sig stage at a 20x corpus
+        # replica, interleaved idle).
         for h in hs:
             hv = np.asarray(h, dtype=np.int64)
             # hv < p and av < p, so hv*av < 2^62 stays inside int64; numpy
@@ -209,6 +217,149 @@ def minhash_signature_map(
         .select(F.col(id_col).alias("id"), base_hashes(F.col(shingle_col)).alias("hs"))
     )
     return hashed.select("id", _sig(F.col("hs")).alias("sig"))
+
+
+def minhash_signature_map_fused(
+    sets,  # DataFrame with (id, sh) columns
+    perms: list[tuple[int, int]],
+    id_col: str = "id",
+    shingle_col: str = "sh",
+    input_nonempty: bool = False,
+):
+    """(id, sig) in ONE Arrow pass: XXH64 base hashes + mod-min in numpy.
+
+    Bit-identical to ``minhash_signature_map`` with the default xxhash64
+    ``base_hashes`` (test-pinned): :mod:`..functions.xxh64_np` reproduces
+    Spark's ``xxhash64`` exactly, so the hash family — and therefore every
+    LSH band collision downstream — is unchanged. The per-gram base hash
+    leaves the interpreted ``transform(sh, s -> pmod(xxhash64(s), p))``
+    higher-order function and fuses with the mod-min reduction into a
+    single ``mapInArrow`` pass that reads the gram bytes straight from
+    the Arrow values buffer — no per-gram Python string objects, no
+    second JVM->Python crossing.
+
+    MEASURED NEGATIVE (r16, pinned — the split form stays the production
+    default): sf0.1 sig stage 0.338 (split) vs 0.332 s (wash) and a 20x
+    replica 0.77 vs 1.07 s (interleaved, idle, fused loses every pair).
+    Spark's xxhash64 is a fast native intrinsic even inside the
+    interpreted HOF, and this fusion trades the split form's 8 B/gram
+    *long* crossing for a ~25 B/gram *string* crossing — more Arrow bytes
+    than the HOF costs. Kept (with its Spark-parity test pins) because
+    the trade flips wherever the gram strings must cross the boundary
+    anyway or the JVM is not available to hash; the reduceat mod-min
+    this kernel introduced now also powers ``minhash_signature_map``.
+
+    Contract: shingle arrays and their elements must be non-null
+    (``shingle_sets`` output satisfies both); rows reaching the kernel
+    must have non-empty shingle sets (``input_nonempty=True`` asserts the
+    caller guarantees it, otherwise a JVM-side size filter is applied
+    first, exactly as in ``minhash_signature_map``).
+    """
+    import numpy as np
+
+    a_np = np.asarray([ab[0] for ab in perms], dtype=np.int64)
+    b_np = np.asarray([ab[1] for ab in perms], dtype=np.int64)
+    num_perm = len(perms)
+
+    src = sets if input_nonempty else sets.filter(F.size(F.col(shingle_col)) > 0)
+    proj = src.select(F.col(id_col).alias("id"), F.col(shingle_col).alias("sh"))
+    id_type = proj.schema["id"].dataType.simpleString()
+
+    def _fused(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from kafka_custom_transforms_spark.functions.xxh64_np import (
+            _xxh64_mat,
+            xxh64_short,
+        )
+
+        # Keep the (grams x num_perm) permutation matrix cache-resident:
+        # 2^13 grams x 128 perms x 8 B = 8 MB per reduceat chunk (measured
+        # 1.4x faster than a 64 MB chunk — the three passes over the
+        # chunk run from L2/L3 instead of DRAM).
+        chunk_grams = 1 << 13
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = batch.column(0)
+            sh = batch.column(1)
+            flat = sh.values
+            if sh.null_count or flat.null_count:
+                raise ValueError(
+                    "minhash_signature_map_fused: null shingle arrays/"
+                    "elements are outside the shingle_sets contract"
+                )
+            # List offsets -> logical gram index range of this batch
+            # (buffers are shared across slices; account for .offset).
+            lo = np.frombuffer(
+                sh.buffers()[1], dtype="<i4", count=len(sh) + 1 + sh.offset
+            )[sh.offset :].astype(np.int64)
+            g0, g1 = int(lo[0]), int(lo[-1])
+            counts = np.diff(lo)
+            if counts.min() <= 0:
+                raise ValueError(
+                    "minhash_signature_map_fused: empty shingle set reached "
+                    "the fused kernel (caller must filter or declare "
+                    "input_nonempty only when true)"
+                )
+            off_dtype = "<i8" if pa.types.is_large_string(flat.type) else "<i4"
+            so = np.frombuffer(
+                flat.buffers()[1], dtype=off_dtype, count=len(flat) + 1 + flat.offset
+            )[flat.offset :].astype(np.int64)
+            data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+            gl = so[g0 + 1 : g1 + 1] - so[g0 : g1]  # per-gram byte lengths
+            n_grams = g1 - g0
+
+            # Hash the gram bytes IN PLACE in the Arrow values buffer when
+            # every gram is < 32 bytes (virtually always for word
+            # shingles): xxh64_short gathers each gram's 32-byte window
+            # straight from the shared buffer — no padded matrix, no
+            # scatter, garbage past each gram's length is never read into
+            # the result. Long grams fall back to the padded-matrix path.
+            max_len = int(gl.max())
+            if max_len < 32:
+                if data.size < int(so[g1]) + 31:
+                    data = np.concatenate([data, np.zeros(32, dtype=np.uint8)])
+                hv = xxh64_short(data, so[g0:g1], gl, 42)
+            else:
+                width = ((max_len + 31) // 32) * 32 + 32
+                mat = np.zeros((n_grams, width), dtype=np.uint8)
+                mat[np.arange(width)[None, :] < gl[:, None]] = data[
+                    int(so[g0]) : int(so[g1])
+                ]
+                hv = _xxh64_mat(mat, gl, 42)
+            hv = hv % MERSENNE_P  # floored == Spark pmod
+
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            sig = np.empty((n, num_perm), dtype=np.int64)
+            d0 = 0
+            gbase = 0
+            while d0 < n:
+                d1 = d0 + 1
+                g = int(counts[d0])
+                while d1 < n and g + counts[d1] <= chunk_grams:
+                    g += int(counts[d1])
+                    d1 += 1
+                big = hv[gbase : gbase + g, None] * a_np
+                big += b_np
+                big %= MERSENNE_P
+                sig[d0:d1] = np.minimum.reduceat(big, starts[d0:d1] - gbase, axis=0)
+                gbase += g
+                d0 = d1
+
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+                ),
+                pa.array(sig.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_col], ["id", "sig"])
+
+    return proj.mapInArrow(_fused, schema=f"id {id_type}, sig array<bigint>")
 
 
 def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -293,6 +293,19 @@ def minhash_lsh_pairs(
     # >= k-token filter (here the sets checkpoint also already blocks UDF
     # duplication; the skipped filter is just a vacuous pass over the
     # checkpoint read).
+    # r16 NEGATIVE A/B (pinned, do not retry): a fully-fused signature
+    # kernel — tokenless xxh64 reproduced bit-exactly in numpy
+    # (functions.xxh64_np) so base hash + mod-min run in ONE mapInArrow
+    # pass over the shingle arrays (texthash.minhash_signature_map_fused)
+    # — LOSES to this split shape both at sf0.1 (wash, 0.338 vs 0.332
+    # median) and 2:1 at a 20x replica (0.77 vs 1.07 s sig stage,
+    # interleaved, idle): Spark's xxhash64 is a fast native intrinsic
+    # even under the interpreted transform() HOF, and the fusion trades
+    # an 8 B/gram long crossing for a ~25 B/gram STRING crossing — the
+    # extra Arrow bytes cost more than the HOF saves. What DID transfer
+    # from that work: the split kernel's Python side now runs the
+    # batch-flattened reduceat mod-min (see _sig in texthash) instead of
+    # a per-document loop.
     if shingler == "arrow":
         raw_sig = minhash_signature_map(sets, perms, input_nonempty=True)
     else:
