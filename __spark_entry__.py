@@ -3461,15 +3461,20 @@ def _tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ids are far below 2^53, the double division is exact).
 _RECURSIVE_DEPTH_SQL = """
 WITH RECURSIVE walk (doc_id, depth) AS (
-  SELECT doc_id, CASE WHEN doc_id = 0 THEN 0 ELSE 1 END
-  FROM {docs} WHERE doc_id BETWEEN 0 AND 2
+  SELECT doc_id, CASE WHEN doc_id = 0 THEN 0 WHEN doc_id <= 2 THEN 1
+                      WHEN doc_id <= 6 THEN 2 ELSE 3 END
+  FROM {docs} WHERE doc_id BETWEEN 0 AND 14
   UNION ALL
-  SELECT g.doc_id, w.depth + 2
+  SELECT d4.doc_id, w.depth + 4
   FROM walk w
   JOIN {docs} c
     ON c.doc_id >= 1 AND CAST(floor((c.doc_id - 1) / 2) AS BIGINT) = w.doc_id
   JOIN {docs} g
     ON g.doc_id >= 1 AND CAST(floor((g.doc_id - 1) / 2) AS BIGINT) = c.doc_id
+  JOIN {docs} h
+    ON h.doc_id >= 1 AND CAST(floor((h.doc_id - 1) / 2) AS BIGINT) = g.doc_id
+  JOIN {docs} d4
+    ON d4.doc_id >= 1 AND CAST(floor((d4.doc_id - 1) / 2) AS BIGINT) = h.doc_id
 )
 SELECT w.depth AS depth,
        cast(count(*) AS bigint)       AS n_docs,
@@ -3484,14 +3489,22 @@ def _recursive_cte_doc_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tree as pagerank_doc_tree) via Spark 4 recursive CTE — the
     new-in-4 iterative SQL surface (like the pipe-syntax row).  The
     recursion is a bounded iterative equi-join; each round shuffles only
-    the frontier, not the full table.  The recursive step is UNROLLED TWO
-    LEVELS (anchor seeds depths 0 and 1, the step joins child then
-    grandchild and emits depth+2): every node at depth >= 2 has exactly
-    one grandparent, so the walk still reaches each doc exactly once and
-    the (doc_id, depth) set is unchanged, but the iteration count — and
-    with it the per-round scheduler/plan overhead that dominates this row
-    — halves to ~log2(N)/2 (r16, guide §2.4).  DuckDB runs the identical
-    WITH RECURSIVE statement as the oracle.
+    the frontier, not the full table.  The recursive step is UNROLLED FOUR
+    LEVELS (anchor seeds depths 0-3, i.e. doc_id 0..14 with the closed-form
+    CASE; the step chains four parent-of equi-joins and emits depth+4):
+    every node at depth >= 4 has exactly one 4th ancestor, so the walk
+    still reaches each doc exactly once and the (doc_id, depth) set is
+    unchanged, but the iteration count — and with it the per-round
+    scheduler/plan overhead that dominates this row — drops to ~log2(N)/4
+    (r16 two-step: 2-level unroll 1.64 -> 1.10, then 4-level 1.03 -> 0.77 s
+    idle interleaved medians, 7/7 pairs; guide §2.4.  The join width per
+    round doubled BUT each join is a broadcast of the same checkpointed
+    table, so the exponential-width concern stays theoretical until far
+    deeper unrolls).  DuckDB runs the identical WITH RECURSIVE statement
+    as the oracle — parity re-verified at all three SFs for the 4-level
+    form, and tests/test_independent_oracles.py pins the histogram
+    against the closed form floor(log2(i+1)) independently of both
+    engines.
 
     The recursion source is the 2-column projection, eagerly
     localCheckpoint-ed: every UnionLoop iteration re-reads the table, so
