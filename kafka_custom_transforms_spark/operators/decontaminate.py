@@ -123,45 +123,51 @@ def bloom_contamination_flags(
     importance_scores / duplicate_spans).
     """
     bench_text = bench_text_col or text_col
-    # nondet=True on both shingle passes (guide §4.4, r15): the explode
-    # below makes Catalyst infer a size(sh) > 0 filter and push it below
-    # the fan-out exchange by DUPLICATING the Arrow shingle UDF — the r15
-    # plan audit showed FOUR ArrowEvalPython nodes for these two logical
-    # shingle uses, with each duplicate running on the pre-fan-out
-    # (single-task at bench SF; full-corpus extra text pass at scale)
-    # scan side. The marker yields one eval per side; results unchanged.
-    bench_grams = (
-        shingle_sets(
-            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text).alias("_btext")),
-            "_bid",
-            "_btext",
-            ngram,
-            nondet=True,
-        )
-        .select(F.explode("sh").alias("g"))
-        .distinct()
+    from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
+    from kafka_custom_transforms_spark.operators.dedup import SHINGLE_FANOUT_CAP
+
+    fan = min(SHINGLE_FANOUT_CAP, docs.sparkSession.sparkContext.defaultParallelism)
+    # The BENCH side runs the same fused probe kernel as the corpus side
+    # (r16, guide §2.4): tokenize + shingle + all k md5 bit positions in
+    # one Arrow pass, then one distinct over the exploded bit columns.
+    # The previous shape (Arrow shingle pass -> explode -> DISTINCT GRAMS
+    # -> JVM md5 bit expressions -> distinct bits) paid a whole extra
+    # exchange + aggregate for the gram distinct, which is redundant for
+    # a Bloom build: duplicate grams produce duplicate BITS, and the bit
+    # distinct already removes those. hashlib md5 here is bit-identical
+    # to the JVM md5_hash60 family (probe-kernel docstring; test-pinned),
+    # so the filter — false positives included — is byte-for-byte the
+    # oracle's.
+    bench_probes = ensure_min_partitions(
+        benchmark.select(
+            F.lit(0).alias("id"), F.col(bench_text).alias("_txt")
+        ),
+        fan,
+    ).mapInPandas(
+        _bloom_probe_rows(ngram, m_bits, k_hashes),
+        schema=", ".join(
+            ["id int"] + [f"b{j} long" for j in range(1, k_hashes + 1)]
+        ),
     )
     # Lazily localCheckpoint-ed (within-query only; bench rebuilds the DF
     # per sample): the k semi-joins below each broadcast this table, and
-    # without the pin each broadcast would re-derive the benchmark shingle
-    # pass (3 ArrowEvalPython for one logical use — the same duplication
-    # family as the nondet markers above). The checkpoint is <= m_bits
-    # rows of one long; the shingler runs exactly once, at first
-    # materialization inside the query (test-pinned).
+    # without the pin each broadcast would re-derive the benchmark probe
+    # pass (the same duplication family the corpus side's nondet markers
+    # used to guard). The checkpoint is <= m_bits rows of one long; the
+    # bench probe kernel runs exactly once, at first materialization
+    # inside the query (test-pinned).
     set_bits = (
-        bench_grams.select(
-            F.explode(F.array(*_bloom_bits(F.col("g"), k_hashes, m_bits))).alias("bit")
+        bench_probes.select(
+            F.explode(
+                F.array(*[F.col(f"b{j}") for j in range(1, k_hashes + 1)])
+            ).alias("bit")
         )
         .distinct()
         .localCheckpoint(eager=False)
     )
-    from kafka_custom_transforms_spark.functions.skew import ensure_min_partitions
-    from kafka_custom_transforms_spark.operators.dedup import SHINGLE_FANOUT_CAP
-
     id_t = docs.schema[id_col].dataType.simpleString()
     src = ensure_min_partitions(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")),
-        min(SHINGLE_FANOUT_CAP, docs.sparkSession.sparkContext.defaultParallelism),
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")), fan
     )
     probe_schema = ", ".join(
         [f"id {id_t}"] + [f"b{j} long" for j in range(1, k_hashes + 1)]
